@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+Reads <out>/oracle_sql.json, runs each SQL in DuckDB against views over the
+sf parquet tables, and compares against the Spark-written parquet in
+<out>/<name>/. Reports schema (column names sorted), row count, and value
+equality (exact for ints/strings, bit-exact-first then 1e-9-relative for
+floats, with both orders tried: as-produced and fully sorted).
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        if fa == fb:
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+def frames_equal(sdf: pd.DataFrame, odf: pd.DataFrame):
+    if list(sdf.columns) != list(odf.columns):
+        return False, f"columns differ: spark={list(sdf.columns)} oracle={list(odf.columns)}"
+    if len(sdf) != len(odf):
+        return False, f"row count differs: spark={len(sdf)} oracle={len(odf)}"
+    sv, ov = sdf.values.tolist(), odf.values.tolist()
+    n_bad = 0
+    first = None
+    for i, (r1, r2) in enumerate(zip(sv, ov)):
+        for j, (x, y) in enumerate(zip(r1, r2)):
+            if not values_equal(x, y):
+                n_bad += 1
+                if first is None:
+                    first = (i, sdf.columns[j], x, y)
+    if n_bad:
+        return False, f"{n_bad} cell mismatches; first at row {first[0]} col {first[1]!r}: spark={first[2]!r} oracle={first[3]!r}"
+    return True, "ok"
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            odf = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            sdf = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing/unreadable: {e}")
+            n_fail += 1
+            continue
+        ok, msg = frames_equal(sdf, odf)
+        if not ok:
+            # retry fully sorted, in case row order is the only difference
+            try:
+                s2 = sdf.sort_values(by=list(sdf.columns)).reset_index(drop=True)
+                o2 = odf.sort_values(by=list(odf.columns)).reset_index(drop=True)
+                ok2, _ = frames_equal(s2, o2)
+            except Exception:
+                ok2 = False
+            if ok2:
+                msg += " [MATCHES after row sort — ordering-only diff]"
+        if ok:
+            print(f"PASS {name} ({len(sdf)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed, "
+          f"{len(oracle)} with oracle")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
