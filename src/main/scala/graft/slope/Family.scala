@@ -1,0 +1,163 @@
+package graft.slope
+
+import breeze.linalg.DenseMatrix
+import MathUtil._
+
+/** The pluggable GLM loss interface (reference src/families/family.h:41-56):
+  * primal loss, Fenchel dual (for the duality-gap stopping rule), the
+  * pseudo-gradient (residual-space; the full gradient is Xᵀ·pseudoGradient),
+  * and the intercept-only null model.
+  *
+  * Everything is expressed as PER-ROW contributions over (y-row, linpred-row)
+  * pairs so the distributed `treeAggregate` passes can sum them partition by
+  * partition (map-side partial aggregation); the matrix forms below just loop
+  * the row forms and are used by the in-memory test harness and small-data
+  * fast path. m > 1 only for multinomial's m−1 full-rank parametrization
+  * (NOT MLlib's pivoted m-class softmax — output equivalence requires the
+  * reference's layout, SURVEY.md §2.2 G4).
+  */
+sealed trait Family extends Serializable {
+  def name: String
+
+  /** Loss contribution of one row. */
+  def rowPrimal(y: Array[Double], lp: Array[Double]): Double
+
+  /** Fenchel-dual contribution of one row. */
+  def rowDual(y: Array[Double], lp: Array[Double]): Double
+
+  /** Residual-space gradient of one row (length m); full gradient is
+    * Σ_rows x_i ⊗ rowPseudoGradient_i.
+    */
+  def rowPseudoGradient(y: Array[Double], lp: Array[Double]): Array[Double]
+
+  /** Intercept-only model from the column means of y
+    * (all four references' null models depend on y only through its means).
+    */
+  def nullModelFromMeans(yMean: Array[Double]): Array[Double]
+
+  // ---- matrix forms (rows = observations), driver/test-side ----
+
+  final def primal(y: DenseMatrix[Double], lp: DenseMatrix[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < y.rows) { acc += rowPrimal(rowOf(y, i), rowOf(lp, i)); i += 1 }
+    acc
+  }
+
+  final def dual(y: DenseMatrix[Double], lp: DenseMatrix[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < y.rows) { acc += rowDual(rowOf(y, i), rowOf(lp, i)); i += 1 }
+    acc
+  }
+
+  final def pseudoGradient(y: DenseMatrix[Double], lp: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val out = DenseMatrix.zeros[Double](y.rows, y.cols)
+    var i = 0
+    while (i < y.rows) {
+      val g = rowPseudoGradient(rowOf(y, i), rowOf(lp, i))
+      var j = 0
+      while (j < y.cols) { out(i, j) = g(j); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  protected final def rowOf(m: DenseMatrix[Double], i: Int): Array[Double] = {
+    val out = new Array[Double](m.cols)
+    var j = 0
+    while (j < m.cols) { out(j) = m(i, j); j += 1 }
+    out
+  }
+}
+
+/** Gaussian/OLS: ½‖y−Xβ‖² (reference src/families/gaussian.h:21-45). */
+case object Gaussian extends Family {
+  val name = "gaussian"
+  def rowPrimal(y: Array[Double], lp: Array[Double]): Double = {
+    val r = y(0) - lp(0); 0.5 * r * r
+  }
+  def rowDual(y: Array[Double], lp: Array[Double]): Double =
+    0.5 * y(0) * y(0) - 0.5 * lp(0) * lp(0)
+  def rowPseudoGradient(y: Array[Double], lp: Array[Double]): Array[Double] =
+    Array(lp(0) - y(0))
+  def nullModelFromMeans(yMean: Array[Double]): Array[Double] = yMean.clone()
+}
+
+/** Binomial with y ∈ {−1,+1} (reference src/families/binomial.h:15-39;
+  * recoding per R/preProcessResponse.R:42).
+  */
+case object Binomial extends Family {
+  val name = "binomial"
+  def rowPrimal(y: Array[Double], lp: Array[Double]): Double =
+    truncLog(1.0 + truncExp(-y(0) * lp(0)))
+  def rowDual(y: Array[Double], lp: Array[Double]): Double = {
+    val r = 1.0 / (1.0 + truncExp(y(0) * lp(0)))
+    (r - 1.0) * truncLog(1.0 - r) - r * truncLog(r)
+  }
+  def rowPseudoGradient(y: Array[Double], lp: Array[Double]): Array[Double] =
+    Array(-y(0) / (1.0 + truncExp(y(0) * lp(0))))
+  def nullModelFromMeans(yMean: Array[Double]): Array[Double] = {
+    val pmin = 1e-9
+    val mu = clamp(0.5 * yMean(0) + 0.5, pmin, 1.0 - pmin)
+    Array(truncLog(mu / (1.0 - mu)))
+  }
+}
+
+/** Poisson log-link (reference src/families/poisson.h:15-33). */
+case object Poisson extends Family {
+  val name = "poisson"
+  def rowPrimal(y: Array[Double], lp: Array[Double]): Double =
+    -(y(0) * lp(0) - truncExp(lp(0)) - logGamma(y(0) + 1.0))
+  def rowDual(y: Array[Double], lp: Array[Double]): Double =
+    -(truncExp(lp(0)) * (lp(0) - 1.0) - logGamma(y(0) + 1.0))
+  def rowPseudoGradient(y: Array[Double], lp: Array[Double]): Array[Double] =
+    Array(truncExp(lp(0)) - y(0))
+  def nullModelFromMeans(yMean: Array[Double]): Array[Double] =
+    Array(truncLog(yMean(0)))
+}
+
+/** Multinomial, m−1 full-rank softmax with logsumexp stabilization
+  * (reference src/families/multinomial.h:15-51).
+  */
+case object Multinomial extends Family {
+  val name = "multinomial"
+  def rowPrimal(y: Array[Double], lp: Array[Double]): Double = {
+    var dot = 0.0
+    var j = 0
+    while (j < lp.length) { dot += y(j) * lp(j); j += 1 }
+    logSumExp0(lp) - dot
+  }
+  def rowDual(y: Array[Double], lp: Array[Double]): Double = {
+    val lse = logSumExp0(lp)
+    var acc = 0.0
+    var j = 0
+    while (j < lp.length) { acc += lp(j) * truncExp(lp(j) - lse); j += 1 }
+    lse - acc
+  }
+  def rowPseudoGradient(y: Array[Double], lp: Array[Double]): Array[Double] = {
+    val lse = logSumExp0(lp)
+    val out = new Array[Double](lp.length)
+    var j = 0
+    while (j < lp.length) { out(j) = truncExp(lp(j) - lse) - y(j); j += 1 }
+    out
+  }
+  def nullModelFromMeans(yMean: Array[Double]): Array[Double] = {
+    val m = yMean.length
+    val logMu = yMean.map(truncLog)
+    val sumMu = yMean.sum
+    val tl = truncLog(1.0 - sumMu)
+    val corr = (logMu.sum + m * tl) / (m + 1.0)
+    logMu.map(_ - corr)
+  }
+}
+
+object Family {
+  /** Family factory (reference src/families/families.h:15-27). */
+  def apply(name: String): Family = name match {
+    case "binomial"    => Binomial
+    case "poisson"     => Poisson
+    case "multinomial" => Multinomial
+    case _             => Gaussian
+  }
+}

@@ -1,0 +1,92 @@
+package graft.slope
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class FamilySpec extends AnyFunSuite {
+  private val eps = 1e-10
+
+  test("gaussian: primal/dual/gradient/null") {
+    val y = Array(2.0); val lp = Array(0.5)
+    assert(math.abs(Gaussian.rowPrimal(y, lp) - 0.5 * 1.5 * 1.5) < eps)
+    assert(math.abs(Gaussian.rowDual(y, lp) - (0.5 * 4.0 - 0.5 * 0.25)) < eps)
+    assert(math.abs(Gaussian.rowPseudoGradient(y, lp)(0) - (-1.5)) < eps)
+    assert(Gaussian.nullModelFromMeans(Array(3.25))(0) == 3.25)
+  }
+
+  test("binomial: y ∈ {−1,+1} logistic loss with overflow guards") {
+    val lp = Array(0.7)
+    // primal = log(1 + exp(−y·lp))
+    assert(math.abs(Binomial.rowPrimal(Array(1.0), lp) - math.log1p(math.exp(-0.7))) < eps)
+    assert(math.abs(Binomial.rowPrimal(Array(-1.0), lp) - math.log1p(math.exp(0.7))) < eps)
+    // pseudo-gradient = −y/(1+exp(y·lp))
+    assert(math.abs(Binomial.rowPseudoGradient(Array(1.0), lp)(0) -
+      (-1.0 / (1.0 + math.exp(0.7)))) < eps)
+    // no overflow at extreme linear predictors
+    assert(!Binomial.rowPrimal(Array(1.0), Array(-1e4)).isInfinite)
+    assert(!Binomial.rowPrimal(Array(-1.0), Array(1e4)).isInfinite)
+    // null model: mean of {−1,+1} = 0.2 → μ = 0.6 → logit
+    val b0 = Binomial.nullModelFromMeans(Array(0.2))(0)
+    assert(math.abs(b0 - math.log(0.6 / 0.4)) < eps)
+  }
+
+  test("poisson: log-link loss includes lgamma normalizer") {
+    val y = Array(3.0); val lp = Array(1.2)
+    val expected = -(3.0 * 1.2 - math.exp(1.2) - MathUtil.logGamma(4.0))
+    assert(math.abs(Poisson.rowPrimal(y, lp) - expected) < eps)
+    assert(math.abs(Poisson.rowPseudoGradient(y, lp)(0) - (math.exp(1.2) - 3.0)) < eps)
+    assert(math.abs(Poisson.nullModelFromMeans(Array(2.5))(0) - math.log(2.5)) < eps)
+    // lgamma(1) = 0 for y=0
+    assert(math.abs(Poisson.rowPrimal(Array(0.0), Array(0.0)) - 1.0) < eps)
+  }
+
+  test("multinomial: m−1 full-rank softmax with implicit zero reference class") {
+    // m = 2 targets (3 classes). lse = log(1 + e^a + e^b).
+    val lp = Array(1.0, -0.5)
+    val lse = math.log(1.0 + math.exp(1.0) + math.exp(-0.5))
+    val y = Array(1.0, 0.0)
+    assert(math.abs(Multinomial.rowPrimal(y, lp) - (lse - 1.0)) < eps)
+    val g = Multinomial.rowPseudoGradient(y, lp)
+    assert(math.abs(g(0) - (math.exp(1.0 - lse) - 1.0)) < eps)
+    assert(math.abs(g(1) - math.exp(-0.5 - lse)) < eps)
+    // probabilities sum to < 1, remainder is the reference class
+    val pSum = math.exp(1.0 - lse) + math.exp(-0.5 - lse)
+    assert(pSum < 1.0 && math.abs(pSum + math.exp(-lse) - 1.0) < eps)
+  }
+
+  test("multinomial null model reproduces class-mean log-odds structure") {
+    // class probabilities (0.5, 0.3) with reference class 0.2
+    val out = Multinomial.nullModelFromMeans(Array(0.5, 0.3))
+    // reference formula: log μ − (Σ log μ + m·log(1−Σμ))/(m+1)
+    val logMu = Array(math.log(0.5), math.log(0.3))
+    val corr = (logMu.sum + 2.0 * math.log(0.2)) / 3.0
+    assert(math.abs(out(0) - (logMu(0) - corr)) < eps)
+    assert(math.abs(out(1) - (logMu(1) - corr)) < eps)
+    // note: the reference's null intercept is a centered-log starting point,
+    // NOT the exact softmax inverse — softmax(out) ≈ μ only approximately
+    val lse = MathUtil.logSumExp0(out)
+    assert(math.abs(math.exp(out(0) - lse) - 0.5) < 0.05)
+  }
+
+  test("logSumExp0 is stable at extremes") {
+    assert(math.abs(MathUtil.logSumExp0(Array(1000.0)) - 1000.0) < 1e-9)
+    // all-negative row: reference class dominates, lse → log(1) = 0
+    assert(math.abs(MathUtil.logSumExp0(Array(-500.0)) - 0.0) < 1e-9)
+    assert(math.abs(MathUtil.logSumExp0(Array(0.0)) - math.log(2.0)) < 1e-12)
+  }
+
+  test("truncExp/truncLog saturation matches Armadillo semantics") {
+    assert(MathUtil.truncExp(1e6) == Double.MaxValue)
+    assert(MathUtil.truncExp(0.0) == 1.0)
+    assert(MathUtil.truncLog(0.0) == MathUtil.LogMin)
+    assert(MathUtil.truncLog(Double.PositiveInfinity) == MathUtil.LogMax)
+    assert(MathUtil.truncLog(math.E) == 1.0)
+  }
+
+  test("family factory") {
+    assert(Family("gaussian") == Gaussian)
+    assert(Family("binomial") == Binomial)
+    assert(Family("poisson") == Poisson)
+    assert(Family("multinomial") == Multinomial)
+    assert(Family("anything-else") == Gaussian)
+  }
+}
