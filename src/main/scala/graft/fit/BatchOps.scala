@@ -1,0 +1,146 @@
+package graft.fit
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.slope._
+
+/** Data-pass interface for the SLOPE solvers.
+  *
+  * The solvers (FISTA / ADMM path driver) are pure driver-side loops; every
+  * touch of the data goes through this interface so the same orchestration
+  * code runs against an in-memory matrix (tests, small problems) and a
+  * Spark-cached RDD (`RddOps`, one `treeAggregate` per call). Column index 0
+  * is the unpenalized intercept column of ones when `intercept` is set
+  * (reference cbind(1, x) at R/owl.R:444-445); features are standardized
+  * on the fly via (x−center)/scale so sparse inputs are never densified
+  * (reference src/standardize.h:42-71 keeps sparse uncentered).
+  */
+trait BatchOps {
+  def n: Long
+
+  /** Total columns including the intercept column when present. */
+  def p: Int
+
+  /** Targets (m−1 classes for multinomial, else 1). */
+  def m: Int
+  def intercept: Boolean
+  def family: Family
+
+  /** Column means of the (preprocessed) response. */
+  def yMeans: Array[Double]
+
+  /** One data pass: (primal loss, Fenchel dual, full gradient p×m) at β. */
+  def lossGrad(beta: DenseMatrix[Double]): (Double, Double, DenseMatrix[Double])
+
+  /** One (lighter) data pass: primal loss at β, for the line search. */
+  def primal(beta: DenseMatrix[Double]): Double
+
+  /** |Xᵀ t(y)| flattened column-major, excluding the intercept row — the
+    * family-specific null-model gradient magnitude used for σ_max
+    * (reference src/lambdaMax.h:8-60).
+    */
+  def lambdaMaxVec(): Array[Double]
+
+  /** View of this data restricted to the given (ascending, full-space)
+    * column indices; index 0 = intercept when present.
+    */
+  def subset(cols: Array[Int]): BatchOps
+
+  /** One data pass: (XᵀX, Xᵀy) over this ops' standardized columns, for the
+    * small-p gaussian ADMM fast path.
+    */
+  def gramXty(): (DenseMatrix[Double], DenseMatrix[Double])
+
+  /** Number of data passes issued so far (shared with subset views). */
+  def dataPasses: Long
+}
+
+/** In-memory implementation over breeze matrices. X must already contain the
+  * intercept column (if any) and be standardized; Y preprocessed
+  * (centered / {−1,+1} / one-hot m−1 / counts).
+  */
+final class LocalOps(
+    xMat: DenseMatrix[Double],
+    yMat: DenseMatrix[Double],
+    val family: Family,
+    val intercept: Boolean,
+    passCounter: java.util.concurrent.atomic.AtomicLong =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+) extends BatchOps {
+
+  def n: Long = xMat.rows.toLong
+  def p: Int = xMat.cols
+  def m: Int = yMat.cols
+  def dataPasses: Long = passCounter.get()
+
+  lazy val yMeans: Array[Double] =
+    Array.tabulate(m)(j => breeze.linalg.sum(yMat(::, j)) / n.toDouble)
+
+  def lossGrad(beta: DenseMatrix[Double]): (Double, Double, DenseMatrix[Double]) = {
+    passCounter.incrementAndGet()
+    val lp = xMat * beta
+    val g = family.pseudoGradient(yMat, lp)
+    (family.primal(yMat, lp), family.dual(yMat, lp), xMat.t * g)
+  }
+
+  def primal(beta: DenseMatrix[Double]): Double = {
+    passCounter.incrementAndGet()
+    family.primal(yMat, xMat * beta)
+  }
+
+  def lambdaMaxVec(): Array[Double] = {
+    passCounter.incrementAndGet()
+    val skip = if (intercept) 1 else 0
+    val t = LambdaMaxTransform(family, yMeans)
+    val pf = p - skip
+    val out = new Array[Double](pf * m)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < pf) {
+        var acc = 0.0
+        var r = 0
+        while (r < xMat.rows) {
+          acc += xMat(r, skip + c) * t(Array.tabulate(m)(k => yMat(r, k)), j)
+          r += 1
+        }
+        out(c + j * pf) = math.abs(acc)
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  def subset(cols: Array[Int]): BatchOps = {
+    val sub = DenseMatrix.zeros[Double](xMat.rows, cols.length)
+    var j = 0
+    while (j < cols.length) { sub(::, j) := xMat(::, cols(j)); j += 1 }
+    new LocalOps(sub, yMat, family, intercept, passCounter)
+  }
+
+  def gramXty(): (DenseMatrix[Double], DenseMatrix[Double]) = {
+    passCounter.incrementAndGet()
+    (xMat.t * xMat, xMat.t * yMat)
+  }
+}
+
+/** The family-specific response transform of `lambdaMax`
+  * (reference src/lambdaMax.h:15-53). Values are per-row; means come from a
+  * prior stats pass. For multinomial the z-scoring by y_std cancels against
+  * the post-multiplication in the reference, leaving plain centering.
+  */
+object LambdaMaxTransform {
+  def apply(family: Family, yMeans: Array[Double]): (Array[Double], Int) => Double =
+    family match {
+      case Binomial =>
+        // y ∈ {−1,+1} → (y+1)/2, centered by its mean
+        val c = (yMeans(0) + 1.0) / 2.0
+        (y, _) => (y(0) + 1.0) / 2.0 - c
+      case Multinomial =>
+        (y, j) => y(j) - yMeans(j)
+      case Poisson =>
+        (y, _) => 1.0 - y(0)
+      case Gaussian =>
+        (y, _) => y(0)
+    }
+}

@@ -1,0 +1,219 @@
+package graft.fit
+
+import breeze.linalg.DenseMatrix
+import org.apache.spark.ml.linalg.{Vectors => MlVectors, Vector => MlVector, VectorUDT}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{NumericType, StructField}
+import org.apache.spark.storage.StorageLevel
+import graft.slope._
+
+/** Column-statistics result of the single standardization pass. */
+final case class StandardizeStats(
+    n: Long,
+    xCenter: Array[Double],
+    xScale: Array[Double],
+    yMeans: Array[Double])
+
+/** The engine's front door: DataFrame → preprocessed, cached RDD → SLOPE
+  * path fit → `SlopeModel`. Re-expresses the reference's `owl()` entry
+  * (R/owl.R:271-448): response preprocessing (R/preProcessResponse.R),
+  * standardization (src/standardize.h), then the C++ path driver — here the
+  * driver loop of `SlopePath` over `RddOps` treeAggregate passes.
+  */
+object SlopeEstimator {
+
+  /** Fit from a DataFrame with numeric feature columns and a label column.
+    * For binomial/multinomial the label may be any orderable column; class
+    * names are its sorted distinct string values (R factor-level order).
+    */
+  def fit(df: DataFrame,
+          featureCols: Seq[String],
+          labelCol: String,
+          cfg: SlopeConfig): SlopeModel = {
+    val family = Family(cfg.family)
+
+    // ---- response encoding (R/preProcessResponse.R) ----
+    val classNames: Array[String] = family match {
+      case Binomial | Multinomial =>
+        val names = df.select(labelCol).distinct()
+          .collect().map(r => String.valueOf(r.get(0))).sorted
+        family match {
+          case Binomial =>
+            require(names.length == 2, s"binomial needs 2 classes, got ${names.length}")
+          case _ =>
+            require(names.length >= 3,
+              s"multinomial needs >= 3 classes, got ${names.length}")
+        }
+        names
+      case _ => Array.empty
+    }
+    val mTargets = family match {
+      case Multinomial => classNames.length - 1
+      case _           => 1
+    }
+
+    val pFeat = featureCols.length
+    val fCols = featureCols.toArray
+    val lCol = labelCol
+    val classIndex = classNames.zipWithIndex.toMap
+
+    val rows: RDD[(Array[Double], MlVector)] = {
+      val localFam = family
+      val mT = mTargets
+      df.select((lCol +: fCols.toSeq).map(org.apache.spark.sql.functions.col): _*)
+        .rdd.map { r =>
+          val y: Array[Double] = localFam match {
+            case Binomial =>
+              // first sorted class → −1, second → +1 (preProcessResponse.R:42)
+              Array(if (classIndex(String.valueOf(r.get(0))) == 0) -1.0 else 1.0)
+            case Multinomial =>
+              val k = classIndex(String.valueOf(r.get(0)))
+              Array.tabulate(mT)(j => if (k == j) 1.0 else 0.0)
+            case _ =>
+              Array(numeric(r, 0))
+          }
+          val x = new Array[Double](fCols.length)
+          var i = 0
+          while (i < fCols.length) { x(i) = numeric(r, i + 1); i += 1 }
+          (y, MlVectors.dense(x))
+        }
+    }
+    fitRdd(rows, family, mTargets, pFeat, featureCols.toArray, classNames, cfg)
+  }
+
+  private def numeric(r: Row, i: Int): Double = r.get(i) match {
+    case null              => throw new IllegalArgumentException("missing values not allowed")
+    case d: java.lang.Number => d.doubleValue()
+    case other             => other.toString.toDouble
+  }
+
+  /** Fit from an already-encoded RDD (labels preprocessed per family). */
+  def fitRdd(rows: RDD[(Array[Double], MlVector)],
+             family: Family,
+             mTargets: Int,
+             pFeat: Int,
+             featureNames: Array[String],
+             classNames: Array[String],
+             cfg: SlopeConfig): SlopeModel = {
+    val persisted = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = standardizeStats(persisted, pFeat, mTargets, cfg.center, cfg.scale)
+      // gaussian centers the response (preProcessResponse.R:10-13)
+      val yCenter: Array[Double] =
+        if (family == Gaussian) stats.yMeans.clone() else Array.fill(mTargets)(0.0)
+      val yScale: Array[Double] = Array.fill(mTargets)(1.0)
+
+      val passCounter = persisted.sparkContext.longAccumulator("graft.slope.dataPasses")
+      val ops = new RddOps(persisted, family, cfg.intercept, stats.n, pFeat, mTargets,
+        if (cfg.center) stats.xCenter else Array.fill(pFeat)(0.0),
+        stats.xScale, yCenter, stats.yMeans,
+        Array.range(0, pFeat + (if (cfg.intercept) 1 else 0)), passCounter)
+
+      val fit = SlopePath.fit(ops, cfg,
+        if (cfg.center) stats.xCenter else Array.fill(pFeat)(0.0),
+        stats.xScale, yCenter, yScale)
+      new SlopeModel(fit, featureNames, classNames)
+    } finally {
+      persisted.unpersist(blocking = false)
+    }
+  }
+
+  /** One pass (two for l1/max with centering) computing feature means and
+    * the requested scale (reference src/standardize.h:8-71 semantics:
+    * scale of the CENTERED column when centering; sd always around the
+    * mean with the n−1 normalizer; zero-variance guard → 1).
+    */
+  def standardizeStats(rows: RDD[(Array[Double], MlVector)],
+                       pFeat: Int,
+                       mTargets: Int,
+                       center: Boolean,
+                       scale: String): StandardizeStats = {
+    // [count, Σy_j (m), Σx_c, Σx_c², Σ|x_c|, max x_c]
+    val sz = 1 + mTargets + pFeat * 3
+    val zero = new Array[Double](sz)
+    var i = 1 + mTargets + pFeat * 2
+    while (i < sz) { zero(i) = Double.NegativeInfinity; i += 1 }
+    val agg = rows.treeAggregate(zero)(
+      seqOp = (buf, row) => {
+        val (y, x) = row
+        buf(0) += 1.0
+        var j = 0
+        while (j < mTargets) { buf(1 + j) += y(j); j += 1 }
+        // dense iteration: zero entries matter for max; sums unaffected
+        var c = 0
+        while (c < pFeat) {
+          val v = x(c)
+          buf(1 + mTargets + c) += v
+          buf(1 + mTargets + pFeat + c) += v * v
+          val mOff = 1 + mTargets + pFeat * 2 + c
+          if (v > buf(mOff)) buf(mOff) = v
+          c += 1
+        }
+        buf
+      },
+      combOp = (a, b) => {
+        a(0) += b(0)
+        var i2 = 1
+        while (i2 < 1 + mTargets + pFeat * 2) { a(i2) += b(i2); i2 += 1 }
+        while (i2 < sz) { a(i2) = math.max(a(i2), b(i2)); i2 += 1 }
+        a
+      },
+      depth = 2)
+
+    val n = agg(0).toLong
+    val nD = n.toDouble
+    val yMeans = Array.tabulate(mTargets)(j => agg(1 + j) / nD)
+    val mean = Array.tabulate(pFeat)(c => agg(1 + mTargets + c) / nD)
+    val xCenter = if (center) mean else Array.fill(pFeat)(0.0)
+
+    def centeredSumSq(c: Int): Double =
+      math.max(agg(1 + mTargets + pFeat + c) - nD * mean(c) * mean(c), 0.0)
+
+    val xScale: Array[Double] = scale match {
+      case "none" => Array.fill(pFeat)(1.0)
+      case "l2" =>
+        Array.tabulate(pFeat) { c =>
+          if (center) math.sqrt(centeredSumSq(c))
+          else math.sqrt(agg(1 + mTargets + pFeat + c))
+        }
+      case "sd" =>
+        // always around the mean, n−1 normalizer (standardize.h:28-31,59-62)
+        Array.tabulate(pFeat)(c => math.sqrt(centeredSumSq(c) / (nD - 1.0)))
+      case "l1" | "max" =>
+        if (!center && scale == "max")
+          Array.tabulate(pFeat)(c => agg(1 + mTargets + pFeat * 2 + c))
+        else {
+          // needs |x−c| or max(x−c): second cheap pass
+          val ctr = xCenter
+          val zero2 = new Array[Double](pFeat * 2)
+          java.util.Arrays.fill(zero2, pFeat, pFeat * 2, Double.NegativeInfinity)
+          val agg2 = rows.treeAggregate(zero2)(
+            seqOp = (buf, row) => {
+              val x = row._2
+              var c = 0
+              while (c < pFeat) {
+                val v = x(c) - ctr(c)
+                buf(c) += math.abs(v)
+                if (v > buf(pFeat + c)) buf(pFeat + c) = v
+                c += 1
+              }
+              buf
+            },
+            combOp = (a, b) => {
+              var c = 0
+              while (c < pFeat) { a(c) += b(c); c += 1 }
+              while (c < pFeat * 2) { a(c) = math.max(a(c), b(c)); c += 1 }
+              a
+            },
+            depth = 2)
+          if (scale == "l1") Array.tabulate(pFeat)(c => agg2(c))
+          else Array.tabulate(pFeat)(c => agg2(pFeat + c))
+        }
+      case other => throw new IllegalArgumentException(s"unknown scale: $other")
+    }
+    // zero-variance guard (standardize.h:33-34)
+    val guarded = xScale.map(s => if (s == 0.0) 1.0 else s)
+    StandardizeStats(n, xCenter, guarded, yMeans)
+  }
+}

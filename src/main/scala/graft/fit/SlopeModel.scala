@@ -1,0 +1,227 @@
+package graft.fit
+
+import breeze.linalg.DenseMatrix
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.slope._
+
+/** Fitted SLOPE path model — the reference's `Owl` S3 object re-expressed
+  * (R/owl.R:471-487). Coefficients for the whole path are driver-resident
+  * (p×m×n_sigma doubles, same assumption the reference makes by returning
+  * the cube to R); prediction is a narrow per-row map over a DataFrame.
+  */
+final class SlopeModel(
+    val fit: SlopeFit,
+    val featureNames: Array[String],
+    val classNames: Array[String]) extends Serializable {
+
+  def family: Family = Family(fit.family)
+  private def m: Int = fit.betas.head.cols
+  private def ic: Int = if (fit.intercept) 1 else 0
+
+  /** Coefficients at the fitted path steps, or linearly interpolated at
+    * requested σ (reference R/coef.R:23-54; exact refit not supported here —
+    * refit explicitly via SlopeEstimator for `exact` semantics).
+    */
+  def coef(sigma: Array[Double] = Array.empty): IndexedSeq[DenseMatrix[Double]] =
+    if (sigma.isEmpty) fit.betas
+    else if (sigma.forall(s => fit.sigma.contains(s)))
+      sigma.toIndexedSeq.map(s => fit.betas(fit.sigma.indexOf(s)))
+    else {
+      val br = Interpolation.interpolatePenalty(fit.sigma, sigma)
+      Interpolation.interpolateCoefficients(fit.betas, br)
+    }
+
+  /** Deviance along the path: (1 − deviance_ratio)·null_deviance
+    * (reference R/deviance.R:13-18).
+    */
+  def deviance: Array[Double] = fit.devianceRatios.map(r => (1.0 - r) * fit.nullDeviance)
+
+  /** Path summary as a DataFrame (reference print.Owl, R/print.R:14-31). */
+  def summary(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    fit.sigma.indices.map { k =>
+      (k, fit.sigma(k), fit.devianceRatios(k), fit.nonzeros(k), fit.nUnique(k),
+        fit.passes(k))
+    }.toDF("step", "sigma", "deviance_ratio", "n_nonzero", "n_unique", "passes")
+  }
+
+  /** Linear predictors for every path step: adds an
+    * `ArrayType(ArrayType(Double))` column `pred` with shape
+    * n_sigma × m (reference predict.Owl, R/predict.R:32-69).
+    */
+  def transform(df: DataFrame, featureCols: Seq[String],
+                outputCol: String = "pred",
+                requestedSigma: Array[Double] = Array.empty,
+                predictType: String = "link"): DataFrame = {
+    val betas = coef(requestedSigma)
+    val fam = family
+    val mT = m
+    val icL = ic
+    val cn = classNames
+    // betas is small (p·m per step) → serialize flat into the closure
+    val betaData: Array[Array[Double]] = betas.map(_.data.clone()).toArray
+    val pRows = betas.head.rows
+
+    val linPred = (xs: Seq[Double]) => {
+      betaData.map { bd =>
+        val out = new Array[Double](mT)
+        var j = 0
+        while (j < mT) {
+          var acc = if (icL == 1) bd(j * pRows) else 0.0
+          var i = 0
+          while (i < pRows - icL) { acc += bd(icL + i + j * pRows) * xs(i); i += 1 }
+          out(j) = acc
+          j += 1
+        }
+        out
+      }
+    }
+
+    val predUdf = predictType match {
+      case "link" =>
+        udf((xs: Seq[Double]) => linPred(xs))
+      case "response" =>
+        fam match {
+          case Gaussian => udf((xs: Seq[Double]) => linPred(xs))
+          case Binomial =>
+            udf((xs: Seq[Double]) => linPred(xs).map(lp => Array(MathUtil.sigmoid(lp(0)))))
+          case Poisson =>
+            udf((xs: Seq[Double]) => linPred(xs).map(lp => Array(math.exp(lp(0)))))
+          case Multinomial =>
+            // softmax over m−1 targets + implicit 0 reference class
+            // (R/predict.R:166-175)
+            udf((xs: Seq[Double]) => linPred(xs).map { lp =>
+              val lse = MathUtil.logSumExp0(lp)
+              val probs = new Array[Double](mT + 1)
+              var j = 0
+              while (j < mT) { probs(j) = math.exp(lp(j) - lse); j += 1 }
+              probs(mT) = math.exp(-lse)
+              probs
+            })
+        }
+      case "class" =>
+        fam match {
+          case Binomial =>
+            // sign threshold at 0 → class_names (R/predict.R:102-115)
+            udf((xs: Seq[Double]) => linPred(xs).map(lp => if (lp(0) > 0) cn(1) else cn(0)))
+          case Multinomial =>
+            udf((xs: Seq[Double]) => linPred(xs).map { lp =>
+              val lse = MathUtil.logSumExp0(lp)
+              var best = mT // reference class
+              var bestP = math.exp(-lse)
+              var j = 0
+              while (j < mT) {
+                val pj = math.exp(lp(j) - lse)
+                if (pj > bestP) { best = j; bestP = pj }
+                j += 1
+              }
+              cn(best)
+            })
+          case other =>
+            throw new IllegalArgumentException(s"type=class unsupported for ${other.name}")
+        }
+      case other => throw new IllegalArgumentException(s"unknown predict type: $other")
+    }
+
+    val xsCol = array(featureCols.map(c => col(c).cast("double")): _*)
+    df.withColumn(outputCol, predUdf(xsCol))
+  }
+
+  /** Per-path-step scores on a labeled DataFrame
+    * (reference R/score.R:29-135): distributed aggregations, one job.
+    * Measures: mse, mae (gaussian/poisson response scale); binomial adds
+    * deviance, misclass, auc.
+    */
+  def score(df: DataFrame, featureCols: Seq[String], labelCol: String,
+            measure: String): Array[Double] = {
+    val nSteps = coef().length
+    val fam = family
+    measure match {
+      case "auc" =>
+        require(fam == Binomial, "auc is binomial-only")
+        (0 until nSteps).map(k => aucAtStep(df, featureCols, labelCol, k)).toArray
+      case _ =>
+        val scored = transform(df, featureCols, "p_resp",
+          predictType = if (fam == Gaussian || fam == Poisson) "link" else "response")
+        val respCol = if (fam == Poisson) // poisson response = exp(link)
+          expr("transform(p_resp, a -> array(exp(a[0])))")
+        else col("p_resp")
+        val withResp = scored.withColumn("p_resp2", respCol)
+        val aggExprs = (0 until nSteps).map { k =>
+          val err = measureExpr(fam, measure, k, labelCol)
+          avg(err).as(s"s$k")
+        }
+        val row = withResp.agg(aggExprs.head, aggExprs.tail: _*).head()
+        (0 until nSteps).map(k => row.getDouble(k)).toArray
+    }
+  }
+
+  private def measureExpr(fam: Family, measure: String, k: Int, labelCol: String) = {
+    val pred = expr(s"p_resp2[$k][0]")
+    fam match {
+      case Binomial =>
+        // y one-hot over sorted classes; prob is P(class 2) (R/score.R:45-78)
+        val y2 = (col(labelCol).cast("string") === classNames(1)).cast("double")
+        val y1 = lit(1.0) - y2
+        measure match {
+          case "mse" => pow(pred + y1 - 1.0, 2.0) + pow(pred - y2, 2.0)
+          case "mae" => abs(pred + y1 - 1.0) + abs(pred - y2)
+          case "deviance" =>
+            val pc = least(greatest(pred, lit(1e-5)), lit(1.0 - 1e-5))
+            lit(-2.0) * (y1 * log(lit(1.0) - pc) + y2 * log(pc))
+          case "misclass" =>
+            y1 * (pred > 0.5).cast("double") + y2 * (pred <= 0.5).cast("double")
+          case other => throw new IllegalArgumentException(s"measure $other")
+        }
+      case _ =>
+        val err = pred - col(labelCol).cast("double")
+        measure match {
+          case "mse" => pow(err, 2.0)
+          case "mae" => abs(err)
+          case other => throw new IllegalArgumentException(s"measure $other")
+        }
+    }
+  }
+
+  /** Wilcoxon rank-statistic AUC, distributed: global rank of the scores via
+    * a window, then one aggregation (reference R/score.R:137-150; ties get
+    * average ranks from the sort — deterministic, unlike the reference's
+    * randomized weighted variant, a documented deviation).
+    */
+  private def aucAtStep(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                        k: Int): Double = {
+    val scored = transform(df, featureCols, "p_resp", predictType = "response")
+      .select(expr(s"p_resp[$k][0]").as("prob"),
+        (col(labelCol).cast("string") === classNames(1)).cast("double").as("y"))
+    Auc.compute(scored, "prob", "y")
+  }
+}
+
+/** Distributed AUC via average ranks (the `rank(prob)` of R/score.R:148): a
+  * sort-free formulation using window-less aggregation would need a
+  * crossJoin; instead rank with one global sort window, which Spark executes
+  * as a range-partitioned sort — the only data-scale sort in the engine
+  * (SURVEY.md §2.5).
+  */
+object Auc {
+  def compute(df: DataFrame, probCol: String, labelCol: String): Double = {
+    import org.apache.spark.sql.expressions.Window
+    // average rank of ties = mean of row_numbers within equal prob values
+    val w = Window.orderBy(col(probCol))
+    val ranked = df
+      .withColumn("rn", row_number().over(w).cast("double"))
+      .groupBy(col(probCol)).agg(avg(col("rn")).as("avg_rank"),
+        sum(col(labelCol)).as("n1_in"), count(lit(1)).as("cnt"))
+    val row = ranked.agg(
+      sum(col("avg_rank") * col("n1_in")).as("rank_sum"),
+      sum(col("n1_in")).as("n1"),
+      sum(col("cnt")).as("n")).head()
+    val rankSum = row.getDouble(0)
+    val n1 = row.getDouble(1)
+    val n0 = row.getLong(2).toDouble - n1
+    val u = rankSum - n1 * (n1 + 1.0) / 2.0
+    math.exp(math.log(u) - math.log(n1) - math.log(n0))
+  }
+}

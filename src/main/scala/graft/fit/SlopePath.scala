@@ -1,0 +1,325 @@
+package graft.fit
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.slope._
+
+/** User-facing fit configuration; defaults mirror the reference's
+  * (R/owl.R:271-291). Negative sentinel = "auto" (resolved against n/p).
+  */
+final case class SlopeConfig(
+    family: String = "gaussian",
+    intercept: Boolean = true,
+    center: Boolean = true,
+    scale: String = "l2",
+    nSigma: Int = 100,
+    sigma: Array[Double] = Array.empty, // user σ grid (disables early stop)
+    lambdaType: String = "gaussian",
+    userLambda: Array[Double] = Array.empty,
+    lambdaMinRatio: Double = -1.0, // auto: 1e-2 if n<p else 1e-4
+    q: Double = -1.0, // auto: 0.1·min(1, n/p)
+    screening: Boolean = true,
+    tolDevChange: Double = 1e-5,
+    tolDevRatio: Double = 0.995,
+    maxVariables: Long = -1L, // auto: n·m
+    solver: SolverConfig = SolverConfig(),
+    diagnostics: Boolean = false,
+    /** Widest active set for which the gaussian ADMM/Gram fast path is used;
+      * beyond this, FISTA (no p×p driver matrix). Ours, not the reference's:
+      * the reference always builds the Gram for gaussian, which cannot work
+      * at 100 TB-scale p.
+      */
+    maxGramCols: Int = 2048)
+
+/** Full-path fit output (standardized-scale coefficients are already
+  * back-transformed; reference src/rescale.h:8-31 applied).
+  */
+final case class SlopeFit(
+    betas: IndexedSeq[DenseMatrix[Double]], // (p+intercept)×m per kept σ
+    sigma: Array[Double],
+    lambda: Array[Double], // divided by n, as returned to R (owl.cpp:380)
+    nullDeviance: Double,
+    deviances: Array[Double],
+    devianceRatios: Array[Double],
+    passes: Array[Int],
+    activeSets: IndexedSeq[Array[Int]],
+    nUnique: Array[Int],
+    violations: IndexedSeq[Array[Int]],
+    family: String,
+    intercept: Boolean,
+    dataPasses: Long) {
+  def nonzeros(k: Int): Int = {
+    val b = betas(k)
+    val skip = if (intercept) 1 else 0
+    (skip until b.rows).count(i => (0 until b.cols).exists(j => b(i, j) != 0.0))
+  }
+}
+
+/** The path driver — the Spark-side re-expression of the reference's
+  * `owlCpp` orchestration (reference src/owl.cpp:14-396): penalty-path
+  * construction, per-σ {strong-rule screen → solve on the working set →
+  * KKT check/repair}, warm starts, and early termination. All state here is
+  * driver-local (β, active sets, λ/σ); the data is only touched through
+  * `BatchOps` passes.
+  */
+object SlopePath {
+
+  def fit(ops: BatchOps,
+          cfg: SlopeConfig,
+          xCenter: Array[Double],
+          xScale: Array[Double],
+          yCenter: Array[Double],
+          yScale: Array[Double]): SlopeFit = {
+    val family = ops.family
+    val n = ops.n
+    val p = ops.p // incl. intercept col
+    val m = ops.m
+    val ic = if (cfg.intercept) 1 else 0
+    val pFeat = p - ic
+
+    // ---- resolved defaults (R/owl.R:279-282) ----
+    val q = if (cfg.q > 0) cfg.q else 0.1 * math.min(1.0, n.toDouble / pFeat)
+    val lambdaMinRatio =
+      if (cfg.lambdaMinRatio > 0) cfg.lambdaMinRatio
+      else if (n < pFeat) 1e-2 else 1e-4
+    val userSigma = cfg.sigma.nonEmpty
+    // user-supplied σ disables early path termination (R/owl.R:386-390)
+    val tolDevChange = if (userSigma) 0.0 else cfg.tolDevChange
+    val tolDevRatio = if (userSigma) 1.0 else cfg.tolDevRatio
+    val maxVariables =
+      if (userSigma) (pFeat + ic).toLong * m
+      else if (cfg.maxVariables > 0) cfg.maxVariables
+      else n * m
+
+    // ---- λ sequence and σ grid (src/regularizationPath.h:9-72) ----
+    val nLambda = pFeat * m
+    val lambda = LambdaSequence.build(cfg.lambdaType, nLambda, q, n, cfg.userLambda)
+    val gradMax = ops.lambdaMaxVec() // one data pass
+    val sigmaMax = LambdaSequence.sigmaMax(gradMax, lambda)
+    val sigma: Array[Double] =
+      if (userSigma) cfg.sigma.clone()
+      else LambdaSequence.sigmaGrid(sigmaMax, lambdaMinRatio, cfg.nSigma)
+    val nSigma = sigma.length
+
+    // ---- null deviance at β = 0 (src/owl.cpp:94-96) ----
+    val nullDeviance = 2.0 * ops.primal(DenseMatrix.zeros[Double](p, m))
+
+    // ---- path state ----
+    var beta = DenseMatrix.zeros[Double](p, m)
+    var betaPrev = DenseMatrix.zeros[Double](p, m)
+    var screening = cfg.screening
+    var everActive: Array[Int] = if (cfg.intercept) Array(0) else Array.empty
+    var activeSet: Array[Int] = Array.range(0, p)
+    var strongSet: Array[Int] = Array.empty
+    var lastFullGradient: Option[DenseMatrix[Double]] = None
+
+    // gaussian ADMM state (src/owl.cpp:122-140)
+    val z = DenseVector.zeros[Double](p)
+    val u = DenseVector.zeros[Double](p)
+    var fullFactor: Option[AdmmGaussian.Factor] = None
+
+    val betas = IndexedSeq.newBuilder[DenseMatrix[Double]]
+    val activeSets = IndexedSeq.newBuilder[Array[Int]]
+    val violationsOut = IndexedSeq.newBuilder[Array[Int]]
+    val devs = Array.newBuilder[Double]
+    val devRatios = Array.newBuilder[Double]
+    val passesOut = Array.newBuilder[Int]
+    val nUniqueOut = Array.newBuilder[Int]
+
+    val deviancesSeen = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var k = 0
+    var kept = 0
+    var stop = false
+
+    def useAdmm(cols: Int): Boolean =
+      family == Gaussian && cols <= n && cols <= cfg.maxGramCols
+
+    while (k < nSigma && !stop) {
+      val lamK = lambda.map(_ * sigma(k))
+      val violations = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+      if (screening) {
+        // strong set from the gradient at β_prev (src/owl.cpp:150-161).
+        // The final KKT pass of the previous step evaluated exactly this
+        // gradient, so reuse it instead of spending another data pass.
+        val gradPrev = lastFullGradient.getOrElse(ops.lossGrad(betaPrev)._3)
+        val sigmaPrev = if (k == 0) sigmaMax else sigma(k - 1)
+        strongSet = Screening.strongSet(
+          gradPrev, lamK, lambda.map(_ * sigmaPrev), cfg.intercept)
+
+        // working set = ever-active ∪ previously-nonzero (src/owl.cpp:163-168)
+        val prevActive = (0 until p).filter(i =>
+          (0 until m).exists(j => betaPrev(i, j) != 0.0)).toArray
+        everActive = Sets.union(everActive, prevActive)
+        activeSet = everActive
+      }
+
+      var res: SolveResult = null
+
+      if (activeSet.length == p / m || !screening) {
+        // all features active → stop screening for good (src/owl.cpp:171-215)
+        screening = false
+        activeSet = Array.range(0, p)
+        if (useAdmm(p)) {
+          if (fullFactor.isEmpty) fullFactor = Some(AdmmGaussian.factorize(ops))
+          res = AdmmGaussian.fit(ops, fullFactor.get, z, u, lamK, cfg.solver)
+          beta = res.beta.copy
+        } else {
+          res = Fista.fit(ops, beta, lamK, cfg.solver)
+          beta = res.beta.copy
+        }
+        lastFullGradient = None
+      } else {
+        // subset solve + KKT repair loop (src/owl.cpp:218-311)
+        var kktViolation = true
+        while (kktViolation) {
+          if (activeSet.isEmpty) {
+            beta = DenseMatrix.zeros[Double](p, m)
+            res = SolveResult(DenseMatrix.zeros[Double](0, m), 0, Nil, Nil, Nil,
+              deviance = 2.0 * ops.primal(beta))
+          } else {
+            val subOps = ops.subset(activeSet)
+            val nActive = (activeSet.length - ic) * m
+            val lamSub = lamK.take(nActive)
+            val betaSub = DenseMatrix.tabulate[Double](activeSet.length, m)(
+              (r, j) => beta(activeSet(r), j))
+
+            val subRes =
+              if (useAdmm(activeSet.length)) {
+                val factor = AdmmGaussian.factorize(subOps)
+                val zSub = DenseVector.tabulate(activeSet.length)(r => z(activeSet(r)))
+                val uSub = DenseVector.tabulate(activeSet.length)(r => u(activeSet(r)))
+                val r0 = AdmmGaussian.fit(subOps, factor, zSub, uSub, lamSub, cfg.solver)
+                var r = 0
+                while (r < activeSet.length) {
+                  z(activeSet(r)) = zSub(r); u(activeSet(r)) = uSub(r); r += 1
+                }
+                r0
+              } else {
+                Fista.fit(subOps, betaSub, lamSub, cfg.solver)
+              }
+
+            var r = 0
+            while (r < activeSet.length) {
+              var j = 0
+              while (j < m) { beta(activeSet(r), j) = subRes.beta(r, j); j += 1 }
+              r += 1
+            }
+            // clear rows that left the active set implicitly stay as-is:
+            // the reference only writes beta.rows(active_set); rows outside
+            // the working set keep their previous (zero) values.
+            res = subRes
+          }
+
+          // full-space gradient for the KKT check (one data pass)
+          val grad = ops.lossGrad(beta)._3
+          lastFullGradient = Some(grad)
+          val possibleFailures =
+            Screening.kktCheck(grad, beta, lamK, cfg.solver.tolInfeas, cfg.intercept)
+          val strongFailures = Sets.intersect(possibleFailures, strongSet)
+          var checkFailures = Sets.diff(strongFailures, activeSet)
+          kktViolation = checkFailures.nonEmpty
+          violations += checkFailures.length
+          if (!kktViolation) {
+            checkFailures = Sets.diff(possibleFailures, activeSet)
+            kktViolation = checkFailures.nonEmpty
+            violations += checkFailures.length
+          }
+          activeSet = Sets.union(checkFailures, activeSet)
+        }
+      }
+
+      // record step (src/owl.cpp:313-348)
+      val deviance = res.deviance
+      val devianceRatio = 1.0 - deviance / nullDeviance
+      val devianceChange =
+        if (deviancesSeen.nonEmpty)
+          math.abs((deviancesSeen.last - deviance) / deviancesSeen.last)
+        else 0.0
+      deviancesSeen += deviance
+
+      val nUnique = {
+        val nz = scala.collection.mutable.HashSet.empty[Double]
+        var i = 0
+        while (i < p) {
+          var j = 0
+          while (j < m) {
+            if (beta(i, j) != 0.0) nz += math.abs(beta(i, j)); j += 1
+          }
+          i += 1
+        }
+        nz.size
+      }
+      val nCoefs = (0 until p).count(i => (0 until m).exists(j => beta(i, j) != 0.0))
+
+      // max_variables exceeded → drop this step and stop (src/owl.cpp:356-357)
+      if (nUnique > maxVariables) {
+        stop = true
+      } else {
+        betas += beta.copy
+        betaPrev = beta.copy
+        activeSets += activeSet
+        violationsOut += violations.toArray
+        devs += deviance
+        devRatios += devianceRatio
+        passesOut += res.passes
+        nUniqueOut += nUnique
+        kept += 1
+
+        // early stop on deviance plateau (src/owl.cpp:350-355)
+        if (nCoefs > 0 && k > 0 &&
+            (devianceChange < tolDevChange || devianceRatio > tolDevRatio))
+          stop = true
+      }
+      k += 1
+    }
+
+    // back-transform to original scale (src/rescale.h:8-31)
+    val rescaled = betas.result().map(b =>
+      Rescale(b, xCenter, xScale, yCenter, yScale, cfg.intercept))
+
+    SlopeFit(
+      betas = rescaled,
+      sigma = sigma.take(kept),
+      lambda = lambda.map(_ / n), // standardized back (src/owl.cpp:380)
+      nullDeviance = nullDeviance,
+      deviances = devs.result(),
+      devianceRatios = devRatios.result(),
+      passes = passesOut.result(),
+      activeSets = activeSets.result(),
+      nUnique = nUniqueOut.result(),
+      violations = violationsOut.result(),
+      family = family.name,
+      intercept = cfg.intercept,
+      dataPasses = ops.dataPasses)
+  }
+}
+
+/** Coefficient back-transform from standardized to original scale
+  * (reference src/rescale.h:8-31): β_j ← β_j·y_scale/x_scale_j; the
+  * intercept absorbs y_center − Σ x̄_j·β_j.
+  */
+object Rescale {
+  def apply(betaStd: DenseMatrix[Double],
+            xCenter: Array[Double],
+            xScale: Array[Double],
+            yCenter: Array[Double],
+            yScale: Array[Double],
+            intercept: Boolean): DenseMatrix[Double] = {
+    val b = betaStd.copy
+    val ic = if (intercept) 1 else 0
+    var jT = 0
+    while (jT < b.cols) {
+      var acc = 0.0
+      var j = ic
+      while (j < b.rows) {
+        b(j, jT) = b(j, jT) * yScale(jT) / xScale(j - ic)
+        acc += xCenter(j - ic) * b(j, jT)
+        j += 1
+      }
+      if (intercept)
+        b(0, jT) = b(0, jT) * yScale(jT) + yCenter(jT) - acc
+      jT += 1
+    }
+    b
+  }
+}

@@ -1,0 +1,186 @@
+package graft.fit
+
+import breeze.linalg.{DenseMatrix, inv}
+import org.apache.spark.ml.linalg.{Vectors => MlVectors}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.slope._
+
+/** Distributed-vs-local equivalence: every RddOps pass must agree with
+  * LocalOps on the same data (the treeAggregate path is the one that runs at
+  * 100 TB; LocalOps is the oracle), plus end-to-end DataFrame fits and the
+  * reference's sparse ≡ dense invariant (test-sparsity.R:1-23).
+  */
+class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def mkRdd(x: DenseMatrix[Double], y: DenseMatrix[Double]) = {
+    val rows = (0 until x.rows).map { i =>
+      (Array.tabulate(y.cols)(j => y(i, j)),
+        MlVectors.dense(Array.tabulate(x.cols)(j => x(i, j))))
+    }
+    spark.sparkContext.parallelize(rows, 3)
+  }
+
+  private def mkOps(x: DenseMatrix[Double], y: DenseMatrix[Double], fam: Family,
+                    intercept: Boolean, center: Boolean, scale: String)
+    : (RddOps, LocalOps) = {
+    val rdd = mkRdd(x, y)
+    val stats = SlopeEstimator.standardizeStats(rdd, x.cols, y.cols, center, scale)
+    val acc = spark.sparkContext.longAccumulator("test")
+    val ic = if (intercept) 1 else 0
+    val rddOps = new RddOps(rdd, fam, intercept, stats.n, x.cols, y.cols,
+      if (center) stats.xCenter else Array.fill(x.cols)(0.0), stats.xScale,
+      Array.fill(y.cols)(0.0), stats.yMeans,
+      Array.range(0, x.cols + ic), acc)
+    val (xs, _, _) = RandomProblem.standardizeLocal(x, intercept, center, scale)
+    (rddOps, new LocalOps(xs, y, fam, intercept))
+  }
+
+  test("RddOps lossGrad / primal / lambdaMax / gram match LocalOps (dense, centered)") {
+    for (fam <- Seq(Gaussian, Binomial)) {
+      val prob = RandomProblem(n = 120, p = 7, family = fam, seed = 3L)
+      val (rddOps, localOps) = mkOps(prob.x, prob.y, fam, intercept = true,
+        center = true, scale = "l2")
+      val rng = new scala.util.Random(9)
+      val beta = DenseMatrix.tabulate[Double](8, 1)((_, _) => rng.nextGaussian() * 0.3)
+
+      val (p1, d1, g1) = rddOps.lossGrad(beta)
+      val (p2, d2, g2) = localOps.lossGrad(beta)
+      assert(math.abs(p1 - p2) < 1e-8 * math.max(1, math.abs(p2)), s"$fam primal")
+      assert(math.abs(d1 - d2) < 1e-6 * math.max(1, math.abs(d2)), s"$fam dual")
+      for (i <- 0 until 8)
+        assert(math.abs(g1(i, 0) - g2(i, 0)) < 1e-8 * math.max(1, math.abs(g2(i, 0))))
+
+      assert(math.abs(rddOps.primal(beta) - localOps.primal(beta)) < 1e-8)
+
+      val lm1 = rddOps.lambdaMaxVec()
+      val lm2 = localOps.lambdaMaxVec()
+      for (i <- lm1.indices)
+        assert(math.abs(lm1(i) - lm2(i)) < 1e-8 * math.max(1, lm2(i)), s"$fam lambdaMax $i")
+
+      val (gram1, xty1) = rddOps.gramXty()
+      val (gram2, xty2) = localOps.gramXty()
+      for (i <- 0 until 8; j <- 0 until 8)
+        assert(math.abs(gram1(i, j) - gram2(i, j)) < 1e-7 * math.max(1, math.abs(gram2(i, j))))
+      for (i <- 0 until 8)
+        assert(math.abs(xty1(i, 0) - xty2(i, 0)) < 1e-7 * math.max(1, math.abs(xty2(i, 0))))
+    }
+  }
+
+  test("RddOps subset view matches LocalOps subset") {
+    val prob = RandomProblem(n = 80, p = 6, family = Gaussian, seed = 23L)
+    val (rddOps, localOps) = mkOps(prob.x, prob.y, Gaussian, intercept = true,
+      center = true, scale = "l2")
+    val cols = Array(0, 2, 5) // intercept + features 1 and 4
+    val subR = rddOps.subset(cols)
+    val subL = localOps.subset(cols)
+    val beta = DenseMatrix.tabulate[Double](3, 1)((i, _) => 0.1 * (i + 1))
+    val (p1, _, g1) = subR.lossGrad(beta)
+    val (p2, _, g2) = subL.lossGrad(beta)
+    assert(math.abs(p1 - p2) < 1e-8)
+    for (i <- 0 until 3) assert(math.abs(g1(i, 0) - g2(i, 0)) < 1e-8)
+  }
+
+  test("end-to-end DataFrame gaussian fit matches OLS at sigma→0 and local path everywhere") {
+    val prob = RandomProblem(n = 150, p = 5, family = Gaussian, seed = 77L)
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 150).map { i =>
+      org.apache.spark.sql.Row.fromSeq(
+        prob.y(i, 0) +: (0 until 5).map(j => prob.x(i, j)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      ("label" +: (0 until 5).map(j => s"f$j")).map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+
+    val model = SlopeEstimator.fit(df, (0 until 5).map(j => s"f$j"), "label",
+      SlopeConfig(sigma = Array(1e-9)))
+    val xi = DenseMatrix.horzcat(DenseMatrix.ones[Double](150, 1), prob.x)
+    val ols = inv(xi.t * xi) * (xi.t * prob.y(::, 0))
+    val beta = model.fit.betas.head
+    for (j <- 0 until 6)
+      assert(math.abs(beta(j, 0) - ols(j)) < 1e-3, s"coef $j: ${beta(j, 0)} vs ${ols(j)}")
+
+    // full default path: distributed ≡ local
+    val modelPath = SlopeEstimator.fit(df, (0 until 5).map(j => s"f$j"), "label",
+      SlopeConfig(nSigma = 15))
+    val (xs, ctr, scl) = RandomProblem.standardizeLocal(prob.x, intercept = true,
+      center = true, scale = "l2")
+    val yBar = breeze.linalg.sum(prob.y(::, 0)) / 150.0
+    val yc = prob.y.copy; for (i <- 0 until 150) yc(i, 0) -= yBar
+    val localFit = SlopePath.fit(new LocalOps(xs, yc, Gaussian, true),
+      SlopeConfig(nSigma = 15), ctr, scl, Array(yBar), Array(1.0))
+    assert(modelPath.fit.betas.length == localFit.betas.length)
+    for (k <- modelPath.fit.betas.indices; j <- 0 until 6) {
+      val d = math.abs(modelPath.fit.betas(k)(j, 0) - localFit.betas(k)(j, 0))
+      assert(d < 1e-6, s"step $k coef $j differs by $d")
+    }
+  }
+
+  test("sparse == dense (reference test-sparsity.R:1-23): SparseVector rows give the same fit") {
+    val prob = RandomProblem(n = 100, p = 8, density = 0.5, family = Gaussian, seed = 99L)
+    val denseRdd = mkRdd(prob.x, prob.y)
+    val sparseRdd = denseRdd.map { case (y, v) =>
+      (y, MlVectors.dense(v.toArray).toSparse: org.apache.spark.ml.linalg.Vector)
+    }
+    // sparse inputs keep center=false (R/owl.R:276,359-360)
+    val cfg = SlopeConfig(nSigma = 10, center = false)
+    val mD = SlopeEstimator.fitRdd(denseRdd, Gaussian, 1, 8,
+      Array.tabulate(8)(i => s"f$i"), Array.empty, cfg)
+    val mS = SlopeEstimator.fitRdd(sparseRdd, Gaussian, 1, 8,
+      Array.tabulate(8)(i => s"f$i"), Array.empty, cfg)
+    assert(mD.fit.betas.length == mS.fit.betas.length)
+    for (k <- mD.fit.betas.indices; j <- 0 until 9) {
+      val d = math.abs(mD.fit.betas(k)(j, 0) - mS.fit.betas(k)(j, 0))
+      assert(d < 1e-9, s"step $k coef $j differs by $d")
+    }
+  }
+
+  test("binomial end-to-end with string labels, predict and score") {
+    val prob = RandomProblem(n = 200, p = 4, family = Binomial, amplitude = 1.5, seed = 55L)
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 200).map { i =>
+      org.apache.spark.sql.Row.fromSeq(
+        prob.rawLabels(i) +: (0 until 4).map(j => prob.x(i, j)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType) +:
+        (0 until 4).map(j => org.apache.spark.sql.types.StructField(s"f$j",
+          org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+
+    val model = SlopeEstimator.fit(df, (0 until 4).map(j => s"f$j"), "label",
+      SlopeConfig(family = "binomial", nSigma = 10))
+    assert(model.classNames.sameElements(Array("a", "b")))
+
+    val preds = model.transform(df, (0 until 4).map(j => s"f$j"), predictType = "class")
+    val classes = preds.select("pred").head().getSeq[String](0)
+    assert(classes.forall(c => c == "a" || c == "b"))
+
+    // misclass at the densest path step should beat the null rate
+    val mis = model.score(df, (0 until 4).map(j => s"f$j"), "label", "misclass")
+    val nullRate = math.min(
+      prob.rawLabels.count(_ == "a"), prob.rawLabels.count(_ == "b")) / 200.0
+    assert(mis.last <= nullRate + 0.05, s"misclass ${mis.last} vs null $nullRate")
+
+    // AUC at the densest step should be well above 0.5 and ≤ 1
+    val auc = model.score(df, (0 until 4).map(j => s"f$j"), "label", "auc")
+    assert(auc.last > 0.7 && auc.last <= 1.0, s"auc ${auc.last}")
+  }
+}
