@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.util.{Det, Tables}
+import graft.fit._
+
+/** The SLOPE engine's distributed primitives, exposed as hash-checkable
+  * queries: standardization statistics (F3/F4), the gaussian lambdaMax
+  * gradient (F7), fixed-coefficient scoring (M10) and the Wilcoxon AUC rank
+  * statistic (M12) are all ANSI-SQL-expressible, so they get exact DuckDB
+  * oracles (decimal-sum recipe from `Det`). The path fits themselves
+  * (F1/F9/F10) are iterative optimization — registered rows-only.
+  *
+  * Scale notes: every oracled query here is a single scan + one/two-level
+  * aggregation (no joins, no driver loops); the stacked layout shuffles
+  * p·n rows only for the per-feature stats — at 1000 executors this is the
+  * canonical map-side-combine pattern.
+  */
+object MlQueries {
+
+  private val features = Seq("l_quantity", "l_discount", "l_tax")
+  private val label = "l_extendedprice"
+
+  private def li(s: SparkSession, dir: String): DataFrame = Tables.t(s, dir, "lineitem")
+
+  /** Stacked (feature, x, y) rows: one scan, used by stats and lambdaMax. */
+  private def stacked(s: SparkSession, dir: String): DataFrame = {
+    val stackExpr = features.map(f => s"'$f', $f").mkString(s"stack(${features.length}, ", ", ", ")")
+    li(s, dir).selectExpr(s"$stackExpr as (feature, x)", s"$label as y")
+  }
+
+  private val stackedSql =
+    features.map(f => s"SELECT '$f' AS feature, $f AS x, $label AS y FROM lineitem")
+      .mkString(" UNION ALL ")
+
+  /** F3: per-feature mean / centered-L2 / sd — the standardization pass. */
+  val standardizeStats: Q = Q.sql(
+    "m_standardize_stats",
+    s"""WITH f AS ($stackedSql),
+       |agg AS (
+       |  SELECT feature,
+       |         count(*) AS n,
+       |         (sum(x::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE AS mean,
+       |         (sum((x*x)::DECIMAL(30,6)))::DOUBLE AS sumsq
+       |  FROM f GROUP BY feature)
+       |SELECT feature,
+       |       mean,
+       |       sqrt(sumsq - n*mean*mean) AS l2_centered,
+       |       sqrt((sumsq - n*mean*mean)/(n - 1)) AS sd
+       |FROM agg ORDER BY feature""".stripMargin) { (s, dir) =>
+    stacked(s, dir)
+      .groupBy("feature")
+      .agg(count(lit(1)).as("n"), Det.davg(col("x")).as("mean"),
+        Det.dsum(col("x") * col("x"), 6).as("sumsq"))
+      .select(col("feature"), col("mean"),
+        sqrt(col("sumsq") - col("n") * col("mean") * col("mean")).as("l2_centered"),
+        sqrt((col("sumsq") - col("n") * col("mean") * col("mean")) / (col("n") - lit(1)))
+          .as("sd"))
+      .orderBy("feature")
+  }
+
+  /** F7: gaussian lambdaMax |Xsᵀ yc| per feature over standardized X and
+    * centered y — |Σ x·y − n·x̄·ȳ| / ‖x−x̄‖₂, one scan.
+    */
+  val lambdaMaxGaussian: Q = Q.sql(
+    "m_lambda_max_gaussian",
+    s"""WITH f AS ($stackedSql),
+       |agg AS (
+       |  SELECT feature,
+       |         count(*) AS n,
+       |         (sum(x::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE AS xm,
+       |         (sum(y::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE AS ym,
+       |         (sum((x*x)::DECIMAL(30,6)))::DOUBLE AS sxx,
+       |         (sum((x*y)::DECIMAL(30,6)))::DOUBLE AS sxy
+       |  FROM f GROUP BY feature)
+       |SELECT feature,
+       |       abs((sxy - n*xm*ym)/sqrt(sxx - n*xm*xm)) AS lambda_max
+       |FROM agg ORDER BY feature""".stripMargin) { (s, dir) =>
+    stacked(s, dir)
+      .groupBy("feature")
+      .agg(count(lit(1)).as("n"), Det.davg(col("x")).as("xm"), Det.davg(col("y")).as("ym"),
+        Det.dsum(col("x") * col("x"), 6).as("sxx"),
+        Det.dsum(col("x") * col("y"), 6).as("sxy"))
+      .select(col("feature"),
+        abs((col("sxy") - col("n") * col("xm") * col("ym")) /
+          sqrt(col("sxx") - col("n") * col("xm") * col("xm"))).as("lambda_max"))
+      .orderBy("feature")
+  }
+
+  /** M10: mse/mae of a FIXED coefficient vector (scoring a known model is
+    * pure SQL; the β here is arbitrary but shared with the oracle).
+    */
+  val scoreFixedBeta: Q = {
+    val (b0, b1, b2, b3) = (1000.0, 25.0, -2000.0, 1500.0)
+    Q.sql(
+      "m_score_fixed_beta",
+      s"""WITH e AS (
+         |  SELECT ($b0 + $b1*l_quantity + $b2*l_discount + $b3*l_tax) - l_extendedprice AS err
+         |  FROM lineitem)
+         |SELECT (sum((err*err)::DECIMAL(30,3)))::DOUBLE / count(*)::DOUBLE AS mse,
+         |       (sum(abs(err)::DECIMAL(30,6)))::DOUBLE / count(*)::DOUBLE AS mae
+         |FROM e""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .select(((lit(b0) + lit(b1) * col("l_quantity") + lit(b2) * col("l_discount")
+          + lit(b3) * col("l_tax")) - col("l_extendedprice")).as("err"))
+        .agg(
+          (Det.dsum(col("err") * col("err"), 3) / count(lit(1)).cast("double")).as("mse"),
+          (Det.dsum(abs(col("err")), 6) / count(lit(1)).cast("double")).as("mae"))
+    }
+  }
+
+  /** M12: Wilcoxon rank-statistic AUC of a fixed score (o_totalprice) for a
+    * binary label (orderstatus = 'F'), via average ranks — the engine's only
+    * data-scale sort, executed as a range-partitioned window.
+    * Integer rank sums keep every intermediate exact.
+    */
+  val aucFixedScore: Q = Q.sql(
+    "m_auc_fixed_score",
+    """WITH s AS (
+      |  SELECT o_totalprice AS prob,
+      |         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM orders),
+      |r AS (SELECT prob, y, row_number() OVER (ORDER BY prob) AS rn FROM s),
+      |g AS (SELECT prob,
+      |             sum(rn)::DOUBLE / count(*)::DOUBLE AS avg_rank,
+      |             sum(y) AS n1_in, count(*) AS cnt
+      |      FROM r GROUP BY prob),
+      |a AS (SELECT (sum((avg_rank*n1_in)::DECIMAL(30,6)))::DOUBLE AS rank_sum,
+      |             (sum(n1_in::DECIMAL(30,6)))::DOUBLE AS n1,
+      |             sum(cnt) AS n
+      |      FROM g)
+      |SELECT exp(ln(rank_sum - n1*(n1 + 1)/2) - ln(n1) - ln(n::DOUBLE - n1)) AS auc
+      |FROM a""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.t(s, dir, "orders").select(
+      col("o_totalprice").as("prob"),
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+    val ranked = base.withColumn("rn", row_number().over(Window.orderBy(col("prob"))))
+    val g = ranked.groupBy("prob").agg(
+      (sum(col("rn")).cast("double") / count(lit(1)).cast("double")).as("avg_rank"),
+      sum(col("y")).as("n1_in"), count(lit(1)).as("cnt"))
+    val a = g.agg(
+      Det.dsum(col("avg_rank") * col("n1_in"), 6).as("rank_sum"),
+      Det.dsum(col("n1_in"), 6).as("n1"),
+      sum(col("cnt")).as("n"))
+    a.select(exp(log(col("rank_sum") - col("n1") * (col("n1") + lit(1)) / lit(2))
+      - log(col("n1")) - log(col("n").cast("double") - col("n1"))).as("auc"))
+  }
+
+  /** F1+F9/F10 end-to-end: the gaussian SLOPE path on lineitem features.
+    * Iterative optimization — no SQL oracle; the driver records rows/schema.
+    * Coefficient correctness is pinned by the ScalaTest closed-form oracles.
+    */
+  val slopePathGaussian: Q = Q.rowsOnly("m_slope_path_gaussian") { (s, dir) =>
+    val model = SlopeEstimator.fit(li(s, dir), features, label,
+      SlopeConfig(nSigma = 20))
+    pathToDf(s, model)
+  }
+
+  /** Binomial SLOPE path: predict return-flag R from the same features. */
+  val slopePathBinomial: Q = Q.rowsOnly("m_slope_path_binomial") { (s, dir) =>
+    val df = li(s, dir).withColumn("is_r",
+      when(col("l_returnflag") === "R", "R").otherwise("NR"))
+    val model = SlopeEstimator.fit(df, features, "is_r",
+      SlopeConfig(family = "binomial", nSigma = 8))
+    pathToDf(s, model)
+  }
+
+  private[queries] def pathToDf(s: SparkSession, model: SlopeModel): DataFrame = {
+    import s.implicits._
+    val names = "intercept" +: model.featureNames.toSeq
+    model.fit.betas.indices.flatMap { k =>
+      val b = model.fit.betas(k)
+      (0 until b.rows).map(i =>
+        (k, model.fit.sigma(k), names(i), b(i, 0), model.fit.devianceRatios(k)))
+    }.toDF("step", "sigma", "feature", "beta", "deviance_ratio")
+  }
+
+  val queries: Seq[Q] = Seq(
+    standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
+    slopePathGaussian, slopePathBinomial)
+}
