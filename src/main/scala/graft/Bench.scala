@@ -1,5 +1,19 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout (and mirrored to
+  * BENCH_LOCAL.json so the result survives sbt's log prefixes).
+  *
+  * Each query is forced with a no-op full-evaluation write (`noop` format):
+  * unlike `count()`, Catalyst cannot prune projection-only work, so
+  * expression-heavy queries are measured honestly. A warm-up query runs
+  * first so JVM/codegen/parquet-footer startup cost doesn't land on
+  * whichever query happens to run first. Failures are logged to stderr and
+  * reported as negative times instead of being silently swallowed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +26,32 @@ object Bench {
     graft.util.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          -((System.nanoTime() - t0) / 1e9)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm-up: JVM + codegen + parquet footers (not reported)
+    force("q1_pricing_summary")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> force(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ > 0).sum
+    val nFailed = results.count(_._2 < 0)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
   }
 }

@@ -125,7 +125,9 @@ object RandomProblem {
     val ic = if (intercept) 1 else 0
     val out = DenseMatrix.zeros[Double](n, p + ic)
     for (i <- 0 until n) {
-      if (intercept) out(i, 0) = 1.0
+      // unit-norm intercept column — the BatchOps preconditioning contract
+      // (see RddOps.interceptNorm); SlopePath unscales the solution
+      if (intercept) out(i, 0) = 1.0 / math.sqrt(n.toDouble)
       for (j <- 0 until p) out(i, j + ic) = (x(i, j) - ctr(j)) / scl(j)
     }
     (out, ctr, scl)

@@ -273,9 +273,18 @@ object SlopePath {
       k += 1
     }
 
-    // back-transform to original scale (src/rescale.h:8-31)
-    val rescaled = betas.result().map(b =>
-      Rescale(b, xCenter, xScale, yCenter, yScale, cfg.intercept))
+    // back-transform to original scale (src/rescale.h:8-31). The ops present
+    // the intercept column at unit l2 norm (preconditioning; see
+    // RddOps.interceptNorm), so the intercept row is unscaled by √n first.
+    val interceptNorm = math.sqrt(n.toDouble)
+    val rescaled = betas.result().map { b0 =>
+      val b = b0.copy
+      if (cfg.intercept) {
+        var j = 0
+        while (j < b.cols) { b(0, j) /= interceptNorm; j += 1 }
+      }
+      Rescale(b, xCenter, xScale, yCenter, yScale, cfg.intercept)
+    }
 
     SlopeFit(
       betas = rescaled,

@@ -96,8 +96,10 @@ object RelationalQueries {
         .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-03-15 00:00:00").cast("timestamp"))
+      // customer is SF-scaled — no broadcast hint; AQE picks the join
+      // strategy from runtime sizes (broadcasts only when actually small)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(
@@ -131,9 +133,11 @@ object RelationalQueries {
       val sup = t(s, dir, "supplier")
       val nat = t(s, dir, "nation")
       val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      // only the fixed-cardinality dims (nation: 25, region: 5) carry
+      // broadcast hints; customer/supplier are SF-scaled → AQE decides
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -227,14 +231,15 @@ object RelationalQueries {
         |  (SELECT count(*) FROM (SELECT k FROM cn UNION SELECT k FROM sn))::BIGINT AS n_union,
         |  (SELECT count(*) FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn))::BIGINT AS n_intersect,
         |  (SELECT count(*) FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn))::BIGINT AS n_except""".stripMargin) { (s, dir) =>
+      // one LAZY plan: three aggregate subplans cross-joined (each 1 row),
+      // executed in a single action — no eager driver-side counts, and
+      // exchange reuse shares the two distinct scans across the branches
       val cn = t(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
       val sn = t(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
-      val u = cn.union(sn).distinct().count()
-      val i = cn.intersect(sn).count()
-      val e = cn.except(sn).count()
-      val spark = s
-      import spark.implicits._
-      Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+      val u = cn.union(sn).distinct().agg(count(lit(1)).as("n_union"))
+      val i = cn.intersect(sn).agg(count(lit(1)).as("n_intersect"))
+      val e = cn.except(sn).agg(count(lit(1)).as("n_except"))
+      u.crossJoin(i).crossJoin(e)
     },
 
     // ---- semi / anti joins (EXISTS / NOT EXISTS) ----
@@ -245,13 +250,14 @@ object RelationalQueries {
         |     (SELECT 1 FROM orders WHERE o_custkey = c_custkey))::BIGINT AS n_with_orders,
         |  (SELECT count(*) FROM customer WHERE NOT EXISTS
         |     (SELECT 1 FROM orders WHERE o_custkey = c_custkey))::BIGINT AS n_without_orders""".stripMargin) { (s, dir) =>
+      // single lazy plan (see q10): semi + anti branches cross-joined
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
-      val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi").count()
-      val withoutO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti").count()
-      val spark = s
-      import spark.implicits._
-      Seq((withO, withoutO)).toDF("n_with_orders", "n_without_orders")
+      val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with_orders"))
+      val withoutO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without_orders"))
+      withO.crossJoin(withoutO)
     },
 
     // ---- left outer join preserving unmatched rows ----
@@ -305,7 +311,8 @@ object RelationalQueries {
         col("l_shipdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
       val part = t(s, dir, "part")
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      // part is SF-scaled — leave the join strategy to AQE
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .agg(
           dsum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0)))
             .as("promo_revenue"),
@@ -407,7 +414,9 @@ object RelationalQueries {
           davg(col("value")).as("avg_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"),
-          sum(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")).as("sum_k"))
+          // robust JSON path extraction (survives key order / whitespace),
+          // value-equal to the oracle's regexp extraction
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
         .orderBy("event_type")
     })
 }

@@ -19,8 +19,11 @@ object Tables {
     // nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true, set by
     // every session builder in this project). Normalize to a microsecond
     // timestamp, matching DuckDB's ts::TIMESTAMP truncation.
+    // integral division keeps the computation in long arithmetic — epoch-ns
+    // values (~1.7e18) exceed 2^53, so a double-precision divide would be
+    // off by 1 µs on a fraction of rows vs DuckDB's exact truncation
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 
