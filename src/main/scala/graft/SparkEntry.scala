@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All operator suites, in SURVEY §2 order. */
   private def suites: Seq[Q] =
-    RelationalQueries.queries ++ MlQueries.queries
+    RelationalQueries.queries ++ MlQueries.queries ++ PipelineQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,186 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Det
+
+/** Deduplication operators over a document corpus, designed for the 100 TB
+  * shape: every stage is a grouped aggregation or an equi-join on a derived
+  * bucket key — there is NO all-pairs comparison anywhere. Candidate
+  * generation is MinHash + banded LSH (signature rows → band hashes → bucket
+  * equi-join), and only candidates pay the exact-Jaccard verification join.
+  *
+  * All hashes derive from md5 so a SQL oracle (DuckDB) reproduces them
+  * bit-exactly (`Det.md5Hash60`).
+  */
+object Dedup {
+
+  /** Exact-duplicate statistics over the normalized-text fingerprint:
+    * one hash-groupBy, the cheapest dedup pass.
+    */
+  def exactDupStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val fp = docs.select(TextPipeline.fingerprint(col(textCol)).as("fp"))
+    fp.groupBy("fp").agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("n") - lit(1)).cast("long").as("n_dup_docs"),
+        max(col("n")).cast("long").as("max_group"))
+  }
+
+  /** Character k-shingles of the lowercased text: one row per (doc,
+    * shingle occurrence); `dedup = true` adds the per-doc set semantics
+    * (needed by Jaccard, NOT by minhash — min is duplicate-invariant, so
+    * the minhash path skips the distinct shuffle entirely). The explode is
+    * skew-free (cardinality ∝ doc length, bounded by the corpus' max doc
+    * size).
+    */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+               k: Int = 5, dedup: Boolean = true): DataFrame = {
+    val raw = docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, greatest(length(t) - ${k - 1}, 0))")).as("i"),
+        col("t"))
+      .select(col("doc_id"), expr(s"substring(t, i, $k)").as("sh"))
+    if (dedup) raw.distinct() else raw
+  }
+
+  /** MinHash signatures: for each of `nHashes` seeds, the minimum
+    * `md5(shingle#seed)` over the doc's shingles. All seeds aggregate in ONE
+    * wide groupBy (map-side combinable) and unpivot afterwards — exploding a
+    * seed column first would multiply the shuffle volume by nHashes for no
+    * reason (the seed hashes are computed map-side either way).
+    */
+  def minhash(shingleDf: DataFrame, nHashes: Int = 18): DataFrame = {
+    val aggs = (0 until nHashes).map(i =>
+      min(Det.md5Hash60(concat(col("sh"), lit(s"#$i")))).as(s"mh_$i"))
+    val stackArgs = (0 until nHashes).map(i => s"$i, mh_$i").mkString(", ")
+    shingleDf.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        expr(s"stack($nHashes, $stackArgs)").as(Seq("seed", "minhash")))
+  }
+
+  /** Banded signatures: `rowsPerBand` consecutive seeds hash together into
+    * one bucket key per (doc, band).
+    */
+  def bands(minhashDf: DataFrame, rowsPerBand: Int = 6): DataFrame =
+    minhashDf
+      .groupBy(col("doc_id"), (col("seed") / lit(rowsPerBand)).cast("int").as("band"))
+      .agg(Det.md5Hash60(
+        array_join(
+          transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+            x => x.getField("minhash").cast("string")),
+          ",")).as("bh"))
+
+  /** LSH candidate pairs: docs sharing any (band, band-hash) bucket. This is
+    * the scale-critical step — an equi-join on the bucket key, never a cross
+    * join; bucket sizes are tiny for honest hash functions so the join
+    * output stays near-linear.
+    */
+  def candidatePairs(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("band").as("band_a"), col("bh").as("bh_a"),
+      col("doc_id").as("d1"))
+    val b = bandsDf.select(col("band").as("band_b"), col("bh").as("bh_b"),
+      col("doc_id").as("d2"))
+    a.join(b, col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
+        col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact n-gram Jaccard on the candidate pairs only. The join is
+    * CANDIDATE-DRIVEN: cand ⋈ shingles(d1) on d1, then ⋈ shingles on
+    * (d2, sh) — every intermediate is ncand·|shingles per doc|, linear in
+    * the candidate count. (Joining two doc-restricted shingle tables on the
+    * bare shingle value instead blows up quadratically: common shingles
+    * appear in nearly every doc.)
+    */
+  def jaccardVerify(candidates: DataFrame, shingleDf: DataFrame,
+                    threshold: Double): DataFrame = {
+    val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = shingleDf.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val b = shingleDf.select(col("doc_id").as("db"), col("sh").as("shb"))
+    val inter = candidates
+      .join(a, col("d1") === col("da"))
+      .join(b, col("d2") === col("db") && col("sha") === col("shb"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("nab"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("nab").cast("double") /
+          (col("sz1") + col("sz2") - col("nab")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The full near-dup pipeline: shingle → minhash → band → bucket join →
+    * exact verify. Returns (d1, d2, jaccard) for verified near-duplicates.
+    */
+  def nearDupPairs(docs: DataFrame, k: Int = 5, nHashes: Int = 18,
+                   rowsPerBand: Int = 6, threshold: Double = 0.7): DataFrame = {
+    // spread docs across the cluster BEFORE the shingle explode: the doc
+    // table itself is small (one parquet split locally), but the exploded
+    // shingle+hash work is nHashes×|text| per doc. The partition count is
+    // pinned (defaultParallelism) because AQE would coalesce an un-sized
+    // repartition of a few-MB input back to one partition — sizing by
+    // pre-explode bytes is exactly wrong for explode-heavy stages.
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val shRaw = shingles(spread, k = k, dedup = false)
+    val cand = candidatePairs(bands(minhash(shRaw, nHashes), rowsPerBand))
+    jaccardVerify(cand, shingles(spread, k = k), threshold)
+  }
+}
+
+/** SimHash near-dup detection: 60-bit sign-vote fingerprints over word
+  * tokens, with banded Hamming search (prefix buckets, not all-pairs).
+  */
+object SimHash {
+
+  /** Per-doc 60-bit simhash, term-frequency weighted: for each bit b, sum
+    * w(token)·±1 votes of the token's md5-hash bit; bit b of the fingerprint
+    * is set iff the vote sum is positive. Frequency weighting is what makes
+    * the fingerprint discriminate documents drawn from a shared vocabulary
+    * (unweighted distinct-token simhash collapses them). Grouped
+    * aggregations only — no pairwise work.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(TextPipeline.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+      .select(col("doc_id"), col("w"), Det.md5Hash60(col("tok")).as("h"))
+    // all 60 bit-votes in one wide aggregation (exploding a bit column would
+    // shuffle 60× the rows); the fingerprint assembles from the vote columns
+    val voteAggs = (0 until 60).map(b =>
+      sum(expr(s"w * ((shiftright(h, $b) & 1) * 2 - 1)")).as(s"v_$b"))
+    val assemble = (0 until 60).map(b =>
+      s"(CASE WHEN v_$b > 0 THEN shiftleft(cast(1 as bigint), $b) ELSE cast(0 as bigint) END)")
+      .mkString(" + ")
+    toks.groupBy("doc_id")
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), expr(assemble).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by Hamming distance ≤ `maxHamming`, found via
+    * 15-bit prefix bands (4 buckets per doc): docs sharing any band value
+    * become candidates (equi-join on the band key — the LSH structure that
+    * replaces the quadratic scan), then the exact popcount filters.
+    */
+  def hammingPairs(simhashDf: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val banded = simhashDf
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
+      .select(col("doc_id"), col("simhash"), col("k"),
+        expr("shiftright(simhash, cast(k * 15 as int)) & 32767").as("bandval"))
+    val a = banded.select(col("k").as("k_a"), col("bandval").as("v_a"),
+      col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = banded.select(col("k").as("k_b"), col("bandval").as("v_b"),
+      col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, col("k_a") === col("k_b") && col("v_a") === col("v_b") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

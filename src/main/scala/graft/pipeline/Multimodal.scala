@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `BinaryType` columns with typed metadata, and per-partition batched
+  * feature extraction — the Spark-side shape a real decode/embed stage
+  * needs (schema, partitioning, batch iteration). The decoder itself is a
+  * STUB (this environment has no image/audio libraries): a deterministic
+  * fake that reads "dimensions" from the payload header bytes and emits a
+  * byte-statistics feature vector. Swap `decodeStub` for a real codec
+  * binding; everything around it — batching, schema, null handling — is
+  * production plumbing and is tested.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("rolling_fp", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Attach a fake binary payload column (utf-8 bytes of the text) — stands
+    * in for an image/audio blob column read from parquet.
+    */
+  def withPayload(docs: DataFrame, textCol: String = "text",
+                  outCol: String = "content"): DataFrame =
+    docs.withColumn(outCol, encode(col(textCol), "UTF-8"))
+
+  /** ---- STUB ---- deterministic fake decoder. A real implementation would
+    * hand the byte buffer to an image/audio codec here; the fake derives
+    * "dimensions" from the first two bytes and a 4-bin byte histogram as the
+    * "embedding" so downstream stages have realistic shapes to consume.
+    */
+  private[pipeline] def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+    val w = (if (bytes.nonEmpty) (bytes(0) & 0x7f) else 0) + 1
+    val h = (if (bytes.length > 1) (bytes(1) & 0x7f) else 0) + 1
+    val hist = new Array[Double](4)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >> 6) += 1.0
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toDouble
+    (w, h, hist.map(_ / n))
+  }
+
+  /** Batched per-partition feature extraction over (doc_id, content) — the
+    * Scala analogue of a `mapInPandas` decode stage: one iterator pass per
+    * partition, constant memory, no driver involvement. Output schema is
+    * `featureSchema`.
+    */
+  def extractFeatures(spark: SparkSession, docsWithPayload: DataFrame,
+                      idCol: String = "doc_id", payloadCol: String = "content"): DataFrame = {
+    val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val safe = if (bytes == null) Array.empty[Byte] else bytes
+          val (w, h, feats) = decodeStub(safe)
+          val fp = TextPipeline.rollingHash(new String(safe, "UTF-8"))
+          Row(id, safe.length, w, h, fp, feats.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Det
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, as a production pipeline needs both:
+  * - `cosineTopK`: brute-force cosine of a (small) probe set against the
+  *   corpus — the exactness baseline. Probe⋈corpus is a broadcast of the
+  *   probes, NOT an all-pairs corpus join; cost is linear in corpus size.
+  * - `lshBuckets` / `lshTopK`: random-hyperplane (sign) LSH — the scale
+  *   path. Hyperplane entries are md5-derived ±1, so the same buckets are
+  *   reproducible in any engine (and in the DuckDB oracle).
+  */
+object Similarity {
+
+  /** Elementwise double-dot of two float-array columns, summed in element
+    * order (deterministic; matches an oracle's sequential accumulation).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Top-k nearest neighbours (cosine) of each probe row. `probePred`
+    * selects the probes (e.g. `vec_id % 100 === 0`). Cosine is rounded to 9
+    * decimals BEFORE ranking so tie-breaking (then by candidate id) is
+    * engine-independent.
+    */
+  def cosineTopK(embeddings: DataFrame, probePred: Column, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = embeddings.filter(probePred)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val cands = embeddings.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = cands.crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(cosine(col("pv"), col("cv")), 9).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "cand_id", "cos")
+  }
+
+  /** Sign-LSH bucket id (0..2^nPlanes−1) for each vector: bit s is the sign
+    * of the projection onto a pseudo-random ±1 hyperplane derived from
+    * md5("h<s>-<dim>").
+    */
+  def lshBucket(embeddings: DataFrame, nPlanes: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val unrolled = embeddings
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"), col("v").cast("double").as("v"))
+    // all nPlanes projections in one wide aggregation (a plane-column
+    // explode would multiply the shuffle volume by nPlanes);
+    // w(s,d) = +1 if md5Hash60("h<s>-<d>") is even else −1
+    val projAggs = (0 until nPlanes).map { s =>
+      val w = (Det.md5Hash60(concat(lit(s"h$s-"), col("d").cast("string"))) % 2 *
+        lit(-2) + lit(1)).cast("double")
+      sum(col("v") * w).as(s"proj_$s")
+    }
+    val assemble = (0 until nPlanes).map(s =>
+      s"(CASE WHEN proj_$s > 0 THEN shiftleft(cast(1 as bigint), $s) ELSE cast(0 as bigint) END)")
+      .mkString(" + ")
+    unrolled.groupBy("vec_id")
+      .agg(projAggs.head, projAggs.tail: _*)
+      .select(col("vec_id"), expr(assemble).as("bucket"))
+  }
+
+  /** Bucket occupancy histogram — the partition-balance diagnostic for the
+    * LSH index.
+    */
+  def lshBucketHistogram(embeddings: DataFrame, nPlanes: Int = 8): DataFrame =
+    lshBucket(embeddings, nPlanes)
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
+
+  /** Approximate top-k: exact cosine ranking restricted to same-bucket
+    * candidates (the IVF-style scale path; recall traded for a bucket-local
+    * join instead of a corpus scan per probe).
+    */
+  def lshTopK(embeddings: DataFrame, probePred: Column, k: Int,
+              nPlanes: Int = 8): DataFrame = {
+    val buckets = lshBucket(embeddings, nPlanes)
+    val withB = embeddings.select(col("vec_id"), col("embedding"))
+      .join(buckets, Seq("vec_id"))
+    val probes = withB.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("bucket"))
+    val cands = withB
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("bucket"))
+    val scored = probes.join(cands, Seq("bucket"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(cosine(col("pv"), col("cv")), 9).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "cand_id", "cos")
+  }
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.util.{Det, Tables}
+import graft.pipeline._
+
+/** LLM-data-pipeline operators over the `documents` and `embeddings`
+  * tables: text profiling, language ID, exact + MinHash/LSH + SimHash
+  * dedup, n-gram Jaccard, cosine top-k and sign-LSH ANN. Every oracled
+  * query is hash-reproducible in DuckDB because all hashing is md5-derived
+  * (`Det.md5Hash60`) and every float is either exact (ints, single
+  * divisions) or rounded before comparison/ranking.
+  */
+object PipelineQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.t(s, dir, "documents")
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.t(s, dir, "embeddings")
+
+  /** Text statistics per language: counts are exact integers. */
+  val textProfile: Q = Q.sql(
+    "p_text_profile",
+    s"""SELECT lang,
+       |  count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT source)::BIGINT AS n_sources,
+       |  sum(n_chars)::BIGINT AS sum_chars,
+       |  sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS sum_tokens,
+       |  sum(len(regexp_extract_all(lower(text), '${TextPipeline.stopwordPattern}')))::BIGINT AS sum_stopwords,
+       |  sum(len(regexp_extract_all(text, '[.,;:!?]')))::BIGINT AS sum_punct
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    docs(s, dir).groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextPipeline.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        sum(TextPipeline.stopwordCount(col("text")).cast("long")).as("sum_stopwords"),
+        sum(TextPipeline.punctCount(col("text")).cast("long")).as("sum_punct"))
+      .orderBy("lang")
+  }
+
+  /** Language-ID heuristic (stopword-pattern argmax) vs the labeled lang:
+    * confusion counts. (The synthetic corpus draws all languages from one
+    * vocabulary, so the confusion itself is noise — the check pins the
+    * deterministic classifier computation; real-sentence behavior is pinned
+    * in TextPipelineSpec.)
+    */
+  val langIdProfile: Q = {
+    val caseSql = TextPipeline.langPatterns.map { case (l, _) => l }
+      .foldRight("'und'") { (l, acc) =>
+        val others = TextPipeline.langPatterns.map(_._1).filter(_ != l)
+          .map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $others AND s_$l > 0 THEN '$l' ELSE $acc END"
+      }
+    val scoreSql = TextPipeline.langPatterns.map { case (l, p) =>
+      s"len(regexp_extract_all(lower(text), '$p')) AS s_$l"
+    }.mkString(", ")
+    Q.sql(
+      "p_lang_id_profile",
+      s"""WITH scored AS (SELECT lang, $scoreSql FROM documents),
+         |pred AS (SELECT lang, $caseSql AS pred_lang FROM scored)
+         |SELECT lang, pred_lang, count(*)::BIGINT AS n
+         |FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("lang"), TextPipeline.langId(col("text")).as("pred_lang"))
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang")
+    }
+  }
+
+  /** Exact dedup over the normalized-text fingerprint (hash-groupBy). */
+  val exactDedup: Q = Q.sql(
+    "p_exact_dedup",
+    s"""WITH fp AS (
+       |  SELECT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
+       |  FROM documents),
+       |g AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
+       |SELECT sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
+       |       sum(n - 1)::BIGINT AS n_dup_docs, max(n)::BIGINT AS max_group
+       |FROM g""".stripMargin) { (s, dir) => Dedup.exactDupStats(docs(s, dir)) }
+
+  /** MinHash + banded-LSH near-dup detection, exact-Jaccard verified:
+    * shingle → 18 minhashes → 3 bands of 6 → bucket equi-join → verify.
+    * The corpus plants ~25 near-dup pairs (j ≈ 0.99) over a j ≈ 0.17
+    * background; band threshold (1/3)^(1/6) ≈ 0.83 keeps candidates sparse.
+    */
+  val minhashLshDedup: Q = Q.sql(
+    "p_minhash_lsh_dedup",
+    """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 5),
+      |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM docs),
+      |sh AS (SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS sh FROM pos),
+      |mh AS (
+      |  SELECT doc_id, s.seed,
+      |         min(('0x' || substr(md5(sh || '#' || s.seed::VARCHAR), 1, 15))::BIGINT) AS minhash
+      |  FROM sh, (SELECT unnest(range(18)) AS seed) s
+      |  GROUP BY doc_id, s.seed),
+      |bands AS (
+      |  SELECT doc_id, (seed // 6)::INT AS band,
+      |         ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15))::BIGINT AS bh
+      |  FROM mh GROUP BY doc_id, seed // 6),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS nab
+      |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+      |  GROUP BY c.d1, c.d2)
+      |SELECT d1, d2, round(nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE, 9) AS jaccard
+      |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE >= 0.7
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.nearDupPairs(docs(s, dir).filter(length(col("text")) >= 5))
+      .select(col("d1"), col("d2"), round(col("jaccard"), 9).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash fingerprints + banded Hamming near-dup pairs. */
+  val simhashHamming: Q = Q.sql(
+    "p_simhash_hamming",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS w FROM toks GROUP BY doc_id, tok),
+      |h AS (SELECT doc_id, w, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tc),
+      |bits AS (
+      |  SELECT doc_id, bb.b, sum(w * (((h >> bb.b) & 1) * 2 - 1)) AS vote
+      |  FROM h, (SELECT unnest(range(60)) AS b) bb
+      |  GROUP BY doc_id, bb.b),
+      |sim AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, simhash, kk.k, (simhash >> (kk.k * 15)::INT) & 32767 AS bandval
+      |  FROM sim, (SELECT unnest(range(4)) AS k) kk),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
+      |SELECT d1, d2, hamming::BIGINT AS hamming FROM pairs WHERE hamming <= 4
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    SimHash.hammingPairs(SimHash.simhash(docs(s, dir)))
+      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Brute-force cosine top-5 for the probe set (vec_id % 100 = 0) — the
+    * ANN exactness baseline; probes are broadcast, corpus is scanned once.
+    */
+  val cosineTopK: Q = Q.sql(
+    "p_cosine_topk",
+    """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |s AS (
+      |  SELECT probe_id, cand_id,
+      |         round(list_dot_product(pv, cv) /
+      |               (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 9) AS cos
+      |  FROM p, c WHERE cand_id != probe_id),
+      |r AS (SELECT probe_id, cand_id, cos,
+      |             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+      |      FROM s)
+      |SELECT probe_id, rank::BIGINT AS rank, cand_id, cos FROM r WHERE rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+    Similarity.cosineTopK(emb(s, dir), col("vec_id") % 100 === 0, 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("cand_id"), col("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Sign-LSH bucket histogram — the ANN scale path's index diagnostic. */
+  val annLshBuckets: Q = Q.sql(
+    "p_ann_lsh_buckets",
+    """WITH v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |         unnest(embedding::DOUBLE[]) AS val
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, ss.s,
+      |         val * (CASE WHEN ('0x' || substr(md5('h' || ss.s::VARCHAR || '-' || d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+      |                     THEN 1.0 ELSE -1.0 END) AS contrib
+      |  FROM v, (SELECT unnest(range(8)) AS s) ss),
+      |pr AS (SELECT vec_id, s, sum(contrib) AS proj FROM c GROUP BY vec_id, s),
+      |b AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << s::INT) ELSE 0 END)::BIGINT AS bucket
+      |  FROM pr GROUP BY vec_id)
+      |SELECT bucket, count(*)::BIGINT AS n_vecs FROM b GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Similarity.lshBucketHistogram(emb(s, dir))
+  }
+
+  /** Binary-payload metadata (multimodal column plumbing, oracled part). */
+  val multimodalMeta: Q = Q.sql(
+    "p_multimodal_meta",
+    """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+      |       ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Multimodal.withPayload(docs(s, dir).filter(col("doc_id") < 50))
+      .select(col("doc_id"), length(col("content")).cast("long").as("n_bytes"),
+        Det.md5Hash60(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Batched mapPartitions feature extraction (decode step stubbed — see
+    * Multimodal.decodeStub). Rows-only: the decoder is a fake; the plumbing
+    * (schema, batching, rolling fingerprint) is what's exercised.
+    */
+  val multimodalExtract: Q = Q.rowsOnly("p_multimodal_extract_stub") { (s, dir) =>
+    val feats = Multimodal.extractFeatures(s, Multimodal.withPayload(docs(s, dir)))
+    feats.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_bytes")).as("total_bytes"),
+      sum(col("width")).as("sum_width"),
+      sum(col("height")).as("sum_height"),
+      countDistinct(col("rolling_fp")).as("n_distinct_fp"))
+  }
+
+  /** LSH-bucketed approximate top-k (rows-only: recall depends on bucket
+    * sizes; determinism is pinned by p_ann_lsh_buckets + p_cosine_topk).
+    */
+  val annLshTopK: Q = Q.rowsOnly("p_ann_lsh_topk") { (s, dir) =>
+    Similarity.lshTopK(emb(s, dir), col("vec_id") % 100 === 0, 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  val queries: Seq[Q] = Seq(
+    textProfile, langIdProfile, exactDedup, minhashLshDedup, simhashHamming,
+    cosineTopK, annLshBuckets, multimodalMeta, multimodalExtract, annLshTopK)
+}

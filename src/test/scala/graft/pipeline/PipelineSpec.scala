@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-pipeline-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("language ID identifies real sentences per language") {
+    val df = docsDf(
+      0L -> "the cat sat on the mat and it was happy in the sun",
+      1L -> "der Hund ist nicht zu Hause und ich habe den Schlussel",
+      2L -> "le chat est dans la maison et les enfants sont dans le jardin",
+      3L -> "el perro es grande y los gatos son pequenos en la casa",
+      4L -> "xyzzy qwerty plugh")
+    val out = df.select(col("doc_id"), TextPipeline.langId(col("text")).as("pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "de")
+    assert(out(2L) == "fr")
+    assert(out(3L) == "es")
+    assert(out(4L) == "und")
+  }
+
+  test("token counting and quality columns") {
+    val df = docsDf(0L -> "The quick brown fox, jumps! Over 2 dogs.")
+    val q = df.select(
+      TextPipeline.tokenCount(col("text")).as("nt"),
+      TextPipeline.wsTokenCount(col("text")).as("ws"),
+      TextPipeline.bpeishTokenCount(col("text")).as("bpe"),
+      TextPipeline.punctCount(col("text")).as("punct"),
+      TextPipeline.stopwordCount(col("text")).as("stop")).head()
+    assert(q.getInt(0) == 8) // the quick brown fox jumps over 2 dogs
+    assert(q.getInt(1) == 8) // whitespace-delimited
+    assert(q.getInt(3) == 3) // , ! .
+    assert(q.getInt(4) >= 1) // 'the'
+  }
+
+  test("exact dedup counts duplicate normalized texts") {
+    val df = docsDf(
+      0L -> "Hello   World", 1L -> "hello world", 2L -> "HELLO  WORLD ",
+      3L -> "something else", 4L -> "another doc")
+    val row = Dedup.exactDupStats(df).head()
+    assert(row.getLong(0) == 5) // n_docs
+    assert(row.getLong(1) == 3) // n_distinct (hello-world group collapses)
+    assert(row.getLong(2) == 2) // n_dup_docs
+    assert(row.getLong(3) == 3) // max_group
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches " +
+      "from the warm windowsill and the birds sing in the garden trees all day"
+    val nearDup = base.replace("birds", "bees") // tiny edit → high jaccard
+    val unrelated1 = "completely different content about distributed query engines " +
+      "and columnar storage formats with vectorized execution pipelines everywhere"
+    val unrelated2 = "yet another unrelated document discussing gradient descent " +
+      "convergence rates under strong convexity assumptions and proximal operators"
+    val df = docsDf(0L -> base, 1L -> nearDup, 2L -> unrelated1, 3L -> unrelated2)
+    val pairs = Dedup.nearDupPairs(df, threshold = 0.7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)), s"got ${pairs.toSeq}")
+  }
+
+  test("jaccard verify computes exact n-gram jaccard") {
+    val df = docsDf(0L -> "abcdefgh", 1L -> "abcdefgh", 2L -> "zzzzzzzz")
+    val sh = Dedup.shingles(df)
+    val sp = spark; import sp.implicits._
+    val cand = Seq((0L, 1L), (0L, 2L)).toDF("d1", "d2")
+    val out = Dedup.jaccardVerify(cand, sh, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(out((0L, 1L)) - 1.0) < 1e-12)
+    // identical docs → jaccard 1; disjoint pair produces no row (no shared shingle)
+    assert(!out.contains((0L, 2L)))
+  }
+
+  test("weighted simhash: identical docs have identical fingerprints, edits stay close") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val close = base.replaceFirst("kappa", "lambda")
+    val far = "one two three four five six seven eight nine ten " * 3
+    val df = docsDf(0L -> base, 1L -> base, 2L -> close, 3L -> far)
+    val sim = SimHash.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sim(0L) == sim(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sim(0L), sim(2L)) < ham(sim(0L), sim(3L)))
+    val pairs = SimHash.hammingPairs(SimHash.simhash(df), maxHamming = 0)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("cosine top-k: orthonormal probes rank by construction") {
+    val sp = spark; import sp.implicits._
+    // vec 0 = e1; vec 1 ≈ e1 (cos ~0.995); vec 2 = e2 (cos 0); vec 3 = -e1
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(df, col("vec_id") === 0, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList
+    assert(out.map(_._2) == List(1L, 2L, 3L)) // by descending cosine
+  }
+
+  test("LSH buckets: identical vectors share buckets; topk finds the twin") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(17)
+    val base = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val rows = (0L until 20L).map { i =>
+      if (i == 1L) (i, base.clone()) // vec 1 duplicates vec 0
+      else if (i == 0L) (i, base.clone())
+      else (i, Array.fill(16)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val buckets = Similarity.lshBucket(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) == buckets(1L))
+    val top = Similarity.lshTopK(df, col("vec_id") === 0, k = 1).collect()
+    assert(top.length == 1 && top(0).getLong(2) == 1L) // nearest = the twin
+  }
+
+  test("multimodal extraction: schema, determinism, rolling fingerprint") {
+    val df = Multimodal.withPayload(docsDf(0L -> "hello world", 1L -> "hello world",
+      2L -> "different"))
+    val out = Multimodal.extractFeatures(spark, df)
+    assert(out.schema == Multimodal.featureSchema)
+    val rows = out.collect().sortBy(_.getLong(0))
+    assert(rows(0).getInt(1) == 11) // n_bytes of "hello world"
+    assert(rows(0).getLong(4) == rows(1).getLong(4)) // same payload → same fp
+    assert(rows(0).getLong(4) != rows(2).getLong(4))
+    val feats = rows(0).getSeq[Double](5)
+    assert(feats.length == 4 && math.abs(feats.sum - 1.0) < 1e-9) // histogram sums to 1
+    assert(TextPipeline.rollingHash("hello world") == rows(0).getLong(4))
+  }
+}
