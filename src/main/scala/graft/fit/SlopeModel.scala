@@ -47,6 +47,21 @@ final class SlopeModel(
     }.toDF("step", "sigma", "deviance_ratio", "n_nonzero", "n_unique", "passes")
   }
 
+  /** Per-iteration solver traces flattened to a long DataFrame
+    * (reference setupDiagnostics, R/setupDiagnostics.R:9-25): one row per
+    * (path step, iteration) with wall time, primal and dual objectives.
+    * Empty unless the fit ran with diagnostics enabled.
+    */
+  def diagnosticsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    fit.diagnostics.zipWithIndex.flatMap { case ((primals, duals, times), step) =>
+      primals.indices.map { i =>
+        (step, fit.sigma(step), i,
+          times.lift(i).getOrElse(0.0), primals(i), duals.lift(i).getOrElse(0.0))
+      }
+    }.toDF("step", "sigma", "iteration", "time", "primal", "dual")
+  }
+
   /** Linear predictors for every path step: adds an
     * `ArrayType(ArrayType(Double))` column `pred` with shape
     * n_sigma × m (reference predict.Owl, R/predict.R:32-69).

@@ -42,6 +42,7 @@ final case class SlopeFit(
     devianceRatios: Array[Double],
     passes: Array[Int],
     activeSets: IndexedSeq[Array[Int]],
+    diagnostics: IndexedSeq[(List[Double], List[Double], List[Double])],
     nUnique: Array[Int],
     violations: IndexedSeq[Array[Int]],
     family: String,
@@ -102,6 +103,9 @@ object SlopePath {
 
     // ---- null deviance at β = 0 (src/owl.cpp:94-96) ----
     val nullDeviance = 2.0 * ops.primal(DenseMatrix.zeros[Double](p, m))
+    // per-iteration primal/dual/wall-clock traces (M16; family.h:119-130)
+    val solverCfg =
+      if (cfg.diagnostics) cfg.solver.copy(diagnostics = true) else cfg.solver
 
     // ---- path state ----
     var beta = DenseMatrix.zeros[Double](p, m)
@@ -120,6 +124,7 @@ object SlopePath {
     val betas = IndexedSeq.newBuilder[DenseMatrix[Double]]
     val activeSets = IndexedSeq.newBuilder[Array[Int]]
     val violationsOut = IndexedSeq.newBuilder[Array[Int]]
+    val diagOut = IndexedSeq.newBuilder[(List[Double], List[Double], List[Double])]
     val devs = Array.newBuilder[Double]
     val devRatios = Array.newBuilder[Double]
     val passesOut = Array.newBuilder[Int]
@@ -161,10 +166,10 @@ object SlopePath {
         activeSet = Array.range(0, p)
         if (useAdmm(p)) {
           if (fullFactor.isEmpty) fullFactor = Some(AdmmGaussian.factorize(ops))
-          res = AdmmGaussian.fit(ops, fullFactor.get, z, u, lamK, cfg.solver)
+          res = AdmmGaussian.fit(ops, fullFactor.get, z, u, lamK, solverCfg)
           beta = res.beta.copy
         } else {
-          res = Fista.fit(ops, beta, lamK, cfg.solver)
+          res = Fista.fit(ops, beta, lamK, solverCfg)
           beta = res.beta.copy
         }
         lastFullGradient = None
@@ -188,14 +193,14 @@ object SlopePath {
                 val factor = AdmmGaussian.factorize(subOps)
                 val zSub = DenseVector.tabulate(activeSet.length)(r => z(activeSet(r)))
                 val uSub = DenseVector.tabulate(activeSet.length)(r => u(activeSet(r)))
-                val r0 = AdmmGaussian.fit(subOps, factor, zSub, uSub, lamSub, cfg.solver)
+                val r0 = AdmmGaussian.fit(subOps, factor, zSub, uSub, lamSub, solverCfg)
                 var r = 0
                 while (r < activeSet.length) {
                   z(activeSet(r)) = zSub(r); u(activeSet(r)) = uSub(r); r += 1
                 }
                 r0
               } else {
-                Fista.fit(subOps, betaSub, lamSub, cfg.solver)
+                Fista.fit(subOps, betaSub, lamSub, solverCfg)
               }
 
             var r = 0
@@ -214,7 +219,7 @@ object SlopePath {
           val grad = ops.lossGrad(beta)._3
           lastFullGradient = Some(grad)
           val possibleFailures =
-            Screening.kktCheck(grad, beta, lamK, cfg.solver.tolInfeas, cfg.intercept)
+            Screening.kktCheck(grad, beta, lamK, solverCfg.tolInfeas, cfg.intercept)
           val strongFailures = Sets.intersect(possibleFailures, strongSet)
           var checkFailures = Sets.diff(strongFailures, activeSet)
           kktViolation = checkFailures.nonEmpty
@@ -259,6 +264,7 @@ object SlopePath {
         betaPrev = beta.copy
         activeSets += activeSet
         violationsOut += violations.toArray
+        diagOut += ((res.primals, res.duals, res.times))
         devs += deviance
         devRatios += devianceRatio
         passesOut += res.passes
@@ -297,6 +303,7 @@ object SlopePath {
       activeSets = activeSets.result(),
       nUnique = nUniqueOut.result(),
       violations = violationsOut.result(),
+      diagnostics = diagOut.result(),
       family = family.name,
       intercept = cfg.intercept,
       dataPasses = ops.dataPasses)

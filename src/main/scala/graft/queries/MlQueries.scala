@@ -178,7 +178,19 @@ object MlQueries {
     }.toDF("step", "sigma", "feature", "beta", "deviance_ratio")
   }
 
+  /** T1: repeated k-fold CV over the path (deterministic salted-hash
+    * folds). Iterative fitting — rows-only; the fold/grid mechanics are
+    * pinned by TrainSlopeSpec.
+    */
+  val trainCv: Q = Q.rowsOnly("t1_train_cv_gaussian") { (s, dir) =>
+    val df = li(s, dir)
+      .withColumn("id", col("l_orderkey") * 10 + col("l_linenumber"))
+    val t = TrainSlope.train(df, features, label, "id",
+      qs = Seq(0.1), number = 3, cfg = SlopeConfig(nSigma = 8))
+    TrainSlope.summaryDf(s, t)
+  }
+
   val queries: Seq[Q] = Seq(
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
-    slopePathGaussian, slopePathBinomial)
+    slopePathGaussian, slopePathBinomial, trainCv)
 }

@@ -1,0 +1,84 @@
+package graft.fit
+
+import breeze.linalg.DenseMatrix
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.slope._
+
+class TrainSlopeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-train-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def gaussianDf(n: Int) = {
+    val prob = RandomProblem(n = n, p = 4, family = Gaussian, seed = 123L)
+    val sp = spark; import sp.implicits._
+    (0 until n).map { i =>
+      (i.toLong, prob.y(i, 0), prob.x(i, 0), prob.x(i, 1), prob.x(i, 2), prob.x(i, 3))
+    }.toDF("id", "label", "f0", "f1", "f2", "f3")
+  }
+
+  test("CV: summary shape, finite stats, deterministic folds, optima present") {
+    val df = gaussianDf(120)
+    val cfg = SlopeConfig(nSigma = 6)
+    val t = TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
+      qs = Seq(0.1, 0.3), number = 3, repeats = 1, cfg = cfg)
+
+    val nSigma = t.model.fit.sigma.length
+    // 2 measures × 2 q × nSigma summary rows
+    assert(t.summary.length == 2 * 2 * nSigma)
+    assert(t.summary.forall(r => !r._5.isNaN && r._6 >= 0.0 && r._7 <= r._8))
+    assert(t.optima.contains("mse") && t.optima.contains("mae"))
+    // mse optimum should not be the most-penalized (first) sigma on signal data
+    val (qBest, sigmaBest, best) = t.optima("mse")
+    assert(best < t.summary.filter(r => r._4 == "mse" && r._2 == 0).map(_._5).min + 1e-9)
+
+    // determinism: same call → same folds and same stats (up to the
+    // last-ulp noise of distributed double aggregation combine order)
+    val t2 = TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
+      qs = Seq(0.1, 0.3), number = 3, repeats = 1, cfg = cfg)
+    assert(t.summary.length == t2.summary.length)
+    t.summary.zip(t2.summary).foreach { case (a, b) =>
+      assert((a._1, a._2, a._3, a._4) == (b._1, b._2, b._3, b._4))
+      assert(math.abs(a._5 - b._5) <= 1e-9 * math.max(1.0, math.abs(b._5)))
+    }
+  }
+
+  test("CV raw grid covers q × fold × rep × sigma × measure") {
+    val df = gaussianDf(90)
+    val t = TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
+      qs = Seq(0.2), number = 3, repeats = 2, measures = Seq("mse"),
+      cfg = SlopeConfig(nSigma = 4))
+    val nSigma = t.model.fit.sigma.length
+    assert(t.raw.length == 1 * 3 * 2 * nSigma)
+    assert(t.raw.map(c => (c.fold, c.rep)).distinct.length == 6)
+  }
+
+  test("diagnostics traces are collected when enabled") {
+    val prob = RandomProblem(n = 60, p = 3, family = Binomial, seed = 9L)
+    val (xs, ctr, scl) = RandomProblem.standardizeLocal(prob.x, intercept = true,
+      center = true, scale = "l2")
+    val ops = new LocalOps(xs, prob.y, Binomial, true)
+    val fit = SlopePath.fit(ops,
+      SlopeConfig(family = "binomial", nSigma = 4, diagnostics = true),
+      ctr, scl, Array(0.0), Array(1.0))
+    assert(fit.diagnostics.nonEmpty)
+    assert(fit.diagnostics.exists(_._1.nonEmpty)) // at least one primal trace
+    val model = new SlopeModel(fit, Array("a", "b", "c"), Array("x", "y"))
+    val df = model.diagnosticsDf(spark)
+    assert(df.columns.sameElements(
+      Array("step", "sigma", "iteration", "time", "primal", "dual")))
+    assert(df.count() > 0)
+  }
+}
