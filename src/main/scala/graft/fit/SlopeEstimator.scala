@@ -32,6 +32,7 @@ object SlopeEstimator {
           labelCol: String,
           cfg: SlopeConfig): SlopeModel = {
     val family = Family(cfg.family)
+    validate(df, featureCols, labelCol, cfg, family)
 
     // ---- response encoding (R/preProcessResponse.R) ----
     val classNames: Array[String] = family match {
@@ -70,6 +71,11 @@ object SlopeEstimator {
             case Multinomial =>
               val k = classIndex(String.valueOf(r.get(0)))
               Array.tabulate(mT)(j => if (k == j) 1.0 else 0.0)
+            case Poisson =>
+              val v = numeric(r, 0)
+              if (v < 0) throw new IllegalArgumentException(
+                "cannot have negative responses in poisson model")
+              Array(v)
             case _ =>
               Array(numeric(r, 0))
           }
@@ -80,6 +86,30 @@ object SlopeEstimator {
         }
     }
     fitRdd(rows, family, mTargets, pFeat, featureCols.toArray, classNames, cfg)
+  }
+
+  /** Input assertions (reference R/owl.R:317-360,395-413 + the class-count
+    * checks of preProcessResponse.R): schema presence, non-empty features,
+    * λ/σ sanity. Missing values are rejected row-side (`numeric`), and
+    * class-cardinality checks happen during label encoding.
+    */
+  private[fit] def validate(df: DataFrame, featureCols: Seq[String],
+                            labelCol: String, cfg: SlopeConfig,
+                            family: Family): Unit = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val cols = df.columns.toSet
+    val missing = (featureCols :+ labelCol).filterNot(cols)
+    require(missing.isEmpty, s"columns not in DataFrame: ${missing.mkString(", ")}")
+    require(cfg.sigma.forall(_ >= 0.0), "sigma values must be non-negative")
+    if (cfg.lambdaType == "user") {
+      val lam = cfg.userLambda
+      require(lam.nonEmpty, "lambda_type=user needs a lambda sequence")
+      require(lam.forall(_ >= 0.0), "lambda sequence cannot contain negative values")
+      require(lam.zip(lam.tail).forall { case (a, b) => a >= b },
+        "lambda sequence must be non-increasing")
+    }
+    require(Seq("l2", "l1", "sd", "max", "none").contains(cfg.scale),
+      s"unknown scale: ${cfg.scale}")
   }
 
   private def numeric(r: Row, i: Int): Double = r.get(i) match {

@@ -93,6 +93,10 @@ object SlopePath {
 
     // ---- λ sequence and σ grid (src/regularizationPath.h:9-72) ----
     val nLambda = pFeat * m
+    if (cfg.lambdaType == "user")
+      require(cfg.userLambda.length == nLambda,
+        s"lambda sequence must be as long as there are variables " +
+          s"(${cfg.userLambda.length} != $nLambda)")
     val lambda = LambdaSequence.build(cfg.lambdaType, nLambda, q, n, cfg.userLambda)
     val gradMax = ops.lambdaMaxVec() // one data pass
     val sigmaMax = LambdaSequence.sigmaMax(gradMax, lambda)

@@ -168,14 +168,32 @@ object MlQueries {
     pathToDf(s, model)
   }
 
+  /** Multinomial SLOPE path: 3-class l_returnflag, m−1 = 2 full-rank
+    * targets (reference parametrization, not MLlib's pivoted softmax).
+    */
+  val slopePathMultinomial: Q = Q.rowsOnly("m_slope_path_multinomial") { (s, dir) =>
+    val model = SlopeEstimator.fit(li(s, dir), features, "l_returnflag",
+      SlopeConfig(family = "multinomial", nSigma = 6))
+    pathToDf(s, model)
+  }
+
+  /** Poisson SLOPE path: predict integer-ish l_quantity with a log link. */
+  val slopePathPoisson: Q = Q.rowsOnly("m_slope_path_poisson") { (s, dir) =>
+    val model = SlopeEstimator.fit(
+      li(s, dir).withColumn("qty", col("l_quantity").cast("double")),
+      Seq("l_discount", "l_tax", "l_extendedprice"), "qty",
+      SlopeConfig(family = "poisson", nSigma = 6))
+    pathToDf(s, model)
+  }
+
   private[queries] def pathToDf(s: SparkSession, model: SlopeModel): DataFrame = {
     import s.implicits._
     val names = "intercept" +: model.featureNames.toSeq
     model.fit.betas.indices.flatMap { k =>
       val b = model.fit.betas(k)
-      (0 until b.rows).map(i =>
-        (k, model.fit.sigma(k), names(i), b(i, 0), model.fit.devianceRatios(k)))
-    }.toDF("step", "sigma", "feature", "beta", "deviance_ratio")
+      for (i <- 0 until b.rows; j <- 0 until b.cols) yield
+        (k, model.fit.sigma(k), names(i), j, b(i, j), model.fit.devianceRatios(k))
+    }.toDF("step", "sigma", "feature", "target", "beta", "deviance_ratio")
   }
 
   /** T1: repeated k-fold CV over the path (deterministic salted-hash
@@ -192,5 +210,6 @@ object MlQueries {
 
   val queries: Seq[Q] = Seq(
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
-    slopePathGaussian, slopePathBinomial, trainCv)
+    slopePathGaussian, slopePathBinomial, slopePathMultinomial,
+    slopePathPoisson, trainCv)
 }
