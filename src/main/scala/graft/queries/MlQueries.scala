@@ -25,10 +25,24 @@ object MlQueries {
 
   private def li(s: SparkSession, dir: String): DataFrame = Tables.t(s, dir, "lineitem")
 
-  /** Stacked (feature, x, y) rows: one scan, used by stats and lambdaMax. */
-  private def stacked(s: SparkSession, dir: String): DataFrame = {
-    val stackExpr = features.map(f => s"'$f', $f").mkString(s"stack(${features.length}, ", ", ", ")")
-    li(s, dir).selectExpr(s"$stackExpr as (feature, x)", s"$label as y")
+  /** Wide per-feature aggregates computed in ONE lineitem scan (no stack
+    * explode — stacking first would scan-shuffle |features|× the rows),
+    * unpivoted to (feature, n, xm, ym, sxx, sxy) afterwards. The oracle SQL
+    * keeps the readable UNION ALL form; values are identical.
+    */
+  private def featureMoments(s: SparkSession, dir: String): DataFrame = {
+    val aggs = features.zipWithIndex.flatMap { case (f, i) =>
+      Seq(
+        Det.davg(col(f)).as(s"xm_$i"),
+        Det.dsum(col(f) * col(f), 6).as(s"sxx_$i"),
+        Det.dsum(col(f) * col(label), 6).as(s"sxy_$i"))
+    }
+    val allAggs = Seq(count(lit(1)).as("n"), Det.davg(col(label)).as("ym")) ++ aggs
+    val wide = li(s, dir).agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = features.zipWithIndex
+      .map { case (f, i) => s"'$f', xm_$i, sxx_$i, sxy_$i" }.mkString(", ")
+    wide.selectExpr("n", "ym",
+      s"stack(${features.length}, $stackArgs) as (feature, xm, sxx, sxy)")
   }
 
   private val stackedSql =
@@ -50,13 +64,10 @@ object MlQueries {
        |       sqrt(sumsq - n*mean*mean) AS l2_centered,
        |       sqrt((sumsq - n*mean*mean)/(n - 1)) AS sd
        |FROM agg ORDER BY feature""".stripMargin) { (s, dir) =>
-    stacked(s, dir)
-      .groupBy("feature")
-      .agg(count(lit(1)).as("n"), Det.davg(col("x")).as("mean"),
-        Det.dsum(col("x") * col("x"), 6).as("sumsq"))
-      .select(col("feature"), col("mean"),
-        sqrt(col("sumsq") - col("n") * col("mean") * col("mean")).as("l2_centered"),
-        sqrt((col("sumsq") - col("n") * col("mean") * col("mean")) / (col("n") - lit(1)))
+    featureMoments(s, dir)
+      .select(col("feature"), col("xm").as("mean"),
+        sqrt(col("sxx") - col("n") * col("xm") * col("xm")).as("l2_centered"),
+        sqrt((col("sxx") - col("n") * col("xm") * col("xm")) / (col("n") - lit(1)))
           .as("sd"))
       .orderBy("feature")
   }
@@ -78,11 +89,7 @@ object MlQueries {
        |SELECT feature,
        |       abs((sxy - n*xm*ym)/sqrt(sxx - n*xm*xm)) AS lambda_max
        |FROM agg ORDER BY feature""".stripMargin) { (s, dir) =>
-    stacked(s, dir)
-      .groupBy("feature")
-      .agg(count(lit(1)).as("n"), Det.davg(col("x")).as("xm"), Det.davg(col("y")).as("ym"),
-        Det.dsum(col("x") * col("x"), 6).as("sxx"),
-        Det.dsum(col("x") * col("y"), 6).as("sxy"))
+    featureMoments(s, dir)
       .select(col("feature"),
         abs((col("sxy") - col("n") * col("xm") * col("ym")) /
           sqrt(col("sxx") - col("n") * col("xm") * col("xm"))).as("lambda_max"))

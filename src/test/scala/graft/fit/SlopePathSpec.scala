@@ -110,12 +110,21 @@ class SlopePathSpec extends AnyFunSuite {
 
   test("screening on == screening off (reference test-screening-rules.R:1-22) and saves passes") {
     for ((fam, name) <- Seq((Gaussian, "gaussian"), (Binomial, "binomial"))) {
-      val prob = RandomProblem(n = 100, p = 20, q = 0.15, family = fam, seed = 216L)
+      val prob = RandomProblem(n = 100, p = 20, q = 0.15, amplitude = 1.0,
+        family = fam, seed = 216L)
       val cfgOn = SlopeConfig(family = name, nSigma = 20, screening = true)
       val cfgOff = cfgOn.copy(screening = false)
       val fitOn = fitLocal(prob.x, prob.y, cfgOn)
       val fitOff = fitLocal(prob.x, prob.y, cfgOff)
       assert(fitOn.betas.length == fitOff.betas.length, s"$name path lengths")
+      // screening must actually PRUNE (reference test-screening-rules.R:
+      // "screening actually prunes"): early path steps solve on a strict
+      // subset of the 21 columns. (Pass COUNTS can go either way — subset
+      // passes are cheaper, not fewer, and KKT repairs add full-gradient
+      // passes, exactly as in the reference.)
+      val p = fitOn.betas.head.rows
+      assert(fitOn.activeSets.take(3).exists(_.length < p),
+        s"$name screening never pruned")
       for (k <- fitOn.betas.indices; j <- 0 until fitOn.betas(k).rows) {
         val d = math.abs(fitOn.betas(k)(j, 0) - fitOff.betas(k)(j, 0))
         assert(d < 1e-3, s"$name step $k coef $j differs by $d")

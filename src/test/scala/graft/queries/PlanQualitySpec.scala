@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.SparkEntry
+
+/** Physical-plan regression tests: the properties that decide whether a
+  * plan survives a 100× scale-up — filter pushdown into the parquet scan,
+  * column pruning, no cartesian products outside the one intended broadcast
+  * probe join, and no unconditional broadcasts of SF-scaled tables.
+  */
+class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    val b = SparkSession.builder().master("local[4]")
+      .appName("graft-plan-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    graft.util.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("filters push down into the parquet scan (q2, q6)") {
+    val p6 = planOf("q6_forecast_revenue")
+    assert(p6.contains("PushedFilters: ["), p6.take(2000))
+    assert(p6.contains("l_shipdate") && p6.contains("GreaterThanOrEqual"),
+      "shipdate range must reach the scan")
+    val p2 = planOf("q2_filter_project")
+    assert(p2.contains("PushedFilters: ["))
+  }
+
+  test("column pruning reaches the scan (q2 reads only needed columns)") {
+    val p2 = planOf("q2_filter_project")
+    // lineitem has 11 columns; the query touches a handful. Unused columns
+    // must not appear in the scan's ReadSchema.
+    assert(!p2.contains("l_returnflag"), "unused column read from parquet")
+    assert(!p2.contains("l_suppkey"), "unused column read from parquet")
+  }
+
+  test("no SF-scaled table is broadcast by hint in q3/q5/q14 (AQE decides)") {
+    for (name <- Seq("q3_shipping_priority", "q5_local_supplier_volume",
+      "q14_promo_share")) {
+      val lp = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.analyzed.toString()
+      // broadcast hints survive into the analyzed plan as ResolvedHint /
+      // UnresolvedHint nodes; none may sit over customer/supplier/part scans
+      val hinted = lp.split("\n").zipWithIndex.filter(_._1.contains("Hint"))
+      val bad = hinted.exists { case (_, i) =>
+        val below = lp.split("\n").slice(i, i + 6).mkString("\n")
+        below.contains("customer.parquet") || below.contains("supplier.parquet") ||
+          below.contains("part.parquet")
+      }
+      assert(!bad, s"$name still hints a fact-scaled table")
+    }
+  }
+
+  test("q10/q11 are single lazy plans (all branches in one physical plan)") {
+    // the round-1 anti-pattern was eager .count() calls at build time; the
+    // regression guard is structural: all three set-op aggregates (resp.
+    // both semi/anti aggregates) must live in ONE plan, joined lazily
+    val p10 = SparkEntry.queries("q10_setops")(spark, dir)
+      .queryExecution.optimizedPlan.toString()
+    assert(p10.split("\n").count(_.contains("Aggregate [")) >= 3,
+      "q10 must carry all three counts in one plan")
+    assert(p10.contains("Join"), "q10 branches must join lazily")
+    val p11 = SparkEntry.queries("q11_semi_anti")(spark, dir)
+      .queryExecution.optimizedPlan.toString()
+    assert(p11.contains("LeftSemi") && p11.contains("LeftAnti"),
+      "q11 must keep semi+anti branches in one plan")
+  }
+
+  test("pipeline queries contain no cartesian product") {
+    for (name <- Seq("p_minhash_lsh_dedup", "p_simhash_hamming", "p_ann_lsh_topk",
+      "p_exact_dedup")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("cosine top-k joins via broadcast of the probe set only") {
+    val p = planOf("p_cosine_topk")
+    // the probe×corpus join must be a broadcast nested loop (tiny probe
+    // side), never a shuffled cartesian product
+    assert(!p.contains("CartesianProduct"), "probe join fell back to cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe side should broadcast")
+  }
+
+  test("ML primitive queries are single-scan aggregations (no join, no shuffle explosion)") {
+    for (name <- Seq("m_standardize_stats", "m_lambda_max_gaussian", "m_score_fixed_beta")) {
+      val p = planOf(name)
+      assert(!p.contains("Join"), s"$name should not join")
+      // exactly one parquet scan of lineitem
+      val scans = p.split("\n").count(l => l.contains("lineitem.parquet"))
+      assert(scans <= 1, s"$name scans lineitem $scans times")
+    }
+  }
+}
