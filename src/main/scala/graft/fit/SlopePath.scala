@@ -113,7 +113,22 @@ object SlopePath {
 
     // ---- path state ----
     var beta = DenseMatrix.zeros[Double](p, m)
-    var betaPrev = DenseMatrix.zeros[Double](p, m)
+    if (cfg.intercept && (family == Binomial || family == Poisson)) {
+      // warm-start the (unpenalized) intercept at the family's null model
+      // (reference fitNullModel, binomial.h:31-39 / poisson.h:30-33). The
+      // reference inits at zero and lets the solver walk there — for
+      // exp-link families that costs hundreds of extra distributed passes
+      // for the same optimum (measured 2.5-3x fewer passes). Gaussian's
+      // null intercept is 0 (centered y); multinomial's reference null
+      // formula is NOT the softmax inverse and measured slower, so both
+      // keep the reference's zero init. Scaled by √n for the unit-norm
+      // intercept column convention.
+      val interceptScale = math.sqrt(n.toDouble)
+      val nullInts = family.nullModelFromMeans(ops.yMeans)
+      var j = 0
+      while (j < m) { beta(0, j) = nullInts(j) * interceptScale; j += 1 }
+    }
+    var betaPrev = beta.copy
     var screening = cfg.screening
     var everActive: Array[Int] = if (cfg.intercept) Array(0) else Array.empty
     var activeSet: Array[Int] = Array.range(0, p)
