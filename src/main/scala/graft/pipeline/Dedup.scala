@@ -73,20 +73,23 @@ object Dedup {
             x => x.getField("minhash").cast("string")),
           ",")).as("bh"))
 
-  /** LSH candidate pairs: docs sharing any (band, band-hash) bucket. This is
-    * the scale-critical step — an equi-join on the bucket key, never a cross
-    * join; bucket sizes are tiny for honest hash functions so the join
-    * output stays near-linear.
+  /** LSH candidate pairs: docs sharing any (band, band-hash) bucket. One
+    * groupBy on the bucket key + in-bucket pair expansion — the signature
+    * chain is computed ONCE (a self-join would execute it twice unless
+    * exchange reuse happens to fire) and there is never an all-pairs step;
+    * pair output is Σ |bucket|², tiny for honest hash functions.
     */
-  def candidatePairs(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.select(col("band").as("band_a"), col("bh").as("bh_a"),
-      col("doc_id").as("d1"))
-    val b = bandsDf.select(col("band").as("band_b"), col("bh").as("bh_b"),
-      col("doc_id").as("d2"))
-    a.join(b, col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
-        col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-  }
+  def candidatePairs(bandsDf: DataFrame): DataFrame =
+    bandsDf
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y -> struct(x as d1, y as d2))))"""
+          .stripMargin)).as("pair"))
+      .select(col("pair.d1").as("d1"), col("pair.d2").as("d2"))
+      .distinct()
 
   /** Exact n-gram Jaccard on the candidate pairs only. The join is
     * CANDIDATE-DRIVEN: cand ⋈ shingles(d1) on d1, then ⋈ shingles on
@@ -167,20 +170,22 @@ object SimHash {
     * become candidates (equi-join on the band key — the LSH structure that
     * replaces the quadratic scan), then the exact popcount filters.
     */
-  def hammingPairs(simhashDf: DataFrame, maxHamming: Int = 4): DataFrame = {
-    val banded = simhashDf
+  def hammingPairs(simhashDf: DataFrame, maxHamming: Int = 4): DataFrame =
+    simhashDf
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
       .select(col("doc_id"), col("simhash"), col("k"),
         expr("shiftright(simhash, cast(k * 15 as int)) & 32767").as("bandval"))
-    val a = banded.select(col("k").as("k_a"), col("bandval").as("v_a"),
-      col("doc_id").as("d1"), col("simhash").as("s1"))
-    val b = banded.select(col("k").as("k_b"), col("bandval").as("v_b"),
-      col("doc_id").as("d2"), col("simhash").as("s2"))
-    a.join(b, col("k_a") === col("k_b") && col("v_a") === col("v_b") &&
-        col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .groupBy("k", "bandval")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x.doc_id as d1, y.doc_id as d2,
+          |           bit_count(x.simhash ^ y.simhash) as hamming))))""".stripMargin))
+        .as("pair"))
+      .select(col("pair.d1").as("d1"), col("pair.d2").as("d2"),
+        col("pair.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-  }
 }
