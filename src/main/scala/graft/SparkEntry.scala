@@ -15,9 +15,12 @@ object SparkEntry {
   private def suites: Seq[Q] =
     RelationalQueries.queries ++ MlQueries.queries ++ PipelineQueries.queries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The gaussian SLOPE path fit — the engine's actual reason to exist —
+    * read from parquet, standardized, solved distributed, coefficients out.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("m_slope_path_gaussian")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

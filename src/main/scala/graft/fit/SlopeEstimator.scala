@@ -1,7 +1,7 @@
 package graft.fit
 
 import breeze.linalg.DenseMatrix
-import org.apache.spark.ml.linalg.{Vectors => MlVectors, Vector => MlVector, VectorUDT}
+import org.apache.spark.ml.linalg.{Vectors => MlVectors, Vector => MlVector}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types.{NumericType, StructField}
@@ -54,7 +54,16 @@ object SlopeEstimator {
       case _           => 1
     }
 
-    val pFeat = featureCols.length
+    // a single VectorUDT column is accepted as the assembled design matrix
+    // (the ml.Pipeline-native form); scalar numeric columns otherwise
+    val vectorInput = featureCols.length == 1 &&
+      df.schema(featureCols.head).dataType ==
+        org.apache.spark.ml.linalg.SQLDataTypes.VectorType
+    val pFeat =
+      if (vectorInput)
+        df.select(featureCols.head).head()
+          .getAs[MlVector](0).size
+      else featureCols.length
     val fCols = featureCols.toArray
     val lCol = labelCol
     val classIndex = classNames.zipWithIndex.toMap
@@ -79,13 +88,21 @@ object SlopeEstimator {
             case _ =>
               Array(numeric(r, 0))
           }
-          val x = new Array[Double](fCols.length)
-          var i = 0
-          while (i < fCols.length) { x(i) = numeric(r, i + 1); i += 1 }
-          (y, MlVectors.dense(x))
+          val x: MlVector =
+            if (vectorInput) r.getAs[MlVector](1)
+            else {
+              val arr = new Array[Double](fCols.length)
+              var i = 0
+              while (i < fCols.length) { arr(i) = numeric(r, i + 1); i += 1 }
+              MlVectors.dense(arr)
+            }
+          (y, x)
         }
     }
-    fitRdd(rows, family, mTargets, pFeat, featureCols.toArray, classNames, cfg)
+    val names =
+      if (vectorInput) Array.tabulate(pFeat)(i => s"${featureCols.head}[$i]")
+      else featureCols.toArray
+    fitRdd(rows, family, mTargets, pFeat, names, classNames, cfg)
   }
 
   /** Input assertions (reference R/owl.R:317-360,395-413 + the class-count

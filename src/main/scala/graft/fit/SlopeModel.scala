@@ -140,7 +140,12 @@ final class SlopeModel(
       case other => throw new IllegalArgumentException(s"unknown predict type: $other")
     }
 
-    val xsCol = array(featureCols.map(c => col(c).cast("double")): _*)
+    val xsCol =
+      if (featureCols.length == 1 &&
+          df.schema(featureCols.head).dataType ==
+            org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+        org.apache.spark.ml.functions.vector_to_array(col(featureCols.head))
+      else array(featureCols.map(c => col(c).cast("double")): _*)
     df.withColumn(outputCol, predUdf(xsCol))
   }
 

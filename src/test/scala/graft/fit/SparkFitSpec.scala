@@ -151,6 +151,30 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a single VectorUDT features column works end-to-end (ml.Pipeline form)") {
+    val prob = RandomProblem(n = 100, p = 4, family = Gaussian, seed = 88L)
+    val sp = spark; import sp.implicits._
+    val dfScalar = (0 until 100).map(i =>
+      (prob.y(i, 0), prob.x(i, 0), prob.x(i, 1), prob.x(i, 2), prob.x(i, 3)))
+      .toDF("label", "f0", "f1", "f2", "f3")
+    val dfVec = (0 until 100).map(i =>
+      (prob.y(i, 0), MlVectors.dense(Array.tabulate(4)(j => prob.x(i, j)))))
+      .toDF("label", "features")
+    val cfg = SlopeConfig(nSigma = 8)
+    val mScalar = SlopeEstimator.fit(dfScalar, Seq("f0", "f1", "f2", "f3"), "label", cfg)
+    val mVec = SlopeEstimator.fit(dfVec, Seq("features"), "label", cfg)
+    assert(mVec.featureNames.sameElements(
+      Array("features[0]", "features[1]", "features[2]", "features[3]")))
+    assert(mScalar.fit.betas.length == mVec.fit.betas.length)
+    for (k <- mScalar.fit.betas.indices; j <- 0 until 5) {
+      val (a, b) = (mScalar.fit.betas(k)(j, 0), mVec.fit.betas(k)(j, 0))
+      assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b)), s"($k,$j): $a vs $b")
+    }
+    // transform over the vector column
+    val preds = mVec.transform(dfVec, Seq("features"))
+    assert(preds.select("pred").head().getSeq[Seq[Double]](0).nonEmpty)
+  }
+
   test("binomial end-to-end with string labels, predict and score") {
     val prob = RandomProblem(n = 200, p = 4, family = Binomial, amplitude = 1.5, seed = 55L)
     import scala.jdk.CollectionConverters._
