@@ -161,7 +161,7 @@ final class SlopeModel(
     measure match {
       case "auc" =>
         require(fam == Binomial, "auc is binomial-only")
-        (0 until nSteps).map(k => aucAtStep(df, featureCols, labelCol, k)).toArray
+        aucAllSteps(df, featureCols, labelCol, nSteps)
       case _ =>
         val scored = transform(df, featureCols, "p_resp",
           predictType = if (fam == Gaussian || fam == Poisson) "link" else "response")
@@ -181,6 +181,38 @@ final class SlopeModel(
   private def measureExpr(fam: Family, measure: String, k: Int, labelCol: String) = {
     val pred = expr(s"p_resp2[$k][0]")
     fam match {
+      case Multinomial =>
+        // M13 (reference R/score.R:82-118): one-hot y over the m+1 classes
+        // vs softmax probabilities; per-row class-mean for mse/mae,
+        // class-sum for the capped deviance, then averaged over rows.
+        val nCls = classNames.length
+        val terms = (0 until nCls).map { j =>
+          val yj = (col(labelCol).cast("string") === classNames(j)).cast("double")
+          val pj = expr(s"p_resp2[$k][$j]")
+          (yj, pj)
+        }
+        measure match {
+          case "mse" =>
+            terms.map { case (yj, pj) => pow(yj - pj, 2.0) }
+              .reduce(_ + _) / lit(nCls.toDouble)
+          case "mae" =>
+            terms.map { case (yj, pj) => abs(yj - pj) }
+              .reduce(_ + _) / lit(nCls.toDouble)
+          case "deviance" =>
+            terms.map { case (yj, pj) =>
+              val pc = least(greatest(pj, lit(1e-5)), lit(1.0 - 1e-5))
+              lit(-2.0) * yj * log(pc) // y log y = 0 for one-hot y
+            }.reduce(_ + _)
+          case "misclass" =>
+            // argmax class (deterministic first-max) vs label
+            val best = expr(
+              s"array_position(p_resp2[$k], array_max(p_resp2[$k])) - 1")
+            val predName = classNames.zipWithIndex.foldRight(lit(""): org.apache.spark.sql.Column) {
+              case ((cn, j), acc) => when(best === j, lit(cn)).otherwise(acc)
+            }
+            (predName =!= col(labelCol).cast("string")).cast("double")
+          case other => throw new IllegalArgumentException(s"measure $other")
+        }
       case Binomial =>
         // y one-hot over sorted classes; prob is P(class 2) (R/score.R:45-78)
         val y2 = (col(labelCol).cast("string") === classNames(1)).cast("double")
@@ -205,17 +237,40 @@ final class SlopeModel(
     }
   }
 
-  /** Wilcoxon rank-statistic AUC, distributed: global rank of the scores via
-    * a window, then one aggregation (reference R/score.R:137-150; ties get
-    * average ranks from the sort — deterministic, unlike the reference's
-    * randomized weighted variant, a documented deviation).
+  /** Wilcoxon rank-statistic AUC for EVERY path step in one job
+    * (reference R/score.R:137-150): explode to (step, prob, y), rank within
+    * each step's window partition, aggregate per step. Average ranks for
+    * ties — deterministic, unlike the reference's randomized weighted
+    * variant (documented deviation). One shuffle for all steps instead of a
+    * global sort per step.
     */
-  private def aucAtStep(df: DataFrame, featureCols: Seq[String], labelCol: String,
-                        k: Int): Double = {
+  private def aucAllSteps(df: DataFrame, featureCols: Seq[String],
+                          labelCol: String, nSteps: Int): Array[Double] = {
+    import org.apache.spark.sql.expressions.Window
     val scored = transform(df, featureCols, "p_resp", predictType = "response")
-      .select(expr(s"p_resp[$k][0]").as("prob"),
+      .select(posexplode(col("p_resp")).as(Seq("step", "probs")),
         (col(labelCol).cast("string") === classNames(1)).cast("double").as("y"))
-    Auc.compute(scored, "prob", "y")
+      .select(col("step"), expr("probs[0]").as("prob"), col("y"))
+    val w = Window.partitionBy("step").orderBy(col("prob"))
+    val g = scored
+      .withColumn("rn", row_number().over(w).cast("double"))
+      .groupBy("step", "prob").agg(avg(col("rn")).as("avg_rank"),
+        sum(col("y")).as("n1_in"), count(lit(1)).as("cnt"))
+    val rows = g.groupBy("step").agg(
+      sum(col("avg_rank") * col("n1_in")).as("rank_sum"),
+      sum(col("n1_in")).as("n1"),
+      sum(col("cnt")).as("n"))
+      .collect()
+    val out = new Array[Double](nSteps)
+    rows.foreach { r =>
+      val step = r.getInt(0)
+      val rankSum = r.getDouble(1)
+      val n1 = r.getDouble(2)
+      val n0 = r.getLong(3).toDouble - n1
+      val u = rankSum - n1 * (n1 + 1.0) / 2.0
+      out(step) = math.exp(math.log(u) - math.log(n1) - math.log(n0))
+    }
+    out
   }
 }
 

@@ -34,8 +34,9 @@ object TrainSlope {
       raw: Seq[CellScore])
 
   def defaultMeasures(family: String): Seq[String] = family match {
-    case "binomial" => Seq("mse", "mae", "deviance", "misclass", "auc")
-    case _          => Seq("mse", "mae")
+    case "binomial"    => Seq("mse", "mae", "deviance", "misclass", "auc")
+    case "multinomial" => Seq("mse", "mae", "deviance")
+    case _             => Seq("mse", "mae")
   }
 
   def train(df: DataFrame,

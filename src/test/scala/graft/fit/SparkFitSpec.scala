@@ -207,4 +207,24 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val auc = model.score(df, (0 until 4).map(j => s"f$j"), "label", "auc")
     assert(auc.last > 0.7 && auc.last <= 1.0, s"auc ${auc.last}")
   }
+
+  test("multinomial scoring: mse/mae/deviance/misclass improve along the path") {
+    val prob = RandomProblem(n = 240, p = 4, family = Multinomial, nTargets = 2,
+      amplitude = 1.5, seed = 66L)
+    val sp = spark; import sp.implicits._
+    val df = (0 until 240).map(i =>
+      (prob.rawLabels(i), prob.x(i, 0), prob.x(i, 1), prob.x(i, 2), prob.x(i, 3)))
+      .toDF("label", "f0", "f1", "f2", "f3")
+    val model = SlopeEstimator.fit(df, (0 until 4).map(j => s"f$j"), "label",
+      SlopeConfig(family = "multinomial", nSigma = 10))
+    assert(model.classNames.length == 3)
+    for (meas <- Seq("mse", "mae", "deviance", "misclass")) {
+      val s = model.score(df, (0 until 4).map(j => s"f$j"), "label", meas)
+      assert(s.forall(v => !v.isNaN && v >= 0), s"$meas has bad values")
+      assert(s.last < s.head + 1e-9, s"$meas did not improve: ${s.head} -> ${s.last}")
+    }
+    // misclass at the densest step beats the 2/3 null rate clearly
+    val mis = model.score(df, (0 until 4).map(j => s"f$j"), "label", "misclass")
+    assert(mis.last < 0.5, s"misclass ${mis.last}")
+  }
 }
