@@ -151,15 +151,44 @@ object SlopeEstimator {
         if (family == Gaussian) stats.yMeans.clone() else Array.fill(mTargets)(0.0)
       val yScale: Array[Double] = Array.fill(mTargets)(1.0)
 
-      val passCounter = persisted.sparkContext.longAccumulator("graft.slope.dataPasses")
-      val ops = new RddOps(persisted, family, cfg.intercept, stats.n, pFeat, mTargets,
-        if (cfg.center) stats.xCenter else Array.fill(pFeat)(0.0),
-        stats.xScale, yCenter, stats.yMeans,
-        Array.range(0, pFeat + (if (cfg.intercept) 1 else 0)), passCounter)
+      val xCenter = if (cfg.center) stats.xCenter else Array.fill(pFeat)(0.0)
 
-      val fit = SlopePath.fit(ops, cfg,
-        if (cfg.center) stats.xCenter else Array.fill(pFeat)(0.0),
-        stats.xScale, yCenter, yScale)
+      // adaptive substrate: below the threshold the whole (standardized)
+      // problem fits comfortably on the driver — solve there at single-node
+      // speed, exactly like the reference would; larger data runs the
+      // distributed treeAggregate path. Identical math either way
+      // (SparkFitSpec pins LocalOps ≡ RddOps).
+      val ops: BatchOps =
+        if (stats.n * pFeat <= cfg.localFitThreshold) {
+          val rowsArr = persisted.collect()
+          val n = rowsArr.length
+          val ic = if (cfg.intercept) 1 else 0
+          val xs = DenseMatrix.zeros[Double](n, pFeat + ic)
+          val ym = DenseMatrix.zeros[Double](n, mTargets)
+          val interceptVal = 1.0 / math.sqrt(n.toDouble)
+          var i = 0
+          while (i < n) {
+            val (y, v) = rowsArr(i)
+            if (cfg.intercept) xs(i, 0) = interceptVal
+            var j = 0
+            while (j < pFeat) {
+              xs(i, j + ic) = (v(j) - xCenter(j)) / stats.xScale(j)
+              j += 1
+            }
+            j = 0
+            while (j < mTargets) { ym(i, j) = y(j) - yCenter(j); j += 1 }
+            i += 1
+          }
+          new LocalOps(xs, ym, family, cfg.intercept)
+        } else {
+          val passCounter =
+            persisted.sparkContext.longAccumulator("graft.slope.dataPasses")
+          new RddOps(persisted, family, cfg.intercept, stats.n, pFeat, mTargets,
+            xCenter, stats.xScale, yCenter, stats.yMeans,
+            Array.range(0, pFeat + (if (cfg.intercept) 1 else 0)), passCounter)
+        }
+
+      val fit = SlopePath.fit(ops, cfg, xCenter, stats.xScale, yCenter, yScale)
       new SlopeModel(fit, featureNames, classNames)
     } finally {
       persisted.unpersist(blocking = false)

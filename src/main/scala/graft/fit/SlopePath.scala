@@ -28,7 +28,14 @@ final case class SlopeConfig(
       * the reference always builds the Gram for gaussian, which cannot work
       * at 100 TB-scale p.
       */
-    maxGramCols: Int = 2048)
+    maxGramCols: Int = 2048,
+    /** When n·p is below this, the estimator collects the (standardized)
+      * data to the driver and solves with LocalOps — single-node speed for
+      * problems the reference would also solve in-memory, while large data
+      * takes the distributed treeAggregate path. LocalOps ≡ RddOps is
+      * pinned by SparkFitSpec. Set to 0 to force the distributed path.
+      */
+    localFitThreshold: Long = 4000000L)
 
 /** Full-path fit output (standardized-scale coefficients are already
   * back-transformed; reference src/rescale.h:8-31 applied).

@@ -116,9 +116,9 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (j <- 0 until 6)
       assert(math.abs(beta(j, 0) - ols(j)) < 1e-3, s"coef $j: ${beta(j, 0)} vs ${ols(j)}")
 
-    // full default path: distributed ≡ local
+    // full default path: distributed ≡ local (force the RDD substrate)
     val modelPath = SlopeEstimator.fit(df, (0 until 5).map(j => s"f$j"), "label",
-      SlopeConfig(nSigma = 15))
+      SlopeConfig(nSigma = 15, localFitThreshold = 0L))
     val (xs, ctr, scl) = RandomProblem.standardizeLocal(prob.x, intercept = true,
       center = true, scale = "l2")
     val yBar = breeze.linalg.sum(prob.y(::, 0)) / 150.0
@@ -138,8 +138,9 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sparseRdd = denseRdd.map { case (y, v) =>
       (y, MlVectors.dense(v.toArray).toSparse: org.apache.spark.ml.linalg.Vector)
     }
-    // sparse inputs keep center=false (R/owl.R:276,359-360)
-    val cfg = SlopeConfig(nSigma = 10, center = false)
+    // sparse inputs keep center=false (R/owl.R:276,359-360); force the
+    // DISTRIBUTED path so the RddOps sparse handling is what's tested
+    val cfg = SlopeConfig(nSigma = 10, center = false, localFitThreshold = 0L)
     val mD = SlopeEstimator.fitRdd(denseRdd, Gaussian, 1, 8,
       Array.tabulate(8)(i => s"f$i"), Array.empty, cfg)
     val mS = SlopeEstimator.fitRdd(sparseRdd, Gaussian, 1, 8,

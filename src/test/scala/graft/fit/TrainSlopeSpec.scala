@@ -50,7 +50,10 @@ class TrainSlopeSpec extends AnyFunSuite with BeforeAndAfterAll {
       qs = Seq(0.1, 0.3), number = 3, repeats = 1, cfg = cfg)
     assert(t.summary.length == t2.summary.length)
     t.summary.zip(t2.summary).foreach { case (a, b) =>
-      assert((a._1, a._2, a._3, a._4) == (b._1, b._2, b._3, b._4))
+      assert((a._1, a._2, a._4) == (b._1, b._2, b._4))
+      // sigma and stats agree up to the last-ulp noise of the distributed
+      // standardization pass (combine order varies run to run)
+      assert(math.abs(a._3 - b._3) <= 1e-9 * math.max(1.0, math.abs(b._3)))
       assert(math.abs(a._5 - b._5) <= 1e-9 * math.max(1.0, math.abs(b._5)))
     }
   }
