@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.fit._
+
+/** Public facade — the `owl()` front door of the engine
+  * (reference R/owl.R:271). Typical use:
+  *
+  * {{{
+  * import graft.Slope
+  * val model = Slope.fit(df, Seq("x1", "x2"), "y")                  // gaussian
+  * val cls   = Slope.fit(df, Seq("x1"), "label",
+  *               Slope.config(family = "binomial", nSigma = 50))
+  * val preds = cls.transform(df, Seq("x1"), predictType = "class")
+  * val auc   = cls.score(df, Seq("x1"), "label", "auc")
+  * val cv    = Slope.crossValidate(df, Seq("x1", "x2"), "y", idCol = "id")
+  * }}}
+  */
+object Slope {
+
+  def config(family: String = "gaussian",
+             intercept: Boolean = true,
+             nSigma: Int = 100,
+             sigma: Array[Double] = Array.empty,
+             lambdaType: String = "gaussian",
+             q: Double = -1.0,
+             screening: Boolean = true): SlopeConfig =
+    SlopeConfig(family = family, intercept = intercept, nSigma = nSigma,
+      sigma = sigma, lambdaType = lambdaType, q = q, screening = screening)
+
+  /** Fit a SLOPE path. `featureCols` may be scalar numeric columns or one
+    * `ml.linalg.Vector` column.
+    */
+  def fit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+          cfg: SlopeConfig = SlopeConfig()): SlopeModel =
+    SlopeEstimator.fit(df, featureCols, labelCol, cfg)
+
+  /** Repeated k-fold cross-validation (the reference's trainOwl). */
+  def crossValidate(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                    idCol: String,
+                    qs: Seq[Double] = Seq(0.2),
+                    number: Int = 10,
+                    repeats: Int = 1,
+                    cfg: SlopeConfig = SlopeConfig()): TrainSlope.TrainedSlope =
+    TrainSlope.train(df, featureCols, labelCol, idCol, qs, number, repeats,
+      cfg = cfg)
+
+  def save(model: SlopeModel, path: String)(implicit
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    ModelIO.save(spark, model, path)
+
+  def load(path: String)(implicit
+      spark: org.apache.spark.sql.SparkSession): SlopeModel =
+    ModelIO.load(spark, path)
+}

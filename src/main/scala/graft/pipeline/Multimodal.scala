@@ -49,6 +49,65 @@ object Multimodal {
     (w, h, hist.map(_ / n))
   }
 
+  /** ---- STUB ---- "resize": a real implementation re-encodes the decoded
+    * image at (w, h); the fake deterministically truncates/zero-pads the
+    * payload to w·h bytes so downstream size invariants are testable.
+    */
+  private[pipeline] def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    System.arraycopy(bytes, 0, out, 0, math.min(bytes.length, out.length))
+    out
+  }
+
+  /** ---- STUB ---- "frame sampling": a real implementation decodes every
+    * k-th video frame; the fake slices the payload into `frameSize` chunks
+    * and keeps every k-th chunk. The batching/shape contract is real.
+    */
+  private[pipeline] def frameSampleStub(bytes: Array[Byte], frameSize: Int,
+                                        everyK: Int): Seq[Array[Byte]] =
+    bytes.grouped(frameSize).zipWithIndex
+      .collect { case (frame, i) if i % everyK == 0 => frame }
+      .toSeq
+
+  /** Resize stage over a payload column: per-partition batched, emits the
+    * resized payload plus its post-resize byte count.
+    */
+  def resize(spark: SparkSession, docsWithPayload: DataFrame, w: Int, h: Int,
+             idCol: String = "doc_id", payloadCol: String = "content"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false)))
+    val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
+      .rdd.mapPartitions(_.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
+        val out = resizeStub(bytes, w, h)
+        Row(r.getLong(0), out, out.length)
+      })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame-sampling stage: one row per kept frame, (doc_id, frame_no,
+    * frame) — the explode shape a video pipeline feeds to per-frame
+    * embedding.
+    */
+  def frameSample(spark: SparkSession, docsWithPayload: DataFrame,
+                  frameSize: Int, everyK: Int,
+                  idCol: String = "doc_id", payloadCol: String = "content"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
+      .rdd.mapPartitions(_.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
+        frameSampleStub(bytes, frameSize, everyK).zipWithIndex.map {
+          case (frame, i) => Row(r.getLong(0), i, frame)
+        }
+      })
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Batched per-partition feature extraction over (doc_id, content) — the
     * Scala analogue of a `mapInPandas` decode stage: one iterator pass per
     * partition, constant memory, no driver involvement. Output schema is

@@ -136,6 +136,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 1 && top(0).getLong(2) == 1L) // nearest = the twin
   }
 
+  test("multimodal resize and frame-sample plumbing (stubbed codecs)") {
+    val df = Multimodal.withPayload(docsDf(0L -> ("x" * 100), 1L -> "tiny"))
+    val resized = Multimodal.resize(spark, df, 8, 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(resized(0L) == 64 && resized(1L) == 64) // truncated / zero-padded
+    val frames = Multimodal.frameSample(spark, df, frameSize = 10, everyK = 2)
+      .collect().groupBy(_.getLong(0))
+    assert(frames(0L).length == 5) // 10 chunks of 10 bytes, every 2nd kept
+    assert(frames(1L).length == 1)
+    assert(frames(0L).map(_.getInt(1)).sorted.sameElements(0 until 5))
+  }
+
   test("multimodal extraction: schema, determinism, rolling fingerprint") {
     val df = Multimodal.withPayload(docsDf(0L -> "hello world", 1L -> "hello world",
       2L -> "different"))
