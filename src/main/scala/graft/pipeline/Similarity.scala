@@ -83,6 +83,25 @@ object Similarity {
       .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
       .orderBy("bucket")
 
+  /** Embedding-cosine near-duplicate pairs: candidates from shared LSH
+    * buckets (equi-join on the bucket key — never all-pairs), verified by
+    * exact cosine ≥ threshold. The embedding-space analogue of
+    * MinHash-then-Jaccard-verify.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         nPlanes: Int = 8): DataFrame = {
+    val buckets = lshBucket(embeddings, nPlanes)
+    val withB = embeddings.select(col("vec_id"), col("embedding"))
+      .join(buckets, Seq("vec_id"))
+    val a = withB.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = withB.select(col("bucket").as("bucket_b"), col("vec_id").as("v2"),
+      col("embedding").as("e2"))
+    a.join(b, col("bucket") === col("bucket_b") && col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), round(cosine(col("e1"), col("e2")), 9).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to same-bucket
     * candidates (the IVF-style scale path; recall traded for a bucket-local
     * join instead of a corpus scan per probe).

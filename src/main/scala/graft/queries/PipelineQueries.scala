@@ -193,6 +193,41 @@ object PipelineQueries {
     Similarity.lshBucketHistogram(emb(s, dir))
   }
 
+  /** Embedding-cosine near-dup: LSH-bucket candidates verified by exact
+    * cosine ≥ 0.4 (the corpus has no planted embedding dups — max pairwise
+    * cosine ≈ 0.51 — so the threshold captures the genuine high-similarity
+    * tail that shares a bucket).
+    */
+  val embeddingNearDup: Q = Q.sql(
+    "p_embedding_near_dup",
+    """WITH v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |         unnest(embedding::DOUBLE[]) AS val
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, ss.s,
+      |         val * (CASE WHEN ('0x' || substr(md5('h' || ss.s::VARCHAR || '-' || d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+      |                     THEN 1.0 ELSE -1.0 END) AS contrib
+      |  FROM v, (SELECT unnest(range(8)) AS s) ss),
+      |pr AS (SELECT vec_id, s, sum(contrib) AS proj FROM c GROUP BY vec_id, s),
+      |b AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << s::INT) ELSE 0 END)::BIGINT AS bucket
+      |  FROM pr GROUP BY vec_id),
+      |wb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, b.bucket
+      |       FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS v1, bb.vec_id AS v2,
+      |         round(list_dot_product(a.emb, bb.emb) /
+      |               (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(bb.emb, bb.emb))), 9) AS cos
+      |  FROM wb a JOIN wb bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+      |SELECT v1, v2, cos FROM pairs WHERE cos >= 0.4 ORDER BY v1, v2""".stripMargin) {
+    (s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), 0.4)
+        .select(col("v1"), col("v2"), col("cos"))
+        .orderBy("v1", "v2")
+  }
+
   /** Binary-payload metadata (multimodal column plumbing, oracled part). */
   val multimodalMeta: Q = Q.sql(
     "p_multimodal_meta",
@@ -229,5 +264,6 @@ object PipelineQueries {
 
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, exactDedup, minhashLshDedup, simhashHamming,
-    cosineTopK, annLshBuckets, multimodalMeta, multimodalExtract, annLshTopK)
+    cosineTopK, annLshBuckets, embeddingNearDup, multimodalMeta,
+    multimodalExtract, annLshTopK)
 }
