@@ -203,6 +203,43 @@ object MlQueries {
     }.toDF("step", "sigma", "feature", "target", "beta", "deviance_ratio")
   }
 
+  /** The gradient reduce as a typed Dataset Aggregator (UDAF surface,
+    * SURVEY §2.5): gaussian loss + full gradient at a FIXED raw-scale β,
+    * exact-decimal accumulation → bit-identical DuckDB oracle.
+    */
+  val gradientUdaf: Q = {
+    val b0 = 1000.0
+    val bs = Array(25.0, -2000.0, 1500.0)
+    Q.sql(
+      "m_gradient_udaf",
+      s"""WITH e AS (
+         |  SELECT l_quantity AS x1, l_discount AS x2, l_tax AS x3,
+         |         ($b0 + ${bs(0)}*l_quantity + ${bs(1)}*l_discount + ${bs(2)}*l_tax)
+         |           - l_extendedprice AS r
+         |  FROM lineitem)
+         |SELECT (sum((0.5*r*r)::DECIMAL(30,3)))::DOUBLE AS loss,
+         |       (sum(r::DECIMAL(30,6)))::DOUBLE AS g_intercept,
+         |       (sum((x1*r)::DECIMAL(30,6)))::DOUBLE AS g_quantity,
+         |       (sum((x2*r)::DECIMAL(30,6)))::DOUBLE AS g_discount,
+         |       (sum((x3*r)::DECIMAL(30,6)))::DOUBLE AS g_tax
+         |FROM e""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ds = li(s, dir)
+        .select(col(label).cast("double"),
+          array(features.map(f => col(f).cast("double")): _*))
+        .as[(Double, Array[Double])]
+      val agg = new GradientAggregator(b0, bs, graft.slope.Gaussian)
+      // lazy single plan: the Aggregator IS the aggregation node; the
+      // product-encoded result flattens to (loss, grads)
+      ds.select(agg.toColumn.name("res")).toDF("loss", "grads")
+        .select(col("loss"),
+          col("grads")(0).as("g_intercept"),
+          col("grads")(1).as("g_quantity"),
+          col("grads")(2).as("g_discount"),
+          col("grads")(3).as("g_tax"))
+    }
+  }
+
   /** T1: repeated k-fold CV over the path (deterministic salted-hash
     * folds). Iterative fitting — rows-only; the fold/grid mechanics are
     * pinned by TrainSlopeSpec.
@@ -217,6 +254,6 @@ object MlQueries {
 
   val queries: Seq[Q] = Seq(
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
-    slopePathGaussian, slopePathBinomial, slopePathMultinomial,
+    gradientUdaf, slopePathGaussian, slopePathBinomial, slopePathMultinomial,
     slopePathPoisson, trainCv)
 }
