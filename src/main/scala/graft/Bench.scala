@@ -28,6 +28,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def force(name: String): Double = {
+      // settle the heap between queries: the iterative-fit queries collect
+      // sizeable driver arrays, and their garbage otherwise lands on
+      // whichever query runs next (measured 2.5s → 11s swings)
+      System.gc()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)

@@ -78,13 +78,45 @@ final class LocalOps(
   def lossGrad(beta: DenseMatrix[Double]): (Double, Double, DenseMatrix[Double]) = {
     passCounter.incrementAndGet()
     val lp = xMat * beta
-    val g = family.pseudoGradient(yMat, lp)
-    (family.primal(yMat, lp), family.dual(yMat, lp), xMat.t * g)
+    // fused single row loop with reused row buffers: the per-row-allocating
+    // matrix helpers triple-scan and allocate 2 arrays per row per call,
+    // which dominates local fits at 10⁵⁺ rows
+    val nR = xMat.rows
+    val mC = yMat.cols
+    val yRow = new Array[Double](mC)
+    val lpRow = new Array[Double](mC)
+    val pg = DenseMatrix.zeros[Double](nR, mC)
+    var primalAcc = 0.0
+    var dualAcc = 0.0
+    var i = 0
+    while (i < nR) {
+      var j = 0
+      while (j < mC) { yRow(j) = yMat(i, j); lpRow(j) = lp(i, j); j += 1 }
+      primalAcc += family.rowPrimal(yRow, lpRow)
+      dualAcc += family.rowDual(yRow, lpRow)
+      val g = family.rowPseudoGradient(yRow, lpRow)
+      j = 0
+      while (j < mC) { pg(i, j) = g(j); j += 1 }
+      i += 1
+    }
+    (primalAcc, dualAcc, xMat.t * pg)
   }
 
   def primal(beta: DenseMatrix[Double]): Double = {
     passCounter.incrementAndGet()
-    family.primal(yMat, xMat * beta)
+    val lp = xMat * beta
+    val mC = yMat.cols
+    val yRow = new Array[Double](mC)
+    val lpRow = new Array[Double](mC)
+    var acc = 0.0
+    var i = 0
+    while (i < xMat.rows) {
+      var j = 0
+      while (j < mC) { yRow(j) = yMat(i, j); lpRow(j) = lp(i, j); j += 1 }
+      acc += family.rowPrimal(yRow, lpRow)
+      i += 1
+    }
+    acc
   }
 
   def lambdaMaxVec(): Array[Double] = {
