@@ -122,25 +122,28 @@ final class LocalOps(
   def lambdaMaxVec(): Array[Double] = {
     passCounter.incrementAndGet()
     val skip = if (intercept) 1 else 0
-    val t = LambdaMaxTransform(family, yMeans)
+    // LocalOps holds y already centered (gaussian) → zero yCenter here
+    val t = LambdaMaxTransform(family, yMeans, Array.fill(m)(0.0))
     val pf = p - skip
-    val out = new Array[Double](pf * m)
-    var j = 0
-    while (j < m) {
-      var c = 0
-      while (c < pf) {
-        var acc = 0.0
-        var r = 0
-        while (r < xMat.rows) {
-          acc += xMat(r, skip + c) * t(Array.tabulate(m)(k => yMat(r, k)), j)
-          r += 1
-        }
-        out(c + j * pf) = math.abs(acc)
-        c += 1
+    val acc = new Array[Double](pf * m)
+    val yRow = new Array[Double](m)
+    // row-outer with one reused label buffer (no per-cell allocations)
+    var r = 0
+    while (r < xMat.rows) {
+      var k = 0
+      while (k < m) { yRow(k) = yMat(r, k); k += 1 }
+      var j = 0
+      while (j < m) {
+        val tj = t(yRow, j)
+        var c = 0
+        while (c < pf) { acc(c + j * pf) += xMat(r, skip + c) * tj; c += 1 }
+        j += 1
       }
-      j += 1
+      r += 1
     }
-    out
+    var i = 0
+    while (i < acc.length) { acc(i) = math.abs(acc(i)); i += 1 }
+    acc
   }
 
   def subset(cols: Array[Int]): BatchOps = {
@@ -160,9 +163,16 @@ final class LocalOps(
   * (reference src/lambdaMax.h:15-53). Values are per-row; means come from a
   * prior stats pass. For multinomial the z-scoring by y_std cancels against
   * the post-multiplication in the reference, leaving plain centering.
+  *
+  * `yCenter` is the response centering that has NOT yet been applied to the
+  * stored labels (RddOps keeps raw labels; LocalOps pre-centers and passes
+  * zeros) — the reference computes gaussian lambdaMax on the CENTERED y, and
+  * without this the result is only accidentally right when xCenter happens
+  * to equal the column means (it broke for center=false).
   */
 object LambdaMaxTransform {
-  def apply(family: Family, yMeans: Array[Double]): (Array[Double], Int) => Double =
+  def apply(family: Family, yMeans: Array[Double],
+            yCenter: Array[Double]): (Array[Double], Int) => Double =
     family match {
       case Binomial =>
         // y ∈ {−1,+1} → (y+1)/2, centered by its mean
@@ -173,6 +183,7 @@ object LambdaMaxTransform {
       case Poisson =>
         (y, _) => 1.0 - y(0)
       case Gaussian =>
-        (y, _) => y(0)
+        val c = yCenter(0)
+        (y, _) => y(0) - c
     }
 }

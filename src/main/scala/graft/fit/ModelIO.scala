@@ -68,22 +68,36 @@ object ModelIO {
     }
     def iarr(s: String): Array[Int] = darr(s).map(_.toInt)
     def sarr(s: String): Array[String] = {
-      val inner = s.stripPrefix("[").stripSuffix("]").trim
-      if (inner.isEmpty) Array.empty
-      else inner.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+      // quote-aware split: commas inside quoted names (e.g. a column named
+      // "price, adjusted") must not break elements
+      val inner = s.stripPrefix("[").stripSuffix("]")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var inQuote = false
+      var escaped = false
+      var sawAny = false
+      inner.foreach { c =>
+        if (escaped) { cur += (if (c == '"') '"' else if (c == '\\') '\\' else c); escaped = false }
+        else if (inQuote && c == '\\') escaped = true
+        else if (c == '"') { inQuote = !inQuote; sawAny = true }
+        else if (c == ',' && !inQuote) { out += cur.result(); cur.clear() }
+        else if (inQuote) cur += c
+      }
+      if (sawAny) { out += cur.result() }
+      out.toArray
     }
 
     val nRows = field("nRows").toInt
     val nTargets = field("nTargets").toInt
     val sigma = darr(field("sigma"))
-    val coefRows = spark.read.parquet(s"$path/coefficients")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    val betas = (0 until sigma.length).map { k =>
-      val b = DenseMatrix.zeros[Double](nRows, nTargets)
-      coefRows.filter(_._1 == k).foreach { case (_, i, j, v) => b(i, j) = v }
-      b
-    }
+    // one pass over the collected tuples, writing straight into the
+    // pre-indexed matrices (no per-step rescans)
+    val betaArr = Array.fill(sigma.length)(DenseMatrix.zeros[Double](nRows, nTargets))
+    spark.read.parquet(s"$path/coefficients")
+      .collect().foreach { r =>
+        betaArr(r.getInt(0))(r.getInt(1), r.getInt(2)) = r.getDouble(3)
+      }
+    val betas = betaArr.toIndexedSeq
 
     val fit = SlopeFit(
       betas = betas,

@@ -149,7 +149,7 @@ final class RddOps(
     val yM = yMeans
     val pf = pFeatures
     val mT = mTargets
-    val t = LambdaMaxTransform(fam, yM)
+    val t = LambdaMaxTransform(fam, yM, yCenter)
     val xc = xCenter
     val xs = xScale
     // buffer: [t_j sums (m), A(c,j) raw (pf·m)]

@@ -37,8 +37,14 @@ object SlopeEstimator {
     // ---- response encoding (R/preProcessResponse.R) ----
     val classNames: Array[String] = family match {
       case Binomial | Multinomial =>
-        val names = df.select(labelCol).distinct()
-          .collect().map(r => String.valueOf(r.get(0))).sorted
+        val raw = df.select(labelCol).distinct()
+          .collect().map(r => String.valueOf(r.get(0)))
+        // R factor-level order: numeric labels sort numerically (levels of
+        // as.factor(c(2,10)) are "2","10"), everything else lexicographically
+        val names =
+          if (raw.forall(s => scala.util.Try(s.toDouble).isSuccess))
+            raw.sortBy(_.toDouble)
+          else raw.sorted
         family match {
           case Binomial =>
             require(names.length == 2, s"binomial needs 2 classes, got ${names.length}")
@@ -114,6 +120,8 @@ object SlopeEstimator {
                             labelCol: String, cfg: SlopeConfig,
                             family: Family): Unit = {
     require(featureCols.nonEmpty, "need at least one feature column")
+    require(Seq("gaussian", "binomial", "poisson", "multinomial").contains(cfg.family),
+      s"unknown family: ${cfg.family}") // match.arg guard (R/owl.R:297)
     val cols = df.columns.toSet
     val missing = (featureCols :+ labelCol).filterNot(cols)
     require(missing.isEmpty, s"columns not in DataFrame: ${missing.mkString(", ")}")
@@ -205,34 +213,39 @@ object SlopeEstimator {
                        mTargets: Int,
                        center: Boolean,
                        scale: String): StandardizeStats = {
-    // [count, Σy_j (m), Σx_c, Σx_c², Σ|x_c|, max x_c]
-    val sz = 1 + mTargets + pFeat * 3
+    // [count, Σy_j (m), Σx_c, Σx_c², max over ACTIVE x_c, nnz_c]:
+    // sparse-aware — sums/moments only touch active entries (zeros
+    // contribute nothing), and the true column max including implicit
+    // zeros reconstructs as max(maxActive, 0) whenever nnz < n. A dense
+    // per-column loop here would cost O(n·p) regardless of sparsity.
+    val sumOff = 1 + mTargets
+    val sqOff = sumOff + pFeat
+    val maxOff = sqOff + pFeat
+    val nnzOff = maxOff + pFeat
+    val sz = nnzOff + pFeat
     val zero = new Array[Double](sz)
-    var i = 1 + mTargets + pFeat * 2
-    while (i < sz) { zero(i) = Double.NegativeInfinity; i += 1 }
+    var i = maxOff
+    while (i < nnzOff) { zero(i) = Double.NegativeInfinity; i += 1 }
     val agg = rows.treeAggregate(zero)(
       seqOp = (buf, row) => {
         val (y, x) = row
         buf(0) += 1.0
         var j = 0
         while (j < mTargets) { buf(1 + j) += y(j); j += 1 }
-        // dense iteration: zero entries matter for max; sums unaffected
-        var c = 0
-        while (c < pFeat) {
-          val v = x(c)
-          buf(1 + mTargets + c) += v
-          buf(1 + mTargets + pFeat + c) += v * v
-          val mOff = 1 + mTargets + pFeat * 2 + c
-          if (v > buf(mOff)) buf(mOff) = v
-          c += 1
+        x.foreachActive { (c, v) =>
+          buf(sumOff + c) += v
+          buf(sqOff + c) += v * v
+          if (v > buf(maxOff + c)) buf(maxOff + c) = v
+          buf(nnzOff + c) += 1.0
         }
         buf
       },
       combOp = (a, b) => {
         a(0) += b(0)
         var i2 = 1
-        while (i2 < 1 + mTargets + pFeat * 2) { a(i2) += b(i2); i2 += 1 }
-        while (i2 < sz) { a(i2) = math.max(a(i2), b(i2)); i2 += 1 }
+        while (i2 < maxOff) { a(i2) += b(i2); i2 += 1 }
+        while (i2 < nnzOff) { a(i2) = math.max(a(i2), b(i2)); i2 += 1 }
+        while (i2 < sz) { a(i2) += b(i2); i2 += 1 }
         a
       },
       depth = 2)
@@ -240,51 +253,60 @@ object SlopeEstimator {
     val n = agg(0).toLong
     val nD = n.toDouble
     val yMeans = Array.tabulate(mTargets)(j => agg(1 + j) / nD)
-    val mean = Array.tabulate(pFeat)(c => agg(1 + mTargets + c) / nD)
+    val mean = Array.tabulate(pFeat)(c => agg(sumOff + c) / nD)
     val xCenter = if (center) mean else Array.fill(pFeat)(0.0)
 
     def centeredSumSq(c: Int): Double =
-      math.max(agg(1 + mTargets + pFeat + c) - nD * mean(c) * mean(c), 0.0)
+      math.max(agg(sqOff + c) - nD * mean(c) * mean(c), 0.0)
+
+    /** Column max including implicit zeros: active max, clamped up to 0 when
+      * the column has any implicit zero (nnz < n).
+      */
+    def colMax(c: Int): Double = {
+      val mActive = agg(maxOff + c)
+      if (agg(nnzOff + c) < nD) math.max(mActive, 0.0) else mActive
+    }
 
     val xScale: Array[Double] = scale match {
       case "none" => Array.fill(pFeat)(1.0)
       case "l2" =>
         Array.tabulate(pFeat) { c =>
           if (center) math.sqrt(centeredSumSq(c))
-          else math.sqrt(agg(1 + mTargets + pFeat + c))
+          else math.sqrt(agg(sqOff + c))
         }
       case "sd" =>
         // always around the mean, n−1 normalizer (standardize.h:28-31,59-62)
         Array.tabulate(pFeat)(c => math.sqrt(centeredSumSq(c) / (nD - 1.0)))
       case "l1" | "max" =>
         if (!center && scale == "max")
-          Array.tabulate(pFeat)(c => agg(1 + mTargets + pFeat * 2 + c))
+          Array.tabulate(pFeat)(c => colMax(c))
         else {
-          // needs |x−c| or max(x−c): second cheap pass
-          val ctr = xCenter
-          val zero2 = new Array[Double](pFeat * 2)
-          java.util.Arrays.fill(zero2, pFeat, pFeat * 2, Double.NegativeInfinity)
-          val agg2 = rows.treeAggregate(zero2)(
-            seqOp = (buf, row) => {
-              val x = row._2
-              var c = 0
-              while (c < pFeat) {
-                val v = x(c) - ctr(c)
-                buf(c) += math.abs(v)
-                if (v > buf(pFeat + c)) buf(pFeat + c) = v
-                c += 1
-              }
-              buf
-            },
-            combOp = (a, b) => {
-              var c = 0
-              while (c < pFeat) { a(c) += b(c); c += 1 }
-              while (c < pFeat * 2) { a(c) = math.max(a(c), b(c)); c += 1 }
-              a
-            },
-            depth = 2)
-          if (scale == "l1") Array.tabulate(pFeat)(c => agg2(c))
-          else Array.tabulate(pFeat)(c => agg2(pFeat + c))
+          // |x−c| needs a second pass (Σ|x−c| is not moment-derivable);
+          // centered max is just a shift of the uncentered max
+          if (scale == "max")
+            Array.tabulate(pFeat)(c => colMax(c) - xCenter(c))
+          else {
+            val ctr = xCenter
+            val agg2 = rows.treeAggregate(new Array[Double](pFeat))(
+              seqOp = (buf, row) => {
+                val x = row._2
+                // Σ|x−c| decomposes as Σ_active |x−c| + (#implicit zeros)·|c|
+                // — handled by accumulating actives and correcting after;
+                // here we also need per-row zero handling, so accumulate
+                // |v−c| − |0−c| per active and add n·|c| at the end
+                x.foreachActive { (c2, v) =>
+                  buf(c2) += math.abs(v - ctr(c2)) - math.abs(ctr(c2))
+                }
+                buf
+              },
+              combOp = (a, b) => {
+                var c2 = 0
+                while (c2 < pFeat) { a(c2) += b(c2); c2 += 1 }
+                a
+              },
+              depth = 2)
+            Array.tabulate(pFeat)(c => agg2(c) + nD * math.abs(xCenter(c)))
+          }
         }
       case other => throw new IllegalArgumentException(s"unknown scale: $other")
     }

@@ -273,30 +273,3 @@ final class SlopeModel(
     out
   }
 }
-
-/** Distributed AUC via average ranks (the `rank(prob)` of R/score.R:148): a
-  * sort-free formulation using window-less aggregation would need a
-  * crossJoin; instead rank with one global sort window, which Spark executes
-  * as a range-partitioned sort — the only data-scale sort in the engine
-  * (SURVEY.md §2.5).
-  */
-object Auc {
-  def compute(df: DataFrame, probCol: String, labelCol: String): Double = {
-    import org.apache.spark.sql.expressions.Window
-    // average rank of ties = mean of row_numbers within equal prob values
-    val w = Window.orderBy(col(probCol))
-    val ranked = df
-      .withColumn("rn", row_number().over(w).cast("double"))
-      .groupBy(col(probCol)).agg(avg(col("rn")).as("avg_rank"),
-        sum(col(labelCol)).as("n1_in"), count(lit(1)).as("cnt"))
-    val row = ranked.agg(
-      sum(col("avg_rank") * col("n1_in")).as("rank_sum"),
-      sum(col("n1_in")).as("n1"),
-      sum(col("cnt")).as("n")).head()
-    val rankSum = row.getDouble(0)
-    val n1 = row.getDouble(1)
-    val n0 = row.getLong(2).toDouble - n1
-    val u = rankSum - n1 * (n1 + 1.0) / 2.0
-    math.exp(math.log(u) - math.log(n1) - math.log(n0))
-  }
-}

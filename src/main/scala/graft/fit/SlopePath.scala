@@ -282,10 +282,16 @@ object SlopePath {
       }
       val nCoefs = (0 until p).count(i => (0 until m).exists(j => beta(i, j) != 0.0))
 
-      // max_variables exceeded → drop this step and stop (src/owl.cpp:356-357)
-      if (nUnique > maxVariables) {
-        stop = true
-      } else {
+      // Termination order mirrors src/owl.cpp:350-359 exactly: the
+      // deviance-plateau stop fires FIRST and KEEPS the current step
+      // (`k++; break`); only then does max_variables fire and DROP it
+      // (`break` before k++ → resize discards the slice). When both hold in
+      // the same iteration the reference keeps the step.
+      val earlyStop = nCoefs > 0 && k > 0 &&
+        (devianceChange < tolDevChange || devianceRatio > tolDevRatio)
+      val dropForMaxVars = !earlyStop && nUnique > maxVariables
+
+      if (!dropForMaxVars) {
         betas += beta.copy
         betaPrev = beta.copy
         activeSets += activeSet
@@ -296,12 +302,8 @@ object SlopePath {
         passesOut += res.passes
         nUniqueOut += nUnique
         kept += 1
-
-        // early stop on deviance plateau (src/owl.cpp:350-355)
-        if (nCoefs > 0 && k > 0 &&
-            (devianceChange < tolDevChange || devianceRatio > tolDevRatio))
-          stop = true
       }
+      if (earlyStop || dropForMaxVars) stop = true
       k += 1
     }
 

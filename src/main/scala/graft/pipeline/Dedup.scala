@@ -37,9 +37,13 @@ object Dedup {
     */
   def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                k: Int = 5, dedup: Boolean = true): DataFrame = {
+    // self-guarding length filter: Spark's sequence(1, 0) is the DESCENDING
+    // array [1, 0], so an unguarded explode would fabricate two bogus
+    // shingles for every document shorter than k
     val raw = docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= k)
       .select(col("doc_id"),
-        explode(expr(s"sequence(1, greatest(length(t) - ${k - 1}, 0))")).as("i"),
+        explode(expr(s"sequence(1, length(t) - ${k - 1})")).as("i"),
         col("t"))
       .select(col("doc_id"), expr(s"substring(t, i, $k)").as("sh"))
     if (dedup) raw.distinct() else raw

@@ -82,6 +82,45 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gaussian lambdaMax matches LocalOps with centering OFF (regression: raw-y bug)") {
+    // with center=false, xCenter=0: the distributed transform must still
+    // center y (the reference computes lambdaMax on the centered response);
+    // the uncorrected form |Σ x·y| only coincided when xCenter = column mean
+    val prob = RandomProblem(n = 90, p = 5, family = Gaussian, seed = 41L)
+    val rdd = mkRdd(prob.x, prob.y)
+    val stats = SlopeEstimator.standardizeStats(rdd, 5, 1, center = false, "l2")
+    val acc = spark.sparkContext.longAccumulator("t")
+    val yBar = (0 until 90).map(i => prob.y(i, 0)).sum / 90.0
+    val rddOps = new RddOps(rdd, Gaussian, true, stats.n, 5, 1,
+      Array.fill(5)(0.0), stats.xScale, Array(yBar), stats.yMeans,
+      Array.range(0, 6), acc)
+    val lm = rddOps.lambdaMaxVec()
+    // oracle: |Σ x_j (y − ȳ)| / ‖x_j‖₂ on raw (uncentered) columns
+    for (j <- 0 until 5) {
+      var acc2 = 0.0
+      for (i <- 0 until 90) acc2 += prob.x(i, j) * (prob.y(i, 0) - yBar)
+      val expected = math.abs(acc2 / stats.xScale(j))
+      assert(math.abs(lm(j) - expected) < 1e-8 * math.max(1, expected),
+        s"feature $j: ${lm(j)} vs $expected")
+    }
+  }
+
+  test("numeric class labels order numerically (R factor-level order)") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (0 until 80).map { i =>
+      val x = rng.nextGaussian()
+      (if (x + 0.2 * rng.nextGaussian() > 0) 10 else 2, x)
+    }.toDF("label", "f0")
+    val model = SlopeEstimator.fit(df, Seq("f0"), "label",
+      SlopeConfig(family = "binomial", nSigma = 5))
+    // as.factor(c(2,10)) levels are "2","10": class 2 → −1, class 10 → +1,
+    // so the slope on f0 must be positive at the dense end
+    assert(model.classNames.sameElements(Array("2", "10")))
+    assert(model.fit.betas.last(1, 0) > 0,
+      s"slope ${model.fit.betas.last(1, 0)} should be positive for class-10-is-+1")
+  }
+
   test("RddOps subset view matches LocalOps subset") {
     val prob = RandomProblem(n = 80, p = 6, family = Gaussian, seed = 23L)
     val (rddOps, localOps) = mkOps(prob.x, prob.y, Gaussian, intercept = true,
