@@ -248,6 +248,54 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auc.last > 0.7 && auc.last <= 1.0, s"auc ${auc.last}")
   }
 
+  test("predict smoke: all families × link/response/class produce sane shapes (test-predictions.R)") {
+    val sp = spark; import sp.implicits._
+    def mk(fam: Family, nT: Int) = {
+      val prob = RandomProblem(n = 90, p = 3, family = fam, nTargets = nT,
+        amplitude = 1.0, seed = 21L)
+      val rows = (0 until 90).map { i =>
+        val label: Any = fam match {
+          case Binomial | Multinomial => prob.rawLabels(i)
+          case _                      => prob.y(i, 0)
+        }
+        (label.toString, prob.y(i, 0), prob.x(i, 0), prob.x(i, 1), prob.x(i, 2))
+      }
+      rows.toDF("slabel", "nlabel", "f0", "f1", "f2")
+    }
+    val feats = Seq("f0", "f1", "f2")
+
+    for ((name, fam, nT, labelCol, types) <- Seq(
+      ("gaussian", Gaussian, 1, "nlabel", Seq("link", "response")),
+      ("binomial", Binomial, 1, "slabel", Seq("link", "response", "class")),
+      ("poisson", Poisson, 1, "nlabel", Seq("link", "response")),
+      ("multinomial", Multinomial, 2, "slabel", Seq("link", "response", "class")))) {
+      val df = mk(fam, nT)
+      val model = SlopeEstimator.fit(df, feats, labelCol,
+        SlopeConfig(family = name, nSigma = 5))
+      val nSteps = model.fit.sigma.length
+      for (t <- types) {
+        val out = model.transform(df, feats, predictType = t)
+        val first = out.select("pred").head().getSeq[Any](0)
+        assert(first.length == nSteps, s"$name/$t path length")
+        t match {
+          case "class" =>
+            assert(first.forall(_.isInstanceOf[String]), s"$name/$t classes")
+          case "response" if fam == Multinomial =>
+            val probs = first.head.asInstanceOf[scala.collection.Seq[Double]]
+            assert(probs.length == 3 && math.abs(probs.sum - 1.0) < 1e-9,
+              s"$name response probs sum ${probs.sum}")
+          case "response" if fam == Binomial =>
+            val pr = first.head.asInstanceOf[scala.collection.Seq[Double]].head
+            assert(pr >= 0.0 && pr <= 1.0, s"$name response $pr")
+          case "response" if fam == Poisson =>
+            assert(first.head.asInstanceOf[scala.collection.Seq[Double]].head >= 0.0)
+          case _ => // link: any finite double
+            assert(!first.head.asInstanceOf[scala.collection.Seq[Double]].head.isNaN)
+        }
+      }
+    }
+  }
+
   test("multinomial scoring: mse/mae/deviance/misclass improve along the path") {
     val prob = RandomProblem(n = 240, p = 4, family = Multinomial, nTargets = 2,
       amplitude = 1.5, seed = 66L)

@@ -49,6 +49,25 @@ class LambdaSequenceSpec extends AnyFunSuite {
     (iMin until g.length).foreach(i => assert(g(i) == mn))
   }
 
+  test("bh and gaussian sequences match an independent cross-language oracle") {
+    // fixtures computed with Python statistics.NormalDist().inv_cdf
+    // (independent Φ⁻¹ implementation) for p=10, q=0.2, n=100
+    val bhExpected = Array(
+      2.326347874040841, 2.053748910631822, 1.880793608151250, 1.750686071252169,
+      1.644853626951472, 1.554773594596853, 1.475791028179170, 1.405071560309633,
+      1.340755033690217, 1.281551565544601)
+    val gaussExpected = Array(
+      2.326347874040841, 2.109694425422352, 1.974096391494197, 1.871949969306888,
+      1.788074581556193, 1.715664313524743, 1.651081833956999, 1.592157400247699,
+      1.537494602611533, 1.486143095285984)
+    val bhActual = LambdaSequence.bh(10, 0.2)
+    val gaussActual = LambdaSequence.gaussian(10, 0.2, 100L)
+    for (i <- 0 until 10) {
+      assert(math.abs(bhActual(i) - bhExpected(i)) < 1e-12, s"bh($i)")
+      assert(math.abs(gaussActual(i) - gaussExpected(i)) < 1e-12, s"gaussian($i)")
+    }
+  }
+
   test("oscar: q*(p−i)+1 for i=1..p") {
     val lam = LambdaSequence.oscar(4, 0.5)
     assert(lam.sameElements(Array(2.5, 2.0, 1.5, 1.0)))
