@@ -246,14 +246,18 @@ final class SlopeModel(
     */
   private def aucAllSteps(df: DataFrame, featureCols: Seq[String],
                           labelCol: String, nSteps: Int): Array[Double] = {
-    import org.apache.spark.sql.expressions.Window
+    // fully distributed ranking: one range-partitioned sort over
+    // (step, prob) + zipWithIndex. Every step contributes exactly n rows,
+    // so the within-step rank is globalIndex − step·n — no per-step jobs,
+    // no single-partition window (see DistributedRank).
     val scored = transform(df, featureCols, "p_resp", predictType = "response")
       .select(posexplode(col("p_resp")).as(Seq("step", "probs")),
         (col(labelCol).cast("string") === classNames(1)).cast("double").as("y"))
       .select(col("step"), expr("probs[0]").as("prob"), col("y"))
-    val w = Window.partitionBy("step").orderBy(col("prob"))
-    val g = scored
-      .withColumn("rn", row_number().over(w).cast("double"))
+    val nRows = df.count()
+    val ranked = DistributedRank.withRowNumbers(scored, Seq("step", "prob"))
+      .withColumn("rn", (col("rn") - col("step").cast("long") * nRows).cast("double"))
+    val g = ranked
       .groupBy("step", "prob").agg(avg(col("rn")).as("avg_rank"),
         sum(col("y")).as("n1_in"), count(lit(1)).as("cnt"))
     val rows = g.groupBy("step").agg(

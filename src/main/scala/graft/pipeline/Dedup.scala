@@ -125,13 +125,25 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, k: Int = 5, nHashes: Int = 18,
                    rowsPerBand: Int = 6, threshold: Double = 0.7): DataFrame = {
+    // collapse EXACT duplicates first (one representative per normalized-
+    // text fingerprint, min doc_id): exact-dup groups would otherwise land
+    // in one LSH bucket and expand N²/2 candidate pairs — the adversarial
+    // case (N copies of boilerplate) is precisely what dedup corpora
+    // contain. Exact-dup membership is `exactDupStats`' job; near-dup runs
+    // over representatives.
+    val reps = docs
+      .select(col("doc_id"), col("text"),
+        TextPipeline.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
+      .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
     // spread docs across the cluster BEFORE the shingle explode: the doc
     // table itself is small (one parquet split locally), but the exploded
     // shingle+hash work is nHashes×|text| per doc. The partition count is
     // pinned (defaultParallelism) because AQE would coalesce an un-sized
     // repartition of a few-MB input back to one partition — sizing by
     // pre-explode bytes is exactly wrong for explode-heavy stages.
-    val spread = docs.repartition(
+    val spread = reps.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val shRaw = shingles(spread, k = k, dedup = false)
     val cand = candidatePairs(bands(minhash(shRaw, nHashes), rowsPerBand))

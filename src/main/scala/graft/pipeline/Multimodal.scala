@@ -109,23 +109,37 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction over (doc_id, content) — the
-    * Scala analogue of a `mapInPandas` decode stage: one iterator pass per
-    * partition, constant memory, no driver involvement. Output schema is
+    * Scala analogue of a `mapInPandas` decode stage: each partition's
+    * iterator is consumed in fixed-size batches handed to `decodeBatch`
+    * (where a real codec would amortize model/handle setup per batch, not
+    * per row), constant memory, no driver involvement. Output schema is
     * `featureSchema`.
     */
   def extractFeatures(spark: SparkSession, docsWithPayload: DataFrame,
-                      idCol: String = "doc_id", payloadCol: String = "content"): DataFrame = {
+                      idCol: String = "doc_id", payloadCol: String = "content",
+                      batchSize: Int = 64): DataFrame = {
     val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
       .rdd.mapPartitions { it =>
-        it.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val safe = if (bytes == null) Array.empty[Byte] else bytes
-          val (w, h, feats) = decodeStub(safe)
-          val fp = TextPipeline.rollingHash(new String(safe, "UTF-8"))
-          Row(id, safe.length, w, h, fp, feats.toSeq)
+        it.grouped(batchSize).flatMap { batch =>
+          val ids = batch.map(_.getLong(0))
+          val payloads = batch.map { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            if (bytes == null) Array.empty[Byte] else bytes
+          }
+          decodeBatch(payloads).zip(ids).zip(payloads).map {
+            case (((w, h, feats), id), safe) =>
+              Row(id, safe.length, w, h,
+                TextPipeline.rollingHash(new String(safe, "UTF-8")), feats.toSeq)
+          }
         }
       }
     spark.createDataFrame(rdd, featureSchema)
   }
+
+  /** ---- STUB ---- batch decode entry point: a real implementation
+    * initializes the codec/model once here and decodes the whole batch.
+    */
+  private[pipeline] def decodeBatch(
+      payloads: Seq[Array[Byte]]): Seq[(Int, Int, Array[Double])] =
+    payloads.map(decodeStub)
 }

@@ -54,18 +54,32 @@ object Similarity {
     * of the projection onto a pseudo-random ±1 hyperplane derived from
     * md5("h<s>-<dim>").
     */
+  /** ±1 hyperplane entry for (plane s, dim d): parity of
+    * md5Hash60("h<s>-<d>") — computed driver-side (the table is
+    * data-independent; evaluating the md5 expression per ROW costs
+    * planes×dims hashes per vector across the whole corpus for identical
+    * values). Bit-identical to the SQL oracle's in-query md5.
+    */
+  private[pipeline] def planeWeight(s: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"h$s-$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
   def lshBucket(embeddings: DataFrame, nPlanes: Int = 8,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val unrolled = embeddings
       .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("d", "v")))
       .select(col("vec_id"), col("d"), col("v").cast("double").as("v"))
+    // probe the actual embedding width once (1-row job) — the weight tables
+    // become compact literal arrays instead of per-row md5 evaluations
+    val dims = embeddings.select(size(col(vecCol))).head().getInt(0)
     // all nPlanes projections in one wide aggregation (a plane-column
-    // explode would multiply the shuffle volume by nPlanes);
-    // w(s,d) = +1 if md5Hash60("h<s>-<d>") is even else −1
+    // explode would multiply the shuffle volume by nPlanes)
     val projAggs = (0 until nPlanes).map { s =>
-      val w = (Det.md5Hash60(concat(lit(s"h$s-"), col("d").cast("string"))) % 2 *
-        lit(-2) + lit(1)).cast("double")
-      sum(col("v") * w).as(s"proj_$s")
+      val weights = array((0 until dims).map(d => lit(planeWeight(s, d))): _*)
+      sum(col("v") * element_at(weights, col("d") + 1)).as(s"proj_$s")
     }
     val assemble = (0 until nPlanes).map(s =>
       s"(CASE WHEN proj_$s > 0 THEN shiftleft(cast(1 as bigint), $s) ELSE cast(0 as bigint) END)")
@@ -96,10 +110,11 @@ object Similarity {
     val a = withB.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val b = withB.select(col("bucket").as("bucket_b"), col("vec_id").as("v2"),
       col("embedding").as("e2"))
+    // no distinct: each vector has exactly one bucket, so (v1, v2) pairs
+    // are already unique — a distinct here would re-shuffle the output
     a.join(b, col("bucket") === col("bucket_b") && col("v1") < col("v2"))
       .select(col("v1"), col("v2"), round(cosine(col("e1"), col("e2")), 9).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 
   /** Approximate top-k: exact cosine ranking restricted to same-bucket

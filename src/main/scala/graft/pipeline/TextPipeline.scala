@@ -23,9 +23,11 @@ object TextPipeline {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** Whitespace-delimited token count (the cheap estimator). */
+  /** Whitespace-delimited token count (the cheap estimator); 0 for empty
+    * or whitespace-only text (split of "" yields [""], size 1, otherwise).
+    */
   def wsTokenCount(c: Column): Column =
-    size(split(trim(c), "\\s+"))
+    when(length(trim(c)) === 0, 0).otherwise(size(split(trim(c), "\\s+")))
 
   /** A BPE-ish subword proxy: alpha runs, digit runs, and single
     * non-alphanumeric marks each count as one token.

@@ -120,8 +120,9 @@ object MlQueries {
 
   /** M12: Wilcoxon rank-statistic AUC of a fixed score (o_totalprice) for a
     * binary label (orderstatus = 'F'), via average ranks — the engine's only
-    * data-scale sort, executed as a range-partitioned window.
-    * Integer rank sums keep every intermediate exact.
+    * data-scale sort, executed as a range-partitioned sort + zipWithIndex
+    * (fully parallel; see DistributedRank). Integer rank sums keep every
+    * intermediate exact.
     */
   val aucFixedScore: Q = Q.sql(
     "m_auc_fixed_score",
@@ -140,11 +141,12 @@ object MlQueries {
       |      FROM g)
       |SELECT exp(ln(rank_sum - n1*(n1 + 1)/2) - ln(n1) - ln(n::DOUBLE - n1)) AS auc
       |FROM a""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.t(s, dir, "orders").select(
       col("o_totalprice").as("prob"),
       when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
-    val ranked = base.withColumn("rn", row_number().over(Window.orderBy(col("prob"))))
+    // distributed sort + zipWithIndex ranking — an un-partitioned
+    // Window.orderBy would funnel the whole table through one task
+    val ranked = graft.fit.DistributedRank.withRowNumbers(base, Seq("prob"))
     val g = ranked.groupBy("prob").agg(
       (sum(col("rn")).cast("double") / count(lit(1)).cast("double")).as("avg_rank"),
       sum(col("y")).as("n1_in"), count(lit(1)).as("cnt"))

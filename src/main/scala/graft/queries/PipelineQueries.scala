@@ -88,7 +88,13 @@ object PipelineQueries {
     */
   val minhashLshDedup: Q = Q.sql(
     "p_minhash_lsh_dedup",
-    """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 5),
+    """WITH reps AS (
+      |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      |  FROM (SELECT doc_id, text,
+      |          ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
+      |        FROM documents)
+      |  GROUP BY fp),
+      |docs AS (SELECT doc_id, lower(text) AS t FROM reps WHERE len(text) >= 5),
       |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM docs),
       |sh AS (SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS sh FROM pos),
       |mh AS (
