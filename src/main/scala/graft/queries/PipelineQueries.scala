@@ -70,6 +70,44 @@ object PipelineQueries {
     }
   }
 
+  /** Corpus vocabulary: global token counts, top 50 by frequency (the
+    * tokenizer-training precursor). Deterministic tie-break by token.
+    */
+  val vocabTopK: Q = Q.sql(
+    "p_vocab_topk",
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents)
+      |SELECT tok, count(*)::BIGINT AS n
+      |FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(explode(TextPipeline.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+  }
+
+  /** Bigram counts over word tokens, top 50 — the n-gram statistics pass. */
+  val bigramTopK: Q = Q.sql(
+    "p_bigram_topk",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |  FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+      |bg AS (SELECT ts[i::INT] || ' ' || ts[(i+1)::INT] AS bigram FROM pos)
+      |SELECT bigram, count(*)::BIGINT AS n
+      |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin) {
+    (s, dir) =>
+      docs(s, dir)
+        .select(TextPipeline.tokens(col("text")).as("ts"))
+        .select(explode(expr(
+          "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), (t, i) -> concat(t, ' ', ts[i + 1]))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+  }
+
   /** Exact dedup over the normalized-text fingerprint (hash-groupBy). */
   val exactDedup: Q = Q.sql(
     "p_exact_dedup",
@@ -269,7 +307,7 @@ object PipelineQueries {
   }
 
   val queries: Seq[Q] = Seq(
-    textProfile, langIdProfile, exactDedup, minhashLshDedup, simhashHamming,
-    cosineTopK, annLshBuckets, embeddingNearDup, multimodalMeta,
-    multimodalExtract, annLshTopK)
+    textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
+    minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
+    embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK)
 }
