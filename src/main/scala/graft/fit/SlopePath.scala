@@ -141,6 +141,9 @@ object SlopePath {
     var activeSet: Array[Int] = Array.range(0, p)
     var strongSet: Array[Int] = Array.empty
     var lastFullGradient: Option[DenseMatrix[Double]] = None
+    // FISTA step size carried across path steps / repair rounds (the
+    // Lipschitz constant of the smooth part is lambda-independent)
+    var fistaLr = 1.0
 
     // gaussian ADMM state (src/owl.cpp:122-140)
     val z = DenseVector.zeros[Double](p)
@@ -195,7 +198,8 @@ object SlopePath {
           res = AdmmGaussian.fit(ops, fullFactor.get, z, u, lamK, solverCfg)
           beta = res.beta.copy
         } else {
-          res = Fista.fit(ops, beta, lamK, solverCfg)
+          res = Fista.fit(ops, beta, lamK, solverCfg, fistaLr)
+          fistaLr = res.learningRate
           beta = res.beta.copy
         }
         lastFullGradient = None
@@ -211,8 +215,6 @@ object SlopePath {
             val subOps = ops.subset(activeSet)
             val nActive = (activeSet.length - ic) * m
             val lamSub = lamK.take(nActive)
-            val betaSub = DenseMatrix.tabulate[Double](activeSet.length, m)(
-              (r, j) => beta(activeSet(r), j))
 
             val subRes =
               if (useAdmm(activeSet.length)) {
@@ -226,7 +228,13 @@ object SlopePath {
                 }
                 r0
               } else {
-                Fista.fit(subOps, betaSub, lamSub, solverCfg)
+                // warm-start coefficients from the current full-space beta
+                // (tabulated only on this branch — ADMM warm-starts from z/u)
+                val betaSub = DenseMatrix.tabulate[Double](activeSet.length, m)(
+                  (r, j) => beta(activeSet(r), j))
+                val r0 = Fista.fit(subOps, betaSub, lamSub, solverCfg, fistaLr)
+                fistaLr = r0.learningRate
+                r0
               }
 
             var r = 0

@@ -10,7 +10,13 @@ final case class SolveResult(
     primals: List[Double],
     duals: List[Double],
     times: List[Double],
-    deviance: Double)
+    deviance: Double,
+    /** Final FISTA step size, for warm-starting the next solve on the same
+      * data (the smooth-part Lipschitz constant is λ-independent, so the
+      * accepted rate from one path step is a valid start for the next —
+      * re-deriving it costs one distributed primal pass per halving).
+      */
+    learningRate: Double = 1.0)
 
 final case class SolverConfig(
     maxPasses: Int = 1000000,
@@ -35,7 +41,8 @@ object Fista {
   def fit(ops: BatchOps,
           beta0: DenseMatrix[Double],
           lambda: Array[Double],
-          cfg: SolverConfig): SolveResult = {
+          cfg: SolverConfig,
+          initialLearningRate: Double = 1.0): SolveResult = {
     val p = beta0.rows
     val m = beta0.cols
     val pRows = if (lambda.length > 0) lambda.length / m else 0 // penalized rows
@@ -44,7 +51,7 @@ object Fista {
     var betaTilde = beta0.copy
     var betaTildeOld = beta0.copy
 
-    var learningRate = 1.0
+    var learningRate = initialLearningRate
     val eta = 0.5
     var t = 1.0
 
@@ -111,7 +118,16 @@ object Fista {
           }
           val q = gOld + dotGd + dd / (2.0 * learningRate)
           if (q >= gNew * (1.0 - 1e-12)) searching = false
-          else learningRate *= eta
+          else {
+            learningRate *= eta
+            // divergence guard: a non-finite objective (overflowed linear
+            // predictor) can never satisfy the sufficient-decrease test, and
+            // each retry costs a distributed pass — fail loudly instead of
+            // spinning (the reference only had checkUserInterrupt here)
+            if (learningRate < 1e-30)
+              throw new IllegalStateException(
+                s"FISTA line search diverged (primal=$gNew); data may need rescaling")
+          }
         }
 
         t = 0.5 * (1.0 + math.sqrt(1.0 + 4.0 * tOld * tOld))
@@ -123,7 +139,7 @@ object Fista {
     // the reference returns the momentum point (the iterate the convergence
     // test was evaluated at), src/families/family.h:210-218
     SolveResult(beta, passes, primals.reverse, duals.reverse, times.reverse,
-      deviance = 2.0 * lastPrimal)
+      deviance = 2.0 * lastPrimal, learningRate = learningRate)
   }
 
   /** Last `pRows` rows of a p×m matrix, flattened column-major (the

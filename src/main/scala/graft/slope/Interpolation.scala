@@ -26,6 +26,10 @@ object Interpolation {
     val pmax = penalty.max
     val pmin = penalty.min
     val denom = penalty(0) - penalty(k - 1)
+    // degenerate path (all kept penalties equal): behave like the k == 1
+    // case instead of dividing by zero into NaN positions
+    if (denom == 0.0)
+      return Brackets(Array.fill(d)(0), Array.fill(d)(0), Array.fill(d)(1.0))
     // normalized positions: 0 at the first (largest) penalty, 1 at the last
     val pn = penalty.map(p => (penalty(0) - p) / denom)
 

@@ -69,7 +69,7 @@ object LambdaSequence {
     */
   def sigmaMax(gradAbs: Array[Double], lambda: Array[Double]): Double = {
     require(gradAbs.length == lambda.length)
-    val sorted = gradAbs.map(math.abs).sortBy(x => -x)
+    val sorted = SortedL1.absSortedDesc(gradAbs)
     var cg = 0.0
     var cl = 0.0
     var mx = Double.NegativeInfinity

@@ -34,13 +34,14 @@ object MathUtil {
     math.min(math.max(x, lo), hi)
 
   /** Standard-normal quantile Φ⁻¹ via commons-math3 (ships in
-    * /opt/spark/jars). Matches R's qnorm to ~1e-15 relative.
+    * /opt/spark/jars). Matches R's qnorm to ~1e-15 relative. One shared
+    * stateless instance (rng-free constructor) — λ-sequence construction
+    * calls this p·m times per fit.
     */
-  def qnorm(p: Double): Double = {
-    // Inverse error function based quantile; rng-free constructor.
-    val d = new org.apache.commons.math3.distribution.NormalDistribution(null, 0.0, 1.0)
-    d.inverseCumulativeProbability(p)
-  }
+  private val stdNormal =
+    new org.apache.commons.math3.distribution.NormalDistribution(null, 0.0, 1.0)
+
+  def qnorm(p: Double): Double = stdNormal.inverseCumulativeProbability(p)
 
   def logGamma(x: Double): Double =
     org.apache.commons.math3.special.Gamma.logGamma(x)

@@ -42,7 +42,7 @@ object Screening {
       j += 1
     }
 
-    val ord = Array.range(0, p).sortBy(i => -absGrad(i))
+    val ord = SortedL1.descendingOrder(absGrad)
     val tmp = Array.tabulate(p)(r => absGrad(ord(r)) + lambdaPrev(r) - 2.0 * lambda(r))
 
     var i = 0
@@ -93,7 +93,7 @@ object Screening {
       j += 1
     }
 
-    val ord = Array.range(0, p).sortBy(i => -g(i))
+    val ord = SortedL1.descendingOrder(g)
     val rh = math.max(math.sqrt(MathUtil.Eps), tol * lambda(0))
     val flag = new Array[Boolean](p)
     var cs = 0.0

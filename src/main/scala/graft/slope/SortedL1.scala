@@ -13,6 +13,45 @@ package graft.slope
   */
 object SortedL1 {
 
+  /** Indices of `keys` in DESCENDING key order, allocation-lean: a
+    * primitive-key mergesort (no Integer/Double boxing — these sorts run on
+    * the driver between every distributed pass, over p·m entries).
+    */
+  private[slope] def descendingOrder(keys: Array[Double]): Array[Int] = {
+    val n = keys.length
+    val idx = Array.range(0, n)
+    val tmp = new Array[Int](n)
+    def merge(lo: Int, mid: Int, hi: Int): Unit = {
+      System.arraycopy(idx, lo, tmp, lo, hi - lo)
+      var i = lo; var j = mid; var k = lo
+      while (k < hi) {
+        if (i < mid && (j >= hi || keys(tmp(i)) >= keys(tmp(j)))) {
+          idx(k) = tmp(i); i += 1
+        } else { idx(k) = tmp(j); j += 1 }
+        k += 1
+      }
+    }
+    def sort(lo: Int, hi: Int): Unit =
+      if (hi - lo > 1) {
+        val mid = lo + (hi - lo) / 2
+        sort(lo, mid); sort(mid, hi); merge(lo, mid, hi)
+      }
+    sort(0, n)
+    idx
+  }
+
+  /** Sorted-descending copy of |xs| without boxing. */
+  private[slope] def absSortedDesc(xs: Array[Double]): Array[Double] = {
+    val a = new Array[Double](xs.length)
+    var i = 0
+    while (i < xs.length) { a(i) = math.abs(xs(i)); i += 1 }
+    java.util.Arrays.sort(a)
+    // reverse in place
+    var lo = 0; var hi = a.length - 1
+    while (lo < hi) { val t = a(lo); a(lo) = a(hi); a(hi) = t; lo += 1; hi -= 1 }
+    a
+  }
+
   /** prox_{sorted-L1(λ)}(b). `lambda` must be non-increasing and
     * non-negative, with `lambda.length == b.length`.
     */
@@ -24,8 +63,8 @@ object SortedL1 {
     val absB = new Array[Double](p)
     var i = 0
     while (i < p) { absB(i) = math.abs(b(i)); i += 1 }
-    // descending order of |b|
-    val order = Array.range(0, p).sortBy(j => -absB(j))
+    // descending order of |b| (unboxed sort — hot driver path)
+    val order = descendingOrder(absB)
     val v = new Array[Double](p) // |b| sorted descending
     i = 0
     while (i < p) { v(i) = absB(order(i)); i += 1 }
@@ -71,7 +110,7 @@ object SortedL1 {
 
   /** Penalty value Σ λ_j |b|_(j) (|b| sorted descending). */
   def penalty(b: Array[Double], lambda: Array[Double]): Double = {
-    val sorted = b.map(math.abs).sortBy(x => -x)
+    val sorted = absSortedDesc(b)
     var acc = 0.0
     var i = 0
     while (i < sorted.length) { acc += sorted(i) * lambda(i); i += 1 }
@@ -83,7 +122,7 @@ object SortedL1 {
     */
   def infeasibility(g: Array[Double], lambda: Array[Double]): Double = {
     if (g.length == 0) return 0.0
-    val sorted = g.map(math.abs).sortBy(x => -x)
+    val sorted = absSortedDesc(g)
     var cs = 0.0
     var mx = Double.NegativeInfinity
     var i = 0

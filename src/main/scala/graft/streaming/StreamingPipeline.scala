@@ -24,6 +24,7 @@ object StreamingPipeline {
       .withColumn("fp", TextPipeline.fingerprint(col(textCol)))
       .withWatermark(tsCol, delayThreshold)
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // internal dedup key — keep the caller's schema
 
   /** Per-language rolling text-quality profile over event-time windows:
     * watermarked tumbling-window aggregation (late data beyond the
