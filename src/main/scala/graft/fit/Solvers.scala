@@ -31,10 +31,12 @@ final case class SolverConfig(
   *
   * The loop is driver-side; each iteration costs one `lossGrad` data pass
   * plus one `primal` pass per line-search candidate. The learning rate only
-  * ever shrinks (matching the reference), so over a whole path the number of
-  * extra line-search passes is bounded by log₂ of the Lipschitz constant —
-  * the property that keeps this viable when a pass means a cluster-wide
-  * treeAggregate (SURVEY.md §4.3).
+  * ever shrinks within a solve (matching the reference) AND the accepted
+  * rate is threaded across solves by the path driver (our addition — the
+  * smooth-part Lipschitz constant is λ-independent), so over a whole path
+  * the extra line-search passes are bounded by log₂ of the Lipschitz
+  * constant once, not per σ step — the property that keeps this viable when
+  * a pass means a cluster-wide treeAggregate (SURVEY.md §4.3).
   */
 object Fista {
 
