@@ -57,6 +57,12 @@ trait BatchOps {
 /** In-memory implementation over breeze matrices. X must already contain the
   * intercept column (if any) and be standardized; Y preprocessed
   * (centered / {−1,+1} / one-hot m−1 / counts).
+  *
+  * Data passes run blocked-parallel over row ranges (common ForkJoinPool):
+  * the adaptive substrate routes problems up to ~10⁶ cells here, where a
+  * FISTA solve means hundreds of passes — single-threaded row loops were
+  * the measured bottleneck of every local fit. Block partials combine in
+  * fixed index order, so results are deterministic for a given block count.
   */
 final class LocalOps(
     xMat: DenseMatrix[Double],
@@ -66,6 +72,8 @@ final class LocalOps(
     passCounter: java.util.concurrent.atomic.AtomicLong =
       new java.util.concurrent.atomic.AtomicLong(0L)
 ) extends BatchOps {
+  require(!xMat.isTranspose && !yMat.isTranspose,
+    "LocalOps needs column-major (non-transposed) matrices")
 
   def n: Long = xMat.rows.toLong
   def p: Int = xMat.cols
@@ -75,47 +83,123 @@ final class LocalOps(
   lazy val yMeans: Array[Double] =
     Array.tabulate(m)(j => breeze.linalg.sum(yMat(::, j)) / n.toDouble)
 
-  def lossGrad(beta: DenseMatrix[Double]): (Double, Double, DenseMatrix[Double]) = {
-    passCounter.incrementAndGet()
-    val lp = xMat * beta
-    // fused single row loop with reused row buffers: the per-row-allocating
-    // matrix helpers triple-scan and allocate 2 arrays per row per call,
-    // which dominates local fits at 10⁵⁺ rows
-    val nR = xMat.rows
+  /** Row blocks sized so each is worth a task (≥ ~16k rows). */
+  private val nBlocks: Int = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    math.max(1, math.min(cores, xMat.rows / 16384))
+  }
+  private def blockLo(b: Int): Int = (b.toLong * xMat.rows / nBlocks).toInt
+  private def blockHi(b: Int): Int = ((b + 1).toLong * xMat.rows / nBlocks).toInt
+
+  private def parBlocks[T: scala.reflect.ClassTag](f: Int => T): Array[T] = {
+    val out = new Array[T](nBlocks)
+    if (nBlocks == 1) out(0) = f(0)
+    else java.util.stream.IntStream.range(0, nBlocks).parallel()
+      .forEach(((b: Int) => out(b) = f(b)): java.util.function.IntConsumer)
+    out
+  }
+
+  /** (primal, dual, Xᵀpg partial) over rows [lo, hi): a hand-blocked gemm
+    * for the linear predictor (column-major-friendly), the fused row loop
+    * with reused buffers, then the gradient block-gemm — no n-sized
+    * allocations beyond the block.
+    */
+  private def blockLossGrad(lo: Int, hi: Int, beta: DenseMatrix[Double],
+                            wantDualPg: Boolean): (Double, Double, Array[Double]) = {
+    val rows = hi - lo
+    val pC = xMat.cols
     val mC = yMat.cols
+    val xd = xMat.data; val xoff = xMat.offset; val xms = xMat.majorStride
+    val yd = yMat.data; val yoff = yMat.offset; val yms = yMat.majorStride
+    // lp(r, j) for block rows, column-major over the block
+    val lp = new Array[Double](rows * mC)
+    var j = 0
+    while (j < mC) {
+      var c = 0
+      while (c < pC) {
+        val bcj = beta(c, j)
+        if (bcj != 0.0) {
+          val base = xoff + c * xms + lo
+          val lpBase = j * rows
+          var r = 0
+          while (r < rows) { lp(lpBase + r) += xd(base + r) * bcj; r += 1 }
+        }
+        c += 1
+      }
+      j += 1
+    }
     val yRow = new Array[Double](mC)
     val lpRow = new Array[Double](mC)
-    val pg = DenseMatrix.zeros[Double](nR, mC)
+    val pg = if (wantDualPg) new Array[Double](rows * mC) else null
     var primalAcc = 0.0
     var dualAcc = 0.0
-    var i = 0
-    while (i < nR) {
-      var j = 0
-      while (j < mC) { yRow(j) = yMat(i, j); lpRow(j) = lp(i, j); j += 1 }
+    var r = 0
+    while (r < rows) {
+      var j2 = 0
+      while (j2 < mC) {
+        yRow(j2) = yd(yoff + j2 * yms + lo + r)
+        lpRow(j2) = lp(j2 * rows + r)
+        j2 += 1
+      }
       primalAcc += family.rowPrimal(yRow, lpRow)
-      dualAcc += family.rowDual(yRow, lpRow)
-      val g = family.rowPseudoGradient(yRow, lpRow)
-      j = 0
-      while (j < mC) { pg(i, j) = g(j); j += 1 }
-      i += 1
+      if (wantDualPg) {
+        dualAcc += family.rowDual(yRow, lpRow)
+        val g = family.rowPseudoGradient(yRow, lpRow)
+        j2 = 0
+        while (j2 < mC) { pg(j2 * rows + r) = g(j2); j2 += 1 }
+      }
+      r += 1
     }
-    (primalAcc, dualAcc, xMat.t * pg)
+    if (!wantDualPg) return (primalAcc, 0.0, null)
+    // grad partial: gP(c, j) = Σ_r x(lo+r, c) · pg(r, j)
+    val gP = new Array[Double](pC * mC)
+    j = 0
+    while (j < mC) {
+      var c = 0
+      while (c < pC) {
+        val base = xoff + c * xms + lo
+        val pgBase = j * rows
+        var acc = 0.0
+        var r2 = 0
+        while (r2 < rows) { acc += xd(base + r2) * pg(pgBase + r2); r2 += 1 }
+        gP(c + j * pC) += acc
+        c += 1
+      }
+      j += 1
+    }
+    (primalAcc, dualAcc, gP)
+  }
+
+  def lossGrad(beta: DenseMatrix[Double]): (Double, Double, DenseMatrix[Double]) = {
+    passCounter.incrementAndGet()
+    val parts = parBlocks(b => blockLossGrad(blockLo(b), blockHi(b), beta, wantDualPg = true))
+    val pC = xMat.cols
+    val mC = yMat.cols
+    val grad = DenseMatrix.zeros[Double](pC, mC)
+    var primalAcc = 0.0
+    var dualAcc = 0.0
+    var b = 0
+    while (b < parts.length) {
+      val (pr, du, gP) = parts(b)
+      primalAcc += pr
+      dualAcc += du
+      var j = 0
+      while (j < mC) {
+        var c = 0
+        while (c < pC) { grad(c, j) += gP(c + j * pC); c += 1 }
+        j += 1
+      }
+      b += 1
+    }
+    (primalAcc, dualAcc, grad)
   }
 
   def primal(beta: DenseMatrix[Double]): Double = {
     passCounter.incrementAndGet()
-    val lp = xMat * beta
-    val mC = yMat.cols
-    val yRow = new Array[Double](mC)
-    val lpRow = new Array[Double](mC)
+    val parts = parBlocks(b => blockLossGrad(blockLo(b), blockHi(b), beta, wantDualPg = false))
     var acc = 0.0
-    var i = 0
-    while (i < xMat.rows) {
-      var j = 0
-      while (j < mC) { yRow(j) = yMat(i, j); lpRow(j) = lp(i, j); j += 1 }
-      acc += family.rowPrimal(yRow, lpRow)
-      i += 1
-    }
+    var b = 0
+    while (b < parts.length) { acc += parts(b)._1; b += 1 }
     acc
   }
 

@@ -77,7 +77,12 @@ object SlopeEstimator {
     val rows: RDD[(Array[Double], MlVector)] = {
       val localFam = family
       val mT = mTargets
-      df.select((lCol +: fCols.toSeq).map(org.apache.spark.sql.functions.col): _*)
+      // spread the pruned projection before row encoding: the local test
+      // parquet is a single row group (1–3 scan splits), which would leave
+      // encode + the standardization pass near-serial; gated no-op when the
+      // scan already has enough splits (any real cluster input)
+      graft.util.Tables.spread(
+        df.select((lCol +: fCols.toSeq).map(org.apache.spark.sql.functions.col): _*))
         .rdd.map { r =>
           val y: Array[Double] = localFam match {
             case Binomial =>

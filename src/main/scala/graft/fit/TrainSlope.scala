@@ -15,8 +15,13 @@ import graft.slope._
   *   SURVEY.md §7 hard part 5).
   * - The reference parallelizes across (q, fold, repeat) cells and
   *   serializes over rows (PSOCK workers); at cluster scale that inverts:
-  *   each cell is a distributed path fit over the shared cached data, cells
-  *   run sequentially (trainOwl.R:125-144 inversion note in SURVEY §3.3).
+  *   each cell is a distributed path fit over the shared cached data
+  *   (row-level parallelism), with a BOUNDED pool of concurrent cells on
+  *   top — a cell alternates between cluster passes and driver-side solver
+  *   phases, so a few in-flight cells keep the cluster busy where one
+  *   leaves it idle half the time (trainOwl.R:125-144 parLapply analogue;
+  *   inversion note in SURVEY §3.3). Cell results assemble in grid order,
+  *   so concurrency never changes the output.
   * - Aggregation: mean / se / 95% t-CI per (q, σ, measure)
   *   (trainOwl.R:146-161), optima per measure (:163-166), plus the
   *   full-data model.
@@ -57,12 +62,18 @@ object TrainSlope {
     require(used.nonEmpty, s"no valid measure among $ms for family ${cfg.family}")
 
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = for {
+      rep <- 0 until repeats
+      fold <- 0 until number
+      q <- qs
+    } yield (rep, fold, q)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cells.length, 4)))
     try {
-      val raw = for {
-        rep <- 0 until repeats
-        fold <- 0 until number
-        q <- qs
-        scores = {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futures = cells.map { case (rep, fold, q) =>
+        scala.concurrent.Future {
           // deterministic salted-hash fold id (murmur3 of (id, rep))
           val foldCol = pmod(hash(col(idCol), lit(rep)), lit(number))
           val train = cached.filter(foldCol =!= fold)
@@ -71,6 +82,12 @@ object TrainSlope {
             cfg.copy(sigma = sigma, q = q))
           used.map(meas => meas -> m.score(test, featureCols, labelCol, meas))
         }
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+      val raw = for {
+        ((rep, fold, q), scores) <- cells.zip(results)
         (meas, vals) <- scores
         k <- vals.indices
       } yield CellScore(q, k, sigma(k), fold, rep, meas, vals(k))
@@ -97,6 +114,7 @@ object TrainSlope {
 
       TrainedSlope(summary, optima, fullModel, raw)
     } finally {
+      pool.shutdown()
       cached.unpersist(blocking = false)
     }
   }

@@ -49,17 +49,46 @@ object Dedup {
     if (dedup) raw.distinct() else raw
   }
 
-  /** MinHash signatures: for each of `nHashes` seeds, the minimum
-    * `md5(shingle#seed)` over the doc's shingles. All seeds aggregate in ONE
-    * wide groupBy (map-side combinable) and unpivot afterwards — exploding a
-    * seed column first would multiply the shuffle volume by nHashes for no
-    * reason (the seed hashes are computed map-side either way).
+  /** Prime field for the affine minhash family (2³¹−1, Mersenne). */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Seed constants (a_i ∈ [1, p−1], b_i ∈ [0, p−1]) for the affine family
+    * h_i(x) = (a_i·x + b_i) mod p — splitmix64-derived so they're well
+    * spread but fully deterministic. The SAME constants are embedded into
+    * the generated DuckDB oracle SQL (single source of truth).
+    */
+  def minhashSeeds(n: Int): Array[(Long, Long)] = Array.tabulate(n) { i =>
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val a = java.lang.Long.remainderUnsigned(mix(2L * i + 1), MinhashPrime - 2) + 1
+    val b = java.lang.Long.remainderUnsigned(mix(2L * i + 2), MinhashPrime)
+    (a, b)
+  }
+
+  /** MinHash signatures: for each of `nHashes` affine seeds, the minimum
+    * `(a_i·h + b_i) mod p` over the doc's shingle base hashes
+    * `h = md5₆₀(shingle) mod p`. One md5 per shingle OCCURRENCE total — the
+    * seed family is cheap integer arithmetic (an md5 per seed was the
+    * measured CPU bottleneck of the whole dedup pipeline, 18× the hash
+    * work for no statistical gain; an affine family over a prime field is
+    * the textbook universal construction). All seeds aggregate in ONE wide
+    * groupBy (map-side combinable) and unpivot afterwards — exploding a
+    * seed column first would multiply the shuffle volume by nHashes.
+    * Products stay in range: (p−1)² < 2⁶² < Long.MaxValue.
     */
   def minhash(shingleDf: DataFrame, nHashes: Int = 18): DataFrame = {
-    val aggs = (0 until nHashes).map(i =>
-      min(Det.md5Hash60(concat(col("sh"), lit(s"#$i")))).as(s"mh_$i"))
+    val seeds = minhashSeeds(nHashes)
+    val withBase = shingleDf.select(col("doc_id"),
+      (Det.md5Hash60(col("sh")) % MinhashPrime).as("hb"))
+    val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min((col("hb") * lit(a) + lit(b)) % MinhashPrime).as(s"mh_$i")
+    }.toSeq
     val stackArgs = (0 until nHashes).map(i => s"$i, mh_$i").mkString(", ")
-    shingleDf.groupBy("doc_id")
+    withBase.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         expr(s"stack($nHashes, $stackArgs)").as(Seq("seed", "minhash")))

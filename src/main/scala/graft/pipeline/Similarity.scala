@@ -117,6 +117,145 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // ---------------------------------------------------------------- IVF --
+
+  /** IVF (inverted-file) centroids: deterministic spherical k-means over
+    * the embedding column. Init = the k lowest-id vectors normalized
+    * (declared spec — no RNG, reproducible on any cluster layout); each
+    * Lloyd iteration is ONE data pass accumulating per-cluster sums
+    * against broadcast centroids (assignment = max cosine ≡ max dot
+    * after normalization, ties to the lowest cluster id); new centroids are
+    * the normalized means, empty clusters keep their previous centroid.
+    *
+    * Bitwise determinism: per-partition partial buffers are folded on the
+    * driver in PARTITION-ID order — a plain treeAggregate combines partials
+    * in task-completion order, and double addition is order-sensitive, so
+    * two identical runs would differ in the last ulps (observed in the
+    * spec). The partial set is P·k·(d+1) doubles — at depth-2 treeAggregate
+    * the driver already receives √P such buffers, so this changes the
+    * constant, not the shape; for P beyond ~10⁴ partitions add one
+    * fixed-pairing pre-combine level.
+    *
+    * The centroid table is k×d doubles — driver-held, like the solver's β.
+    * At 100 TB the build costs `iters` full scans and the index state stays
+    * tiny; queries then touch only `nProbe` inverted lists.
+    */
+  def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Array[Array[Double]] = {
+    def normalized(a: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) a else a.map(_ / n)
+    }
+    val init: Array[Array[Double]] = embeddings
+      .orderBy(col(idCol)).limit(k).select(vecCol).collect()
+      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(init.nonEmpty, "ivfCentroids: empty input")
+    val d = init.head.length
+    val rows = graft.util.Tables.spread(embeddings.select(vecCol)).rdd
+      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
+    var centroids = init
+    for (_ <- 0 until iters) {
+      val bc = rows.sparkContext.broadcast(centroids)
+      // per-partition buffer: [sums (k·d), counts (k)], folded in pid order
+      val partials = rows.mapPartitionsWithIndex { (pid, it) =>
+        val cs = bc.value
+        val buf = new Array[Double](k * d + k)
+        it.foreach { v =>
+          var best = 0; var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            var dot = 0.0; var i = 0
+            while (i < d) { dot += cs(c)(i) * v(i); i += 1 }
+            if (dot > bestDot) { bestDot = dot; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < d) { buf(best * d + i) += v(i); i += 1 }
+          buf(k * d + best) += 1.0
+        }
+        Iterator.single(pid -> buf)
+      }.collect().sortBy(_._1)
+      val agg = new Array[Double](k * d + k)
+      partials.foreach { case (_, b) =>
+        var i = 0; while (i < agg.length) { agg(i) += b(i); i += 1 }
+      }
+      centroids = Array.tabulate(centroids.length) { c =>
+        if (agg(k * d + c) > 0.0)
+          normalized(Array.tabulate(d)(i => agg(c * d + i)))
+        else centroids(c)
+      }
+      bc.destroy()
+    }
+    centroids
+  }
+
+  /** Cluster assignment as a pure Catalyst expression: per-centroid dots
+    * against LITERAL centroid arrays (no UDF — stays in codegen), argmax
+    * via the comparable-struct `least` trick with ties to the lowest
+    * cluster id. Cosine is rounded to 9 decimals first so the argmax is
+    * engine-independent (same recipe as the oracled top-k queries).
+    */
+  def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Double]],
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val ev = col(vecCol)
+    val choices = centroids.zipWithIndex.map { case (c, i) =>
+      val cv = typedLit(c.toSeq)
+      // centroids are unit-norm, so cosine = dot / |ev|
+      struct((-round(dot(ev, cv) / norm(ev), 9)).as("negCos"), lit(i).as("cid"))
+    }
+    val best = if (choices.length == 1) choices.head else least(choices: _*)
+    embeddings.select(col(idCol).as("vec_id"), best.getField("cid").as("cluster"))
+  }
+
+  /** IVF approximate top-k: each probe scans only its `nProbe` nearest
+    * inverted lists. Probes are collected (tiny set), their candidate
+    * clusters computed driver-side against the k×d centroid table, and the
+    * (probe × cluster) fan-out equi-joins the assignment — never a corpus
+    * cross join. Exact cosine then ranks within the candidate set.
+    */
+  def ivfTopK(embeddings: DataFrame, probePred: Column, topK: Int,
+              k: Int = 16, iters: Int = 2, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = ivfCentroids(embeddings, k, iters, idCol, vecCol)
+    val assign = ivfAssign(embeddings, centroids, idCol, vecCol)
+    val cands = embeddings
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(assign.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+
+    val probeRows = embeddings.filter(probePred)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val probeClusters = probeRows.flatMap { case (pid, pv) =>
+      val norm = math.sqrt(pv.map(x => x * x).sum)
+      val byDot = centroids.zipWithIndex.map { case (c, i) =>
+        val dot = c.zip(pv).map { case (a, b) => a * b }.sum
+        (-dot / math.max(norm, Double.MinPositiveValue), i)
+      }.sorted.take(nProbe)
+      byDot.map { case (_, cid) => (pid, pv.toSeq, cid) }
+    }
+    import spark.implicits._
+    val probesDf = probeClusters.toSeq
+      .toDF("probe_id", "pv", "cluster")
+      .select(col("probe_id"), col("pv").cast("array<float>").as("pv"), col("cluster"))
+
+    val scored = cands.join(broadcast(probesDf), Seq("cluster"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(cosine(col("pv"), col("cv")), 9).as("cos"))
+      // a vector can appear in several of a probe's clusters only via
+      // distinct clusters, and assignment is unique — no dedup needed
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("probe_id", "rank", "cand_id", "cos")
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to same-bucket
     * candidates (the IVF-style scale path; recall traded for a bucket-local
     * join instead of a corpus scan per probe).

@@ -38,7 +38,10 @@ object MlQueries {
         Det.dsum(col(f) * col(label), 6).as(s"sxy_$i"))
     }
     val allAggs = Seq(count(lit(1)).as("n"), Det.davg(col(label)).as("ym")) ++ aggs
-    val wide = li(s, dir).agg(allAggs.head, allAggs.tail: _*)
+    // decimal-exact sums are ~30x a double sum per row; spread the pruned
+    // scan so they aggregate on all cores (no-op on a many-split lake scan)
+    val src = Tables.spread(li(s, dir).select((features :+ label).map(col): _*))
+    val wide = src.agg(allAggs.head, allAggs.tail: _*)
     val stackArgs = features.zipWithIndex
       .map { case (f, i) => s"'$f', xm_$i, sxx_$i, sxy_$i" }.mkString(", ")
     wide.selectExpr("n", "ym",
@@ -109,9 +112,9 @@ object MlQueries {
          |SELECT (sum((err*err)::DECIMAL(30,3)))::DOUBLE / count(*)::DOUBLE AS mse,
          |       (sum(abs(err)::DECIMAL(30,6)))::DOUBLE / count(*)::DOUBLE AS mae
          |FROM e""".stripMargin) { (s, dir) =>
-      li(s, dir)
+      Tables.spread(li(s, dir)
         .select(((lit(b0) + lit(b1) * col("l_quantity") + lit(b2) * col("l_discount")
-          + lit(b3) * col("l_tax")) - col("l_extendedprice")).as("err"))
+          + lit(b3) * col("l_tax")) - col("l_extendedprice")).as("err")))
         .agg(
           (Det.dsum(col("err") * col("err"), 3) / count(lit(1)).cast("double")).as("mse"),
           (Det.dsum(abs(col("err")), 6) / count(lit(1)).cast("double")).as("mae"))
@@ -226,9 +229,9 @@ object MlQueries {
          |       (sum((x3*r)::DECIMAL(30,6)))::DOUBLE AS g_tax
          |FROM e""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val ds = li(s, dir)
+      val ds = Tables.spread(li(s, dir)
         .select(col(label).cast("double"),
-          array(features.map(f => col(f).cast("double")): _*))
+          array(features.map(f => col(f).cast("double")): _*)))
         .as[(Double, Array[Double])]
       val agg = new GradientAggregator(b0, bs, graft.slope.Gaussian)
       // lazy single plan: the Aggregator IS the aggregation node; the

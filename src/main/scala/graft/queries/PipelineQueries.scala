@@ -18,6 +18,15 @@ object PipelineQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.t(s, dir, "embeddings")
 
+  /** Documents spread across cores for the explode/regex/hash-heavy passes:
+    * the doc table is a single parquet split locally, and per-doc work
+    * (tokenize, shingle, 60-bit votes) is orders of magnitude larger than
+    * the rows themselves — the classic explode-amplification shape.
+    * `Tables.spread` is gated, so this adds nothing on a real lake scan.
+    */
+  private def docsSpread(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.spread(docs(s, dir))
+
   /** Text statistics per language: counts are exact integers. */
   val textProfile: Q = Q.sql(
     "p_text_profile",
@@ -29,7 +38,7 @@ object PipelineQueries {
        |  sum(len(regexp_extract_all(lower(text), '${TextPipeline.stopwordPattern}')))::BIGINT AS sum_stopwords,
        |  sum(len(regexp_extract_all(text, '[.,;:!?]')))::BIGINT AS sum_punct
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-    docs(s, dir).groupBy("lang")
+    docsSpread(s, dir).groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
@@ -63,7 +72,7 @@ object PipelineQueries {
          |SELECT lang, pred_lang, count(*)::BIGINT AS n
          |FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin) {
       (s, dir) =>
-        docs(s, dir)
+        docsSpread(s, dir)
           .select(col("lang"), TextPipeline.langId(col("text")).as("pred_lang"))
           .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
           .orderBy("lang", "pred_lang")
@@ -80,7 +89,7 @@ object PipelineQueries {
       |  FROM documents)
       |SELECT tok, count(*)::BIGINT AS n
       |FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin) { (s, dir) =>
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(explode(TextPipeline.tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok"))
@@ -98,7 +107,7 @@ object PipelineQueries {
       |SELECT bigram, count(*)::BIGINT AS n
       |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin) {
     (s, dir) =>
-      docs(s, dir)
+      docsSpread(s, dir)
         .select(TextPipeline.tokens(col("text")).as("ts"))
         .select(explode(expr(
           "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), (t, i) -> concat(t, ' ', ts[i + 1]))"))
@@ -126,19 +135,21 @@ object PipelineQueries {
     */
   val minhashLshDedup: Q = Q.sql(
     "p_minhash_lsh_dedup",
-    """WITH reps AS (
+    s"""WITH reps AS (
       |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
       |  FROM (SELECT doc_id, text,
-      |          ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
+      |          ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
       |        FROM documents)
       |  GROUP BY fp),
       |docs AS (SELECT doc_id, lower(text) AS t FROM reps WHERE len(text) >= 5),
       |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM docs),
       |sh AS (SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS sh FROM pos),
+      |hb AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashPrime} AS hb FROM sh),
       |mh AS (
-      |  SELECT doc_id, s.seed,
-      |         min(('0x' || substr(md5(sh || '#' || s.seed::VARCHAR), 1, 15))::BIGINT) AS minhash
-      |  FROM sh, (SELECT unnest(range(18)) AS seed) s
+      |  SELECT doc_id, s.seed, min((hb * s.a + s.b) % ${Dedup.MinhashPrime}) AS minhash
+      |  FROM hb, (VALUES ${Dedup.minhashSeeds(18).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")}) s(seed, a, b)
       |  GROUP BY doc_id, s.seed),
       |bands AS (
       |  SELECT doc_id, (seed // 6)::INT AS band,
@@ -187,7 +198,7 @@ object PipelineQueries {
       |    ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
       |SELECT d1, d2, hamming::BIGINT AS hamming FROM pairs WHERE hamming <= 4
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    SimHash.hammingPairs(SimHash.simhash(docs(s, dir)))
+    SimHash.hammingPairs(SimHash.simhash(docsSpread(s, dir)))
       .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
       .orderBy("d1", "d2")
   }
@@ -306,8 +317,57 @@ object PipelineQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** IVF assignment with FIXED "centroids" (the 8 lowest-id vectors):
+    * max-cosine argmax with deterministic rounding/tie-break, occupancy
+    * histogram out — pins the IVF distance + argmax computation with an
+    * exact DuckDB oracle (Lloyd iterations are pinned separately in
+    * PipelineSpec; the end-to-end index is `p_ann_ivf_topk`).
+    */
+  val annIvfAssign: Q = Q.sql(
+    "p_ann_ivf_assign",
+    """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      |           FROM embeddings WHERE vec_id < 8),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, cid,
+      |         round(list_dot_product(ev, cv) /
+      |               (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 9) AS cos
+      |  FROM v, c),
+      |a AS (SELECT vec_id, cid,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |      FROM s)
+      |SELECT cid AS cluster, count(*)::BIGINT AS n_vecs
+      |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // argmax via map-side-combinable min over the comparable struct
+    // (−cos, cid) — no per-probe window sort; ties to the lowest cid
+    val choice = struct(
+      (-round(Similarity.cosine(col("ev"), col("cv")), 9)).as("negCos"),
+      col("cid"))
+    e.select(col("vec_id"), col("embedding").as("ev"))
+      .crossJoin(broadcast(cents))
+      .groupBy("vec_id").agg(min(choice).as("best"))
+      .select(col("best").getField("cid").as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("cluster")
+  }
+
+  /** End-to-end IVF ANN: deterministic spherical k-means index (k=16,
+    * 2 Lloyd passes), probes scan only their nProbe=4 nearest inverted
+    * lists. Rows-only: recall depends on the learned partition; the
+    * distance/argmax arithmetic is oracled by p_ann_ivf_assign and the
+    * exactness baseline by p_cosine_topk.
+    */
+  val annIvfTopK: Q = Q.rowsOnly("p_ann_ivf_topk") { (s, dir) =>
+    Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, 5)
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
-    embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK)
+    embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
+    annIvfAssign, annIvfTopK)
 }

@@ -41,8 +41,12 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      // spread AFTER the filter so the predicate still pushes into the scan;
+      // the decimal-exact partial aggregation then runs on all cores
+      // (Tables.spread is gated — a no-op on a many-split cluster scan)
+      Tables.spread(
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),

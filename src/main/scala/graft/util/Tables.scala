@@ -32,6 +32,26 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true")
+
+  /** Recover scan parallelism lost to coarse parquet row groups.
+    *
+    * The local test tables are single-row-group files, and a row group is
+    * Spark's minimum split unit — so a scan yields 1–3 partitions and every
+    * downstream map-side computation (decimal-exact sums, regex explodes,
+    * per-row hashing) runs near-serially no matter how many cores exist.
+    * Spreading is GATED on the observed partition count: on a real lake a
+    * 100 TB table scans as tens of thousands of row-group splits, the gate
+    * fails, and no shuffle is added. Locally it costs one small shuffle of
+    * the (column-pruned) rows and buys full-core aggregation.
+    *
+    * The explicit partition count also pins the exchange against AQE
+    * coalescing, which would otherwise size the few-MB pre-explode input
+    * back down to one partition.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
 
 /** Deterministic-aggregation helpers.

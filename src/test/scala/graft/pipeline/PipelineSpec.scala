@@ -136,6 +136,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 1 && top(0).getLong(2) == 1L) // nearest = the twin
   }
 
+  test("IVF: deterministic centroids, unique assignment, topk finds the twin") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(41)
+    // two well-separated directions + noise; vec 1 duplicates vec 0
+    def around(dir: Int): Array[Float] = {
+      val a = Array.fill(8)(rng.nextFloat() * 0.2f - 0.1f)
+      a(dir) = 1f
+      a
+    }
+    val vec0 = around(0)
+    val rows = (0L until 24L).map { i =>
+      if (i <= 1L) (i, vec0.clone()) // vec 1 duplicates vec 0
+      else (i, around(if (i % 2 == 0) 0 else 4))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+
+    val c1 = Similarity.ivfCentroids(df, k = 2, iters = 2)
+    val c2 = Similarity.ivfCentroids(df, k = 2, iters = 2)
+    // deterministic: identical across runs, unit-norm
+    assert(c1.length == 2)
+    c1.zip(c2).foreach { case (a, b) => assert(a.sameElements(b)) }
+    c1.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-12)
+    }
+
+    // every vector gets exactly one cluster
+    val assign = Similarity.ivfAssign(df, c1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign.size == 24)
+    assert(assign.values.toSet.subsetOf(Set(0, 1)))
+    // the two planted directions separate after Lloyd
+    assert(assign(0L) != assign(5L))
+
+    // topk through the index: the duplicate vector ranks first for probe 0
+    val top = Similarity.ivfTopK(df, col("vec_id") === 0, topK = 3,
+      k = 2, iters = 2, nProbe = 1).collect()
+    assert(top.nonEmpty && top.head.getLong(2) == 1L)
+  }
+
   test("multimodal resize and frame-sample plumbing (stubbed codecs)") {
     val df = Multimodal.withPayload(docsDf(0L -> ("x" * 100), 1L -> "tiny"))
     val resized = Multimodal.resize(spark, df, 8, 8).collect()
