@@ -35,6 +35,17 @@ object Slope {
           cfg: SlopeConfig = SlopeConfig()): SlopeModel =
     SlopeEstimator.fit(df, featureCols, labelCol, cfg)
 
+  /** Exact-coefficient refit (reference R/coef.R:37-47, `exact = TRUE`):
+    * instead of interpolating between stored path steps, refit with the σ
+    * grid pinned to exactly the requested values. Needs the data again —
+    * a Spark model doesn't retain its training DataFrame, so exactness is
+    * a facade-level operation here rather than a model method.
+    */
+  def coefExact(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                sigmas: Array[Double],
+                cfg: SlopeConfig = SlopeConfig()): IndexedSeq[breeze.linalg.DenseMatrix[Double]] =
+    fit(df, featureCols, labelCol, cfg.copy(sigma = sigmas)).coef(sigmas)
+
   /** Repeated k-fold cross-validation (the reference's trainOwl). */
   def crossValidate(df: DataFrame, featureCols: Seq[String], labelCol: String,
                     idCol: String,

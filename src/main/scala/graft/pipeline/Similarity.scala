@@ -17,14 +17,14 @@ import graft.util.Det
   */
 object Similarity {
 
-  /** Elementwise double-dot of two float-array columns, summed in element
+  /** Elementwise double-dot of two numeric-array columns, summed in element
     * order (deterministic; matches an oracle's sequential accumulation).
+    * Backed by the native codegen'd [[graft.functions.VecDot]] expression —
+    * the equivalent `aggregate(zip_with(...))` formulation runs on the
+    * interpreted higher-order-function path and was the measured bottleneck
+    * of every similarity query.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

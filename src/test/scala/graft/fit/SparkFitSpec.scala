@@ -171,6 +171,31 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("coefExact refit reproduces on-path betas (test-coef.R:37-47, exact = TRUE)") {
+    val prob = RandomProblem(n = 150, p = 5, family = Gaussian, seed = 77L)
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 150).map { i =>
+      org.apache.spark.sql.Row.fromSeq(
+        prob.y(i, 0) +: (0 until 5).map(j => prob.x(i, j)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      ("label" +: (0 until 5).map(j => s"f$j")).map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val feats = (0 until 5).map(j => s"f$j")
+
+    val model = SlopeEstimator.fit(df, feats, "label", SlopeConfig(nSigma = 8))
+    val k = model.fit.sigma.length / 2
+    val sigmaK = model.fit.sigma(k)
+    // a cold single-σ refit solves the same strictly convex problem the
+    // warm-started path step did — same optimum within solver tolerance
+    val exact = graft.Slope.coefExact(df, feats, "label", Array(sigmaK)).head
+    val stored = model.fit.betas(k)
+    for (j <- 0 until exact.rows)
+      assert(math.abs(exact(j, 0) - stored(j, 0)) < 1e-3,
+        s"coef $j: refit ${exact(j, 0)} vs path ${stored(j, 0)}")
+  }
+
   test("sparse == dense (reference test-sparsity.R:1-23): SparseVector rows give the same fit") {
     val prob = RandomProblem(n = 100, p = 8, density = 0.5, family = Gaussian, seed = 99L)
     val denseRdd = mkRdd(prob.x, prob.y)

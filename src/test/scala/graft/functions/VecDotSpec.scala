@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The native vec_dot must be a drop-in for the interpreted
+  * aggregate(zip_with(...)) formulation it replaced: bit-identical sums
+  * (same element-order double accumulation), NULL propagation, mixed
+  * float/double inputs, and it must stay inside whole-stage codegen.
+  */
+class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("vec_dot is bit-identical to the zip_with/aggregate formulation") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val rows = df.select(
+      VecFunctions.vecDot(col("a"), col("b")).as("fast"),
+      hofDot(col("a"), col("b")).as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
+  test("mixed float/double arrays and literal centroids work") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f))).toDF("v")
+    val cent = typedLit(Seq(0.5, -1.0, 2.0))
+    val out = df.select(VecFunctions.vecDot(col("v"), cent)).head().getDouble(0)
+    assert(out == 1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0)
+  }
+
+  test("null array or null element yields NULL; length mismatch stops at shorter") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 1.0f)),
+      (2L, null, Array[java.lang.Float](1.0f, 1.0f)),
+      (3L, Array[java.lang.Float](2.0f, 3.0f, 99.0f), Array[java.lang.Float](4.0f, 5.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), VecFunctions.vecDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).isEmpty)
+    assert(out(3L).contains(2.0 * 4.0 + 3.0 * 5.0))
+  }
+
+  test("vec_dot stays inside whole-stage codegen") {
+    val df = spark.range(10).select(
+      transform(sequence(lit(0), lit(7)), i => (col("id") + i).cast("float")).as("a"),
+      transform(sequence(lit(0), lit(7)), i => (col("id") * i).cast("float")).as("b"))
+    val plan = df.select(VecFunctions.vecDot(col("a"), col("b")).as("d"))
+      .queryExecution.executedPlan
+    val hasWsc = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWsc, s"no WholeStageCodegen in:\n$plan")
+  }
+}
