@@ -171,12 +171,26 @@ object Dedup {
     // shingle+hash work is nHashes×|text| per doc. The partition count is
     // pinned (defaultParallelism) because AQE would coalesce an un-sized
     // repartition of a few-MB input back to one partition — sizing by
-    // pre-explode bytes is exactly wrong for explode-heavy stages.
+    // pre-explode bytes is exactly wrong for explode-heavy stages. (Folding
+    // this shuffle into the groupBy by pre-partitioning on fp measured
+    // SLOWER: the groupBy's own exchange partial-aggregates map-side,
+    // collapsing duplicate texts before they cross the wire.)
     val spread = reps.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val shRaw = shingles(spread, k = k, dedup = false)
     val cand = candidatePairs(bands(minhash(shRaw, nHashes), rowsPerBand))
-    jaccardVerify(cand, shingles(spread, k = k), threshold)
+    // verify ONLY candidate documents: the exact-Jaccard stage needs the
+    // deduplicated shingle SETS, and building those for the whole corpus is
+    // a corpus-sized distinct shuffle executed once per join side — while
+    // the candidate set is a vanishing fraction of docs. The semi-join
+    // keeps the whole thing lazy (no driver-side collect of ids), and AQE
+    // turns it into a broadcast once the candidate aggregate's true size is
+    // known. The two references to `cand` are identical subtrees — the
+    // bucket aggregation's exchange is reused, not recomputed.
+    val candIds = cand
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val candDocs = spread.join(candIds, Seq("doc_id"), "left_semi")
+    jaccardVerify(cand, shingles(candDocs, k = k), threshold)
   }
 }
 
