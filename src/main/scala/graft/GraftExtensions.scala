@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.VecDot
+
+/** Session extension registering the engine's native expressions on the SQL
+  * surface, so `spark.sql("SELECT vec_dot(a, b) ...")` works anywhere the
+  * session is built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the standard
+  * plug-in point for Catalyst additions (no Spark fork, no global mutable
+  * registry). The Scala DSL (`Similarity.dot`, `VecFunctions.vecDot`) does
+  * not need this: it constructs the expression directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "vec_dot takes exactly 2 arguments")
+        VecDot(children.head, children(1))
+      }))
+  }
+}

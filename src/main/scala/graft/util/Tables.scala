@@ -31,7 +31,9 @@ object Tables {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // native expressions (vec_dot) on the SQL surface of every session
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   /** Recover scan parallelism lost to coarse parquet row groups.
     *

@@ -77,4 +77,23 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
     assert(hasWsc, s"no WholeStageCodegen in:\n$plan")
   }
+
+  // LAST test in the suite: it replaces the shared session (extensions only
+  // apply at session construction, so getOrCreate on the live one can't
+  // exercise them).
+  test("GraftExtensions exposes vec_dot to SQL") {
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val v = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
 }
