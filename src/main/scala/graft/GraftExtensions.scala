@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.VecDot
+import graft.functions.{VecCosine, VecDot}
 
 /** Session extension registering the engine's native expressions on the SQL
   * surface, so `spark.sql("SELECT vec_dot(a, b) ...")` works anywhere the
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "vec_dot takes exactly 2 arguments")
         VecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "vec_cosine takes exactly 2 arguments")
+        VecCosine(children.head, children(1))
       }))
   }
 }

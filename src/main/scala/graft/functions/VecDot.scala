@@ -105,8 +105,107 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity in ONE array traversal: dot(a,b), dot(a,a), dot(b,b)
+  * accumulate in the same loop (the composed `dot/(norm·norm)` form walks
+  * the arrays three times). Each accumulator sums sequentially in element
+  * order, and the final combination is the same `dot / (sqrt·sqrt)`
+  * arithmetic — bit-identical to the composed form and to DuckDB's
+  * `list_dot_product / (sqrt·sqrt)` oracle recipe. NULL and length
+  * semantics mirror [[VecDot]].
+  */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_cosine requires array<float|double> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  private def containsNull: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  // zero-norm inputs divide to NaN (like the composed form), not NULL;
+  // NULL arises only from NULL inputs/elements
+  override def nullable: Boolean =
+    left.nullable || right.nullable || containsNull
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val la = a.asInstanceOf[ArrayData]
+    val lb = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(la.numElements(), lb.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      if (la.isNullAt(i) || lb.isNullAt(i)) return null
+      val x = lt match {
+        case FloatType => la.getFloat(i).toDouble
+        case _         => la.getDouble(i)
+      }
+      val y = rt match {
+        case FloatType => lb.getFloat(i).toDouble
+        case _         => lb.getDouble(i)
+      }
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr1, arr2) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getA = CodeGenerator.getValue(arr1, elemType(left), i)
+      val getB = CodeGenerator.getValue(arr2, elemType(right), i)
+      val nullCheck =
+        if (containsNull)
+          s"if ($arr1.isNullAt($i) || $arr2.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  double $x = (double)($getA);
+         |  double $y = (double)($getB);
+         |  $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+         |}
+         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+       """.stripMargin
+    })
+
+  override def prettyName: String = "vec_cosine"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VecFunctions {
   def vecDot(a: Column, b: Column): Column =
     GraftSql.column(VecDot(GraftSql.expression(a), GraftSql.expression(b)))
+
+  def vecCosine(a: Column, b: Column): Column =
+    GraftSql.column(VecCosine(GraftSql.expression(a), GraftSql.expression(b)))
 }

@@ -78,10 +78,27 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hasWsc, s"no WholeStageCodegen in:\n$plan")
   }
 
+  test("vec_cosine is bit-identical to the composed dot/(norm*norm) form") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(13)
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+    def hofNorm(c: org.apache.spark.sql.Column) = sqrt(hofDot(c, c))
+    val rows = df.select(
+      VecFunctions.vecCosine(col("a"), col("b")).as("fast"),
+      (hofDot(col("a"), col("b")) / (hofNorm(col("a")) * hofNorm(col("b")))).as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
   // LAST test in the suite: it replaces the shared session (extensions only
   // apply at session construction, so getOrCreate on the live one can't
   // exercise them).
-  test("GraftExtensions exposes vec_dot to SQL") {
+  test("GraftExtensions exposes vec_dot and vec_cosine to SQL") {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -91,9 +108,11 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    val v = spark.sql(
-      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
-      .head().getDouble(0)
-    assert(v == 11.0)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
   }
 }
