@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The reference's fixture-ingestion path (data-raw/datasets.R): libsvm →
+  * named design matrix → factor expansion → fit.
+  */
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("graft-sources")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("libsvm round trip: sparse read, named expansion, straight into a fit") {
+    val f = dir.resolve("tiny.libsvm")
+    // y = 2*x1 - x3 (x2 absent from some rows = sparse zero)
+    val lines = (1 to 40).map { i =>
+      val x1 = i * 0.1; val x3 = (i % 5) * 1.0
+      val y = 2 * x1 - x3
+      if (i % 2 == 0) s"$y 1:$x1 3:$x3" else s"$y 1:$x1 2:0.5 3:$x3"
+    }
+    Files.write(f, String.join("\n", lines: _*).getBytes)
+
+    val raw = Sources.readLibsvm(spark, f.toString, numFeatures = 3)
+    assert(raw.count() == 40)
+    assert(raw.schema.fieldNames.toSet == Set("label", "features"))
+
+    val named = Sources.readLibsvmNamed(spark, f.toString,
+      Seq("x1", "x2", "x3"), labelName = "y")
+    assert(named.schema.fieldNames.toSeq == Seq("y", "x1", "x2", "x3"))
+    val r0 = named.orderBy("y").head()
+    assert(!r0.isNullAt(1))
+
+    // the vector column fits directly (sparse-preserving path)
+    val model = graft.Slope.fit(raw, Seq("features"), "label",
+      graft.fit.SlopeConfig(sigma = Array(1e-9)))
+    val beta = model.fit.betas.head
+    assert(math.abs(beta(1, 0) - 2.0) < 1e-4)
+    assert(math.abs(beta(3, 0) + 1.0) < 1e-4)
+  }
+
+  test("csv with explicit schema reads without inference") {
+    val f = dir.resolve("t.csv")
+    Files.write(f, "a,b\n1.5,x\n2.5,y\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("a", DoubleType), StructField("b", StringType)))
+    val df = Sources.readCsv(spark, f.toString, schema)
+    assert(df.schema == schema)
+    assert(df.count() == 2)
+  }
+
+  test("oneHot drops the first lexicographic level and indicates the rest") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1.0, "M"), (2.0, "F"), (3.0, "I"), (4.0, "M"))
+      .toDF("y", "sex")
+    val out = Sources.oneHot(df, "sex")
+    assert(out.columns.toSeq == Seq("y", "sex_I", "sex_M")) // F = reference level
+    val byY = out.collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byY(1.0) == ((0.0, 1.0)))
+    assert(byY(2.0) == ((0.0, 0.0)))
+    assert(byY(3.0) == ((1.0, 0.0)))
+  }
+}
