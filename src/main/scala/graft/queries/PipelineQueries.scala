@@ -317,6 +317,45 @@ object PipelineQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Per-(lang, quality-verdict) document counts under the prose-quality
+    * rule. All thresholds are INTEGER arithmetic (`n_chars >= 3·n_tokens`
+    * instead of a ratio ≥ 3.0) so the verdict is bit-robust in any engine —
+    * float-ratio boundaries are where cross-engine comparisons rot.
+    * Rule: ≥20 tokens, mean token length in [3, 12] chars, ≥1 stopword per
+    * 20 tokens, ≤1 punctuation mark per 10 chars.
+    */
+  val qualityFilter: Q = Q.sql(
+    "p_quality_filter",
+    s"""WITH q AS (
+       |  SELECT lang,
+       |         len(text) AS n_chars,
+       |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       |         len(regexp_extract_all(lower(text), '${TextPipeline.stopwordPattern}')) AS n_stop,
+       |         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+       |  FROM documents)
+       |SELECT lang,
+       |       (n_tokens >= 20 AND n_chars >= 3 * n_tokens
+       |        AND n_chars <= 12 * n_tokens
+       |        AND n_stop * 20 >= n_tokens
+       |        AND n_punct * 10 <= n_chars) AS is_quality,
+       |       count(*)::BIGINT AS n_docs
+       |FROM q GROUP BY lang, is_quality ORDER BY lang, is_quality""".stripMargin) {
+    (s, dir) =>
+      docsSpread(s, dir)
+        .select(col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextPipeline.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextPipeline.stopwordCount(col("text")).cast("long").as("n_stop"),
+          TextPipeline.punctCount(col("text")).cast("long").as("n_punct"))
+        .select(col("lang"),
+          (col("n_tokens") >= 20 && col("n_chars") >= col("n_tokens") * 3 &&
+            col("n_chars") <= col("n_tokens") * 12 &&
+            col("n_stop") * 20 >= col("n_tokens") &&
+            col("n_punct") * 10 <= col("n_chars")).as("is_quality"))
+        .groupBy("lang", "is_quality").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "is_quality")
+  }
+
   /** IVF assignment with FIXED "centroids" (the 8 lowest-id vectors):
     * max-cosine argmax with deterministic rounding/tie-break, occupancy
     * histogram out — pins the IVF distance + argmax computation with an
@@ -369,5 +408,5 @@ object PipelineQueries {
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
-    annIvfAssign, annIvfTopK)
+    annIvfAssign, annIvfTopK, qualityFilter)
 }
