@@ -8,35 +8,56 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, Codegen
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native codegen'd dot product of two numeric-array columns.
+/** Shared skeleton for native element-wise array-fold expressions.
   *
-  * The composable formulation (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
-  * is semantically identical but its lambdas run on Catalyst's INTERPRETED
-  * higher-order-function path — per-element closure dispatch and boxing that
-  * measured ~100× slower than DuckDB's `list_dot_product` on the same data
-  * and dominates every similarity query. This expression compiles to a tight
-  * primitive `for` loop inside whole-stage codegen instead.
+  * The composable formulations (`aggregate(zip_with(a, b, _*_), ...)`) are
+  * semantically identical but their lambdas run on Catalyst's INTERPRETED
+  * higher-order-function path — per-element closure dispatch and boxing
+  * that measured ~100× slower than DuckDB's `list_dot_product` on the same
+  * data and dominated every similarity query. Subclasses compile to a
+  * tight primitive `for` loop inside whole-stage codegen.
   *
-  * Semantics match the previous formulation and the DuckDB oracle exactly:
-  * elements multiply in double precision and accumulate sequentially in
-  * element order (deterministic — no reassociation), the result is NULL if
-  * either array or any touched element is NULL, and iteration stops at the
-  * shorter array.
+  * Shared semantics (matching the zip_with formulation and the DuckDB
+  * oracles): elements widen to double and accumulate sequentially in
+  * element order (deterministic — no reassociation); the result is NULL if
+  * either array is NULL, any element is NULL, or the lengths differ
+  * (zip_with null-pads the shorter array, which poisons the sum — a
+  * truncating loop would instead return a plausible-but-wrong value for a
+  * corrupt-width vector). Any integral or floating element type is
+  * accepted, like the `cast("double")` in the formulation this replaces.
   */
-case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+abstract class VecFoldExpression extends BinaryExpression {
+
+  /** Number of accumulators (def, not a constructor param: an abstract-class
+    * constructor argument breaks Java deserialization of the concrete case
+    * classes on executors — "no valid constructor").
+    */
+  protected def nAcc: Int
+
+  /** Fold one element pair into the accumulators (interpreted path). */
+  protected def update(acc: Array[Double], x: Double, y: Double): Unit
+
+  /** Combine the accumulators into the result (interpreted path). */
+  protected def finish(acc: Array[Double]): Double
+
+  /** Same fold as Java source, `x`/`y` are double-typed variable names. */
+  protected def updateCode(acc: IndexedSeq[String], x: String, y: String): String
+
+  /** Same combine as a Java expression over the accumulator names. */
+  protected def finishCode(acc: IndexedSeq[String]): String
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                     ShortType | ByteType, _) => true
+      case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires array<float|double> inputs, got " +
+      s"$prettyName requires arrays of integral or floating elements, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
@@ -44,59 +65,87 @@ case class VecDot(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
-  private def containsNull: Boolean =
-    left.dataType.asInstanceOf[ArrayType].containsNull ||
-      right.dataType.asInstanceOf[ArrayType].containsNull
+  // a length mismatch yields NULL regardless of child nullability, so the
+  // expression is always nullable
+  override def nullable: Boolean = true
 
-  override def nullable: Boolean =
-    left.nullable || right.nullable || containsNull
+  private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case DoubleType => (a, i) => a.getDouble(i)
+    case FloatType  => (a, i) => a.getFloat(i).toDouble
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case LongType   => (a, i) => a.getLong(i).toDouble
+    case ShortType  => (a, i) => a.getShort(i).toDouble
+    case ByteType   => (a, i) => a.getByte(i).toDouble
+    case dt => throw new IllegalStateException(s"unreachable: $dt passed type check")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val la = a.asInstanceOf[ArrayData]
     val lb = b.asInstanceOf[ArrayData]
-    val (lt, rt) = (elemType(left), elemType(right))
-    val n = math.min(la.numElements(), lb.numElements())
-    var acc = 0.0
+    if (la.numElements() != lb.numElements()) return null
+    val getA = getter(elemType(left))
+    val getB = getter(elemType(right))
+    val n = la.numElements()
+    val acc = new Array[Double](nAcc)
     var i = 0
     while (i < n) {
       if (la.isNullAt(i) || lb.isNullAt(i)) return null
-      val x = lt match {
-        case FloatType => la.getFloat(i).toDouble
-        case _         => la.getDouble(i)
-      }
-      val y = rt match {
-        case FloatType => lb.getFloat(i).toDouble
-        case _         => lb.getDouble(i)
-      }
-      acc += x * y
+      update(acc, getA(la, i), getB(lb, i))
       i += 1
     }
-    acc
+    finish(acc)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (arr1, arr2) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val accs = IndexedSeq.tabulate(nAcc)(k => ctx.freshName(s"acc$k"))
       val getA = CodeGenerator.getValue(arr1, elemType(left), i)
       val getB = CodeGenerator.getValue(arr2, elemType(right), i)
-      // the element null check only compiles when `nullable` made ev.isNull
-      // a real variable; containsNull=false arrays skip it entirely
-      val nullCheck =
+      val containsNull =
+        left.dataType.asInstanceOf[ArrayType].containsNull ||
+          right.dataType.asInstanceOf[ArrayType].containsNull
+      // `nullable` is always true, so ev.isNull is a real variable
+      val elemNullCheck =
         if (containsNull)
           s"if ($arr1.isNullAt($i) || $arr2.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
-         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  $acc += (double)($getA) * (double)($getB);
+         |${accs.map(a => s"double $a = 0.0;").mkString(" ")}
+         |if ($arr1.numElements() != $arr2.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $arr1.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    double $x = (double)($getA);
+         |    double $y = (double)($getB);
+         |    ${updateCode(accs, x, y)}
+         |  }
          |}
-         |${ev.value} = $acc;
+         |${ev.value} = ${finishCode(accs)};
        """.stripMargin
     })
+}
+
+/** Native codegen'd dot product of two numeric-array columns. */
+case class VecDot(left: Expression, right: Expression)
+    extends VecFoldExpression {
+
+  override protected def nAcc: Int = 1
+
+  override protected def update(acc: Array[Double], x: Double, y: Double): Unit =
+    acc(0) += x * y
+
+  override protected def finish(acc: Array[Double]): Double = acc(0)
+
+  override protected def updateCode(acc: IndexedSeq[String], x: String, y: String): String =
+    s"${acc(0)} += $x * $y;"
+
+  override protected def finishCode(acc: IndexedSeq[String]): String = acc(0)
 
   override def prettyName: String = "vec_dot"
 
@@ -107,92 +156,28 @@ case class VecDot(left: Expression, right: Expression)
 
 /** Cosine similarity in ONE array traversal: dot(a,b), dot(a,a), dot(b,b)
   * accumulate in the same loop (the composed `dot/(norm·norm)` form walks
-  * the arrays three times). Each accumulator sums sequentially in element
-  * order, and the final combination is the same `dot / (sqrt·sqrt)`
-  * arithmetic — bit-identical to the composed form and to DuckDB's
-  * `list_dot_product / (sqrt·sqrt)` oracle recipe. NULL and length
-  * semantics mirror [[VecDot]].
+  * the arrays three times); the final `ab / (sqrt(aa)·sqrt(bb))` is the
+  * same arithmetic, so results are bit-identical to the composed form and
+  * to DuckDB's `list_dot_product / (sqrt·sqrt)` oracle recipe. Zero-norm
+  * inputs divide to NaN (like the composed form), not NULL.
   */
 case class VecCosine(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends VecFoldExpression {
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+  override protected def nAcc: Int = 3
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"vec_cosine requires array<float|double> inputs, got " +
-        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override protected def update(acc: Array[Double], x: Double, y: Double): Unit = {
+    acc(0) += x * y; acc(1) += x * x; acc(2) += y * y
   }
 
-  override def dataType: DataType = DoubleType
+  override protected def finish(acc: Array[Double]): Double =
+    acc(0) / (math.sqrt(acc(1)) * math.sqrt(acc(2)))
 
-  override def nullIntolerant: Boolean = true
+  override protected def updateCode(acc: IndexedSeq[String], x: String, y: String): String =
+    s"${acc(0)} += $x * $y; ${acc(1)} += $x * $x; ${acc(2)} += $y * $y;"
 
-  private def containsNull: Boolean =
-    left.dataType.asInstanceOf[ArrayType].containsNull ||
-      right.dataType.asInstanceOf[ArrayType].containsNull
-
-  // zero-norm inputs divide to NaN (like the composed form), not NULL;
-  // NULL arises only from NULL inputs/elements
-  override def nullable: Boolean =
-    left.nullable || right.nullable || containsNull
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val la = a.asInstanceOf[ArrayData]
-    val lb = b.asInstanceOf[ArrayData]
-    val (lt, rt) = (elemType(left), elemType(right))
-    val n = math.min(la.numElements(), lb.numElements())
-    var ab = 0.0; var aa = 0.0; var bb = 0.0
-    var i = 0
-    while (i < n) {
-      if (la.isNullAt(i) || lb.isNullAt(i)) return null
-      val x = lt match {
-        case FloatType => la.getFloat(i).toDouble
-        case _         => la.getDouble(i)
-      }
-      val y = rt match {
-        case FloatType => lb.getFloat(i).toDouble
-        case _         => lb.getDouble(i)
-      }
-      ab += x * y; aa += x * x; bb += y * y
-      i += 1
-    }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (arr1, arr2) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val ab = ctx.freshName("ab")
-      val aa = ctx.freshName("aa")
-      val bb = ctx.freshName("bb")
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
-      val getA = CodeGenerator.getValue(arr1, elemType(left), i)
-      val getB = CodeGenerator.getValue(arr2, elemType(right), i)
-      val nullCheck =
-        if (containsNull)
-          s"if ($arr1.isNullAt($i) || $arr2.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
-      s"""
-         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
-         |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  double $x = (double)($getA);
-         |  double $y = (double)($getB);
-         |  $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
-         |}
-         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
-       """.stripMargin
-    })
+  override protected def finishCode(acc: IndexedSeq[String]): String =
+    s"${acc(0)} / (java.lang.Math.sqrt(${acc(1)}) * java.lang.Math.sqrt(${acc(2)}))"
 
   override def prettyName: String = "vec_cosine"
 

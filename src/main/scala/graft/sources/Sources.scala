@@ -54,9 +54,14 @@ object Sources {
     * `maxLevels`).
     */
   def oneHot(df: DataFrame, column: String, maxLevels: Int = 64): DataFrame = {
-    val levels = df.select(column).distinct()
+    val distinct = df.select(column).distinct()
       .orderBy(column).limit(maxLevels + 1)
-      .collect().map(_.getString(0))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    // NULL is not a level: like R's model.matrix on NA, fail loudly rather
+    // than silently coding null rows as the reference category
+    require(!distinct.contains(null),
+      s"oneHot($column): column contains NULL — impute or drop first")
+    val levels = distinct
     require(levels.length <= maxLevels,
       s"oneHot($column): more than $maxLevels levels — not a factor column")
     val indicators = levels.drop(1).map(l =>

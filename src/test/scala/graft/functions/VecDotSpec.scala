@@ -53,18 +53,27 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == 1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0)
   }
 
-  test("null array or null element yields NULL; length mismatch stops at shorter") {
+  test("null array, null element, or length mismatch yields NULL (zip_with parity)") {
     val sp = spark; import sp.implicits._
     val df = Seq(
       (1L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 1.0f)),
       (2L, null, Array[java.lang.Float](1.0f, 1.0f)),
-      (3L, Array[java.lang.Float](2.0f, 3.0f, 99.0f), Array[java.lang.Float](4.0f, 5.0f))
+      (3L, Array[java.lang.Float](2.0f, 3.0f, 99.0f), Array[java.lang.Float](4.0f, 5.0f)),
+      (4L, Array[java.lang.Float](2.0f, 3.0f), Array[java.lang.Float](4.0f, 5.0f))
     ).toDF("id", "a", "b")
     val out = df.select(col("id"), VecFunctions.vecDot(col("a"), col("b")).as("d"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(out(1L).isEmpty)
     assert(out(2L).isEmpty)
-    assert(out(3L).contains(2.0 * 4.0 + 3.0 * 5.0))
+    assert(out(3L).isEmpty) // 3-dim vs 2-dim: corrupt width must not score
+    assert(out(4L).contains(2.0 * 4.0 + 3.0 * 5.0))
+  }
+
+  test("integral element types widen to double like the cast formulation") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((Array(1, 2, 3), Array(10L, 20L, 30L))).toDF("a", "b")
+    val v = df.select(VecFunctions.vecDot(col("a"), col("b"))).head().getDouble(0)
+    assert(v == 10.0 + 40.0 + 90.0)
   }
 
   test("vec_dot stays inside whole-stage codegen") {

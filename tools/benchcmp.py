@@ -50,13 +50,17 @@ def main():
         rows.append((spark / best if best > 0 else float("inf"),
                      name, spark, best))
 
+    if not rows:
+        print("nothing to compare (no query appears in both inputs)")
+        return
     rows.sort(reverse=True)
     print(f"{'query':34} {'spark_s':>8} {'duck_s':>8} {'ratio':>7}")
     for ratio, name, spark, duck in rows:
         print(f"{name:34} {spark:8.3f} {duck:8.3f} {ratio:7.2f}")
     total_s = sum(r[2] for r in rows)
     total_d = sum(r[3] for r in rows)
-    print(f"{'TOTAL':34} {total_s:8.3f} {total_d:8.3f} {total_s / total_d:7.2f}")
+    ratio = total_s / total_d if total_d > 0 else float("inf")
+    print(f"{'TOTAL':34} {total_s:8.3f} {total_d:8.3f} {ratio:7.2f}")
 
 
 if __name__ == "__main__":
