@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{VecCosine, VecDot}
+import graft.functions.{VecCosine, VecDot, VecDotRewrite}
 
 /** Session extension registering the engine's native expressions on the SQL
   * surface, so `spark.sql("SELECT vec_dot(a, b) ...")` works anywhere the
@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vec_dot takes exactly 2 arguments")
         VecDot(children.head, children(1))
       }))
+    // rewrite the interpreted aggregate(zip_with(...)) dot-product idiom
+    // into the codegen'd native expression wherever it appears
+    ext.injectOptimizerRule(_ => VecDotRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),

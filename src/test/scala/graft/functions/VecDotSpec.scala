@@ -124,4 +124,26 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
   }
+
+  test("optimizer rule rewrites the aggregate(zip_with(...)) idiom to vec_dot") {
+    // runs in the extension session created by the previous test
+    assert(spark.conf.get("spark.sql.extensions").contains("GraftExtensions"))
+    val df = spark.range(50).select(
+      transform(sequence(lit(0), lit(7)), i => (col("id") + i).cast("float")).as("a"),
+      transform(sequence(lit(0), lit(7)), i => (col("id") * i + 1).cast("float")).as("b"))
+    val hof = df.select(hofDot(col("a"), col("b")).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[VecDot])),
+      s"rule did not fire:\n$optimized")
+    // and the rewritten plan computes the same values as the native call
+    val viaRule = hof.collect().map(_.getDouble(0))
+    val direct = df.select(VecFunctions.vecDot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(viaRule.sameElements(direct))
+    // a NON-matching shape (zero = 1.0) must be left alone
+    val other = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(1.0), (acc, v) => acc + v).as("d"))
+    assert(!other.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[VecDot])))
+  }
 }
