@@ -208,7 +208,15 @@ object SimHash {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // hash-partition the doc rows by id BEFORE the token explode: both
+    // downstream aggregations cluster on doc_id (tf counts on
+    // (doc_id, tok), votes on doc_id), and HashPartitioning(doc_id)
+    // satisfies both — so the exploded TOKEN rows never shuffle, only the
+    // small doc rows do, and the explode still runs on all cores (pinned
+    // count for the same explode-amplification reason as `Tables.spread`)
+    val spreadById = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val toks = spreadById.select(col(idCol).as("doc_id"),
         explode(TextPipeline.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
       .select(col("doc_id"), col("w"), Det.md5Hash60(col("tok")).as("h"))

@@ -198,7 +198,10 @@ object PipelineQueries {
       |    ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
       |SELECT d1, d2, hamming::BIGINT AS hamming FROM pairs WHERE hamming <= 4
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    SimHash.hammingPairs(SimHash.simhash(docsSpread(s, dir)))
+    // plain docs: simhash hash-partitions by doc_id internally, which also
+    // spreads the explode (a round-robin spread here would add a useless
+    // second shuffle and force the token rows to shuffle for the tf counts)
+    SimHash.hammingPairs(SimHash.simhash(docs(s, dir)))
       .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
       .orderBy("d1", "d2")
   }
