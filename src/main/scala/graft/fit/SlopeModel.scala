@@ -65,6 +65,16 @@ final class SlopeModel(
   /** Linear predictors for every path step: adds an
     * `ArrayType(ArrayType(Double))` column `pred` with shape
     * n_sigma × m (reference predict.Owl, R/predict.R:32-69).
+    *
+    * Pure column expressions, NO UDF: each (step, target) linear predictor
+    * is `intercept + vec_dot(features, literal β column)` — the native
+    * codegen'd dot — and the family links (sigmoid, exp, the reference's
+    * guarded logsumexp softmax, class argmax) are built from stock column
+    * functions on top. Everything stays inside whole-stage codegen; the
+    * previous Scala-UDF formulation boxed every row into a Seq[Double],
+    * which is exactly the per-row overhead that dominates a 100 TB predict.
+    * The β literals embed the whole path in the plan (p·m·n_sigma doubles —
+    * same driver-size assumption the model itself makes).
     */
   def transform(df: DataFrame, featureCols: Seq[String],
                 outputCol: String = "pred",
@@ -75,70 +85,6 @@ final class SlopeModel(
     val mT = m
     val icL = ic
     val cn = classNames
-    // betas is small (p·m per step) → serialize flat into the closure
-    val betaData: Array[Array[Double]] = betas.map(_.data.clone()).toArray
-    val pRows = betas.head.rows
-
-    val linPred = (xs: Seq[Double]) => {
-      betaData.map { bd =>
-        val out = new Array[Double](mT)
-        var j = 0
-        while (j < mT) {
-          var acc = if (icL == 1) bd(j * pRows) else 0.0
-          var i = 0
-          while (i < pRows - icL) { acc += bd(icL + i + j * pRows) * xs(i); i += 1 }
-          out(j) = acc
-          j += 1
-        }
-        out
-      }
-    }
-
-    val predUdf = predictType match {
-      case "link" =>
-        udf((xs: Seq[Double]) => linPred(xs))
-      case "response" =>
-        fam match {
-          case Gaussian => udf((xs: Seq[Double]) => linPred(xs))
-          case Binomial =>
-            udf((xs: Seq[Double]) => linPred(xs).map(lp => Array(MathUtil.sigmoid(lp(0)))))
-          case Poisson =>
-            udf((xs: Seq[Double]) => linPred(xs).map(lp => Array(math.exp(lp(0)))))
-          case Multinomial =>
-            // softmax over m−1 targets + implicit 0 reference class
-            // (R/predict.R:166-175)
-            udf((xs: Seq[Double]) => linPred(xs).map { lp =>
-              val lse = MathUtil.logSumExp0(lp)
-              val probs = new Array[Double](mT + 1)
-              var j = 0
-              while (j < mT) { probs(j) = math.exp(lp(j) - lse); j += 1 }
-              probs(mT) = math.exp(-lse)
-              probs
-            })
-        }
-      case "class" =>
-        fam match {
-          case Binomial =>
-            // sign threshold at 0 → class_names (R/predict.R:102-115)
-            udf((xs: Seq[Double]) => linPred(xs).map(lp => if (lp(0) > 0) cn(1) else cn(0)))
-          case Multinomial =>
-            udf((xs: Seq[Double]) => linPred(xs).map { lp =>
-              val lse = MathUtil.logSumExp0(lp)
-              var best = mT // reference class
-              var bestP = math.exp(-lse)
-              var j = 0
-              while (j < mT) {
-                val pj = math.exp(lp(j) - lse)
-                if (pj > bestP) { best = j; bestP = pj }
-                j += 1
-              }
-              cn(best)
-            })
-          case other =>
-            throw new IllegalArgumentException(s"type=class unsupported for ${other.name}")
-        }
-      case other => throw new IllegalArgumentException(s"unknown predict type: $other")
-    }
 
     val xsCol =
       if (featureCols.length == 1 &&
@@ -146,7 +92,75 @@ final class SlopeModel(
             org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
         org.apache.spark.ml.functions.vector_to_array(col(featureCols.head))
       else array(featureCols.map(c => col(c).cast("double")): _*)
-    df.withColumn(outputCol, predUdf(xsCol))
+
+    def linkExprs(b: DenseMatrix[Double]): IndexedSeq[org.apache.spark.sql.Column] =
+      (0 until mT).map { j =>
+        val w = (0 until b.rows - icL).map(i => b(icL + i, j))
+        val base = if (icL == 1) lit(b(0, j)) else lit(0.0)
+        base + graft.functions.VecFunctions.vecDot(xsCol, typedLit(w))
+      }
+
+    // column mirror of MathUtil.{truncExp, truncLog, logSumExp0} — same
+    // guards, same accumulation order (exp(−mx) first, then the terms)
+    def truncExpCol(x: org.apache.spark.sql.Column) =
+      when(x >= MathUtil.LogMax, lit(Double.MaxValue)).otherwise(exp(x))
+    def truncLogCol(x: org.apache.spark.sql.Column) =
+      when(x === lit(Double.PositiveInfinity), lit(MathUtil.LogMax))
+        .otherwise(when(x <= 0.0, lit(MathUtil.LogMin)).otherwise(log(x)))
+    def lseCol(lps: IndexedSeq[org.apache.spark.sql.Column]) = {
+      val mx = if (lps.length == 1) lps.head else greatest(lps: _*)
+      val s = lps.map(lp => truncExpCol(lp - mx)).foldLeft(exp(-mx))(_ + _)
+      truncLogCol(s) + mx
+    }
+
+    val perStep: IndexedSeq[org.apache.spark.sql.Column] = predictType match {
+      case "link" => betas.map(b => array(linkExprs(b): _*))
+      case "response" =>
+        fam match {
+          case Gaussian => betas.map(b => array(linkExprs(b): _*))
+          case Binomial =>
+            betas.map(b =>
+              array(lit(1.0) / (lit(1.0) + exp(-linkExprs(b).head))))
+          case Poisson =>
+            betas.map(b => array(exp(linkExprs(b).head)))
+          case Multinomial =>
+            // softmax over m−1 targets + implicit 0 reference class
+            // (R/predict.R:166-175)
+            betas.map { b =>
+              val lps = linkExprs(b)
+              val lse = lseCol(lps)
+              array(lps.map(lp => exp(lp - lse)) :+ exp(-lse): _*)
+            }
+        }
+      case "class" =>
+        fam match {
+          case Binomial =>
+            // sign threshold at 0 → class_names (R/predict.R:102-115)
+            betas.map(b =>
+              when(linkExprs(b).head > 0, lit(cn(1))).otherwise(lit(cn(0))))
+          case Multinomial =>
+            // argmax over softmax probs ≡ argmax over {lp_j} ∪ {0 (ref)};
+            // the comparable-struct least picks the max lp with the UDF's
+            // exact preference on ties: reference class first, then class
+            // order (the reference loop replaced best only on STRICTLY
+            // greater). −0.0 as the reference key matters: negate(0.0) is
+            // −0.0, and Double.compare(−0.0, 0.0) < 0 would otherwise let
+            // a zero lp beat the reference class.
+            betas.map { b =>
+              val lps = linkExprs(b)
+              val choices =
+                struct(lit(-0.0).as("negv"), lit(0).as("pref"), lit(cn(mT)).as("name")) +:
+                  lps.zipWithIndex.map { case (lp, j) =>
+                    struct((-lp).as("negv"), lit(j + 1).as("pref"), lit(cn(j)).as("name"))
+                  }
+              least(choices: _*).getField("name")
+            }
+          case other =>
+            throw new IllegalArgumentException(s"type=class unsupported for ${other.name}")
+        }
+      case other => throw new IllegalArgumentException(s"unknown predict type: $other")
+    }
+    df.withColumn(outputCol, array(perStep: _*))
   }
 
   /** Per-path-step scores on a labeled DataFrame

@@ -96,6 +96,31 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "probe side should broadcast")
   }
 
+  test("model predict is UDF-free and stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val li = graft.util.Tables.t(spark, dir, "lineitem")
+    val model = graft.Slope.fit(li, Seq("l_quantity", "l_discount"),
+      "l_extendedprice", graft.fit.SlopeConfig(nSigma = 4))
+    for (tp <- Seq("link", "response")) {
+      val out = model.transform(li, Seq("l_quantity", "l_discount"),
+        predictType = tp)
+      val exec = out.queryExecution.executedPlan
+      assert(!exec.toString.contains("ScalaUDF"),
+        s"predict($tp) fell back to a Scala UDF")
+      assert(exec.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+        s"predict($tp) left whole-stage codegen")
+    }
+    val cls = graft.Slope.fit(
+      li.withColumn("is_r", when(col("l_returnflag") === "R", "R").otherwise("N")),
+      Seq("l_quantity"), "is_r",
+      graft.fit.SlopeConfig(family = "binomial", nSigma = 4))
+    val cp = cls.transform(
+      li.withColumn("is_r", when(col("l_returnflag") === "R", "R").otherwise("N")),
+      Seq("l_quantity"), predictType = "class")
+    assert(!cp.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
+
   test("ML primitive queries are single-scan aggregations (no join, no shuffle explosion)") {
     for (name <- Seq("m_standardize_stats", "m_lambda_max_gaussian", "m_score_fixed_beta")) {
       val p = planOf(name)
