@@ -219,6 +219,10 @@ object RelationalQueries {
         |  count(DISTINCT l_suppkey)::BIGINT AS n_supps,
         |  count(DISTINCT (l_partkey, l_suppkey))::BIGINT AS n_part_supp
         |FROM lineitem""".stripMargin) { (s, dir) =>
+      // multi-distinct plans Expand (4 grouping sets → 4× rows), but the
+      // distinct shuffle already fans out to shuffle.partitions — spreading
+      // the scan first measured NET-NEGATIVE (the extra exchange costs more
+      // than the map-side parallelism buys on a 2-column projection)
       t(s, dir, "lineitem").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_partkey")).as("n_parts"),
