@@ -103,6 +103,36 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("family pseudo-gradients match finite differences of the primal") {
+    val h = 1e-6
+    for (t <- 0 until 100) {
+      val rng = new scala.util.Random(7000L + t)
+      val fams: Seq[(Family, Int, () => Array[Double])] = Seq(
+        (Gaussian, 1, () => Array(rng.nextGaussian() * 2)),
+        (Binomial, 1, () => Array(if (rng.nextBoolean()) 1.0 else -1.0)),
+        (Poisson, 1, () => Array(rng.nextInt(6).toDouble)),
+        (Multinomial, 2, () => {
+          // one-hot over m−1 targets (or all-zero = reference class)
+          val out = new Array[Double](2)
+          val c = rng.nextInt(3)
+          if (c < 2) out(c) = 1.0
+          out
+        }))
+      for ((fam, mT, genY) <- fams) {
+        val y = genY()
+        val lp = Array.fill(mT)(rng.nextGaussian() * 2)
+        val g = fam.rowPseudoGradient(y, lp)
+        for (j <- 0 until mT) {
+          val up = lp.clone(); up(j) += h
+          val dn = lp.clone(); dn(j) -= h
+          val fd = (fam.rowPrimal(y, up) - fam.rowPrimal(y, dn)) / (2 * h)
+          assert(math.abs(g(j) - fd) < 1e-4 * math.max(1.0, math.abs(fd)),
+            s"${fam.name} target $j: analytic ${g(j)} vs fd $fd (y=${y.toSeq}, lp=${lp.toSeq})")
+        }
+      }
+    }
+  }
+
   test("bh sequence: non-increasing, positive, pointwise decreasing in q") {
     for (t <- 0 until 100) {
       val p = sample(Gen.choose(1, 200), 4000L + t)
