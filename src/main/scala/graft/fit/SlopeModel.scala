@@ -113,54 +113,71 @@ final class SlopeModel(
       truncLogCol(s) + mx
     }
 
-    val perStep: IndexedSeq[org.apache.spark.sql.Column] = predictType match {
-      case "link" => betas.map(b => array(linkExprs(b): _*))
+    // the link column embeds each β literal exactly ONCE; response/class
+    // derive from REFERENCES into a materialized intermediate column, never
+    // by re-embedding the link trees (a naive expression build duplicated
+    // every p-element β literal O(m²)+ times per step through the softmax —
+    // plan-size blowup for wide multinomial models). CollapseProject keeps
+    // the intermediate: its alias is non-cheap and multiply-referenced.
+    // NULL features (and wrong-width vectors) yield NULL predictions —
+    // vec_dot's NULL propagation; the old UDF silently unboxed NULL to 0.0.
+    val linkArr = array(betas.map(b => array(linkExprs(b): _*)): _*)
+    val tmpLp = outputCol + "__lp"
+    def lp(k: Int, j: Int) = col(tmpLp).getItem(k).getItem(j)
+    def viaTmp(steps: IndexedSeq[org.apache.spark.sql.Column]): DataFrame =
+      df.withColumn(tmpLp, linkArr)
+        .withColumn(outputCol, array(steps: _*))
+        .drop(tmpLp)
+
+    predictType match {
+      case "link" => df.withColumn(outputCol, linkArr)
       case "response" =>
         fam match {
-          case Gaussian => betas.map(b => array(linkExprs(b): _*))
+          case Gaussian => df.withColumn(outputCol, linkArr)
           case Binomial =>
-            betas.map(b =>
-              array(lit(1.0) / (lit(1.0) + exp(-linkExprs(b).head))))
+            viaTmp(betas.indices.map(k =>
+              array(lit(1.0) / (lit(1.0) + exp(-lp(k, 0))))))
           case Poisson =>
-            betas.map(b => array(exp(linkExprs(b).head)))
+            viaTmp(betas.indices.map(k => array(exp(lp(k, 0)))))
           case Multinomial =>
             // softmax over m−1 targets + implicit 0 reference class
             // (R/predict.R:166-175)
-            betas.map { b =>
-              val lps = linkExprs(b)
+            viaTmp(betas.indices.map { k =>
+              val lps = (0 until mT).map(j => lp(k, j))
               val lse = lseCol(lps)
-              array(lps.map(lp => exp(lp - lse)) :+ exp(-lse): _*)
-            }
+              array(lps.map(l => exp(l - lse)) :+ exp(-lse): _*)
+            })
         }
       case "class" =>
         fam match {
           case Binomial =>
             // sign threshold at 0 → class_names (R/predict.R:102-115)
-            betas.map(b =>
-              when(linkExprs(b).head > 0, lit(cn(1))).otherwise(lit(cn(0))))
+            viaTmp(betas.indices.map(k =>
+              when(lp(k, 0) > 0, lit(cn(1))).otherwise(lit(cn(0)))))
           case Multinomial =>
-            // argmax over softmax probs ≡ argmax over {lp_j} ∪ {0 (ref)};
-            // the comparable-struct least picks the max lp with the UDF's
-            // exact preference on ties: reference class first, then class
-            // order (the reference loop replaced best only on STRICTLY
-            // greater). −0.0 as the reference key matters: negate(0.0) is
-            // −0.0, and Double.compare(−0.0, 0.0) < 0 would otherwise let
-            // a zero lp beat the reference class.
-            betas.map { b =>
-              val lps = linkExprs(b)
+            // argmax over the softmax PROBABILITIES (not the raw linear
+            // predictors): comparing what the UDF compared keeps its exact
+            // behavior on exp-rounding ties and NaN — the comparable-struct
+            // least picks the max prob with the reference's preference on
+            // ties (reference class first, then class order: the loop only
+            // replaced on STRICTLY greater), and an all-NaN row falls
+            // through to the reference class in both formulations.
+            val tmpResp = outputCol + "__resp"
+            val withResp = transform(df, featureCols, tmpResp, requestedSigma, "response")
+            def prob(k: Int, j: Int) = col(tmpResp).getItem(k).getItem(j)
+            val steps = betas.indices.map { k =>
               val choices =
-                struct(lit(-0.0).as("negv"), lit(0).as("pref"), lit(cn(mT)).as("name")) +:
-                  lps.zipWithIndex.map { case (lp, j) =>
-                    struct((-lp).as("negv"), lit(j + 1).as("pref"), lit(cn(j)).as("name"))
-                  }
+                struct((-prob(k, mT)).as("negv"), lit(0).as("pref"), lit(cn(mT)).as("name")) +:
+                  (0 until mT).map(j =>
+                    struct((-prob(k, j)).as("negv"), lit(j + 1).as("pref"), lit(cn(j)).as("name")))
               least(choices: _*).getField("name")
             }
+            withResp.withColumn(outputCol, array(steps: _*)).drop(tmpResp)
           case other =>
             throw new IllegalArgumentException(s"type=class unsupported for ${other.name}")
         }
       case other => throw new IllegalArgumentException(s"unknown predict type: $other")
     }
-    df.withColumn(outputCol, array(perStep: _*))
   }
 
   /** Per-path-step scores on a labeled DataFrame

@@ -38,11 +38,17 @@ object VecDotRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The lambda variable itself, or the variable under a cast to double. */
+  /** The lambda variable itself (only when it is ALREADY double — a bare
+    * `x * y` over int/float arrays multiplies in the native type, where
+    * int products wrap and float products round before widening; VecDot
+    * widens FIRST, so rewriting those would change results), or any
+    * variable under an explicit cast to double (then the multiply happens
+    * in double either way).
+    */
   private def asVar(e: Expression): Option[NamedLambdaVariable] = e match {
-    case v: NamedLambdaVariable             => Some(v)
-    case Cast(v: NamedLambdaVariable, DoubleType, _, _) => Some(v)
-    case _                                  => None
+    case v: NamedLambdaVariable if v.dataType == DoubleType => Some(v)
+    case Cast(v: NamedLambdaVariable, DoubleType, _, _)     => Some(v)
+    case _                                                  => None
   }
 
   private def isVar(e: Expression, v: NamedExpression): Boolean =

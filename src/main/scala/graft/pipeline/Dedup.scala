@@ -213,9 +213,15 @@ object SimHash {
     // (doc_id, tok), votes on doc_id), and HashPartitioning(doc_id)
     // satisfies both — so the exploded TOKEN rows never shuffle, only the
     // small doc rows do, and the explode still runs on all cores (pinned
-    // count for the same explode-amplification reason as `Tables.spread`)
-    val spreadById = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    // count for the same explode-amplification reason as `Tables.spread`).
+    // GATED like Tables.spread: on a real lake the scan already has more
+    // splits than cores, the gate fails, and no forced shuffle of corpus
+    // text happens (the token rows then shuffle into the tf aggregation,
+    // which AQE sizes normally — correct at that scale).
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val spreadById =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target, col(idCol))
+      else docs
     val toks = spreadById.select(col(idCol).as("doc_id"),
         explode(TextPipeline.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))

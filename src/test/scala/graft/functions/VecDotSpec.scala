@@ -126,8 +126,19 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("optimizer rule rewrites the aggregate(zip_with(...)) idiom to vec_dot") {
-    // runs in the extension session created by the previous test
-    assert(spark.conf.get("spark.sql.extensions").contains("GraftExtensions"))
+    // order-independent: build the extensions session if an earlier test
+    // hasn't already swapped it in
+    if (!spark.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions"))) {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
     val df = spark.range(50).select(
       transform(sequence(lit(0), lit(7)), i => (col("id") + i).cast("float")).as("a"),
       transform(sequence(lit(0), lit(7)), i => (col("id") * i + 1).cast("float")).as("b"))
@@ -145,5 +156,17 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
         lit(1.0), (acc, v) => acc + v).as("d"))
     assert(!other.queryExecution.optimizedPlan.expressions
       .exists(_.exists(_.isInstanceOf[VecDot])))
+    // bare (uncast) multiply over NON-double arrays must be left alone too:
+    // int products wrap and float products round BEFORE widening, but
+    // VecDot widens first — a rewrite would change results
+    val ints = spark.range(3).select(
+      transform(sequence(lit(0), lit(2)), i => (col("id") + lit(100000)).cast("int")).as("a"),
+      transform(sequence(lit(0), lit(2)), i => (col("id") + lit(100000)).cast("int")).as("b"))
+    val bare = ints.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!bare.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[VecDot])),
+      "bare int multiply must not be rewritten")
   }
 }
