@@ -320,6 +320,47 @@ object PipelineQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Standalone exact n-gram Jaccard (the pair-driven verification
+    * primitive, outside the MinHash pipeline): a FIXED candidate pairing
+    * (doc 20i vs 20i+1) so the oracle is closed-form — production pairings
+    * come from LSH candidates, but the Jaccard arithmetic is identical.
+    * Only intersecting pairs appear (inner-join semantics, like the
+    * pipeline); top-20 by similarity with deterministic tie-break.
+    */
+  val ngramJaccard: Q = Q.sql(
+    "p_ngram_jaccard",
+    """WITH cand AS (
+      |  SELECT doc_id AS d1, doc_id + 1 AS d2 FROM documents WHERE doc_id % 20 = 0),
+      |ids AS (SELECT d1 AS doc_id FROM cand UNION SELECT d2 FROM cand),
+      |docs0 AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents
+      |  WHERE len(lower(text)) >= 5 AND doc_id IN (SELECT doc_id FROM ids)),
+      |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM docs0),
+      |sh AS (SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS sh FROM pos),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS nab
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.d1
+      |  JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+      |  GROUP BY c.d1, c.d2)
+      |SELECT i.d1, i.d2,
+      |       round(i.nab::DOUBLE / (s1.sz + s2.sz - i.nab)::DOUBLE, 9) AS jaccard
+      |FROM inter i
+      |JOIN sz s1 ON s1.doc_id = i.d1
+      |JOIN sz s2 ON s2.doc_id = i.d2
+      |ORDER BY jaccard DESC, d1 LIMIT 20""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir)
+    val cand = base.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("d1"), (col("doc_id") + lit(1L)).as("d2"))
+    val ids = cand.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+    val candDocs = Tables.spread(base).join(ids, Seq("doc_id"), "left_semi")
+    Dedup.jaccardVerify(cand, Dedup.shingles(candDocs), 0.0)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 9).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"))
+      .limit(20)
+  }
+
   /** Per-(lang, quality-verdict) document counts under the prose-quality
     * rule. All thresholds are INTEGER arithmetic (`n_chars >= 3·n_tokens`
     * instead of a ratio ≥ 3.0) so the verdict is bit-robust in any engine —
@@ -411,5 +452,5 @@ object PipelineQueries {
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
-    annIvfAssign, annIvfTopK, qualityFilter)
+    annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard)
 }
