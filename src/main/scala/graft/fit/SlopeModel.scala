@@ -119,10 +119,20 @@ final class SlopeModel(
     // every p-element β literal O(m²)+ times per step through the softmax —
     // plan-size blowup for wide multinomial models). CollapseProject keeps
     // the intermediate: its alias is non-cheap and multiply-referenced.
-    // NULL features (and wrong-width vectors) yield NULL predictions —
-    // vec_dot's NULL propagation; the old UDF silently unboxed NULL to 0.0.
+    // NULL features (and wrong-width vectors) yield NULL predictions in
+    // EVERY predict type — vec_dot propagates NULL through link/response,
+    // and the class branches guard explicitly (a bare comparison would
+    // otherwise silently fall through to a confident class label); the old
+    // UDF silently unboxed NULL to 0.0.
     val linkArr = array(betas.map(b => array(linkExprs(b): _*)): _*)
-    val tmpLp = outputCol + "__lp"
+    // collision-proof temp names: a user column named e.g. "pred__lp"
+    // would otherwise be clobbered and dropped
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val tmpLp = fresh(outputCol + "__lp")
     def lp(k: Int, j: Int) = col(tmpLp).getItem(k).getItem(j)
     def viaTmp(steps: IndexedSeq[org.apache.spark.sql.Column]): DataFrame =
       df.withColumn(tmpLp, linkArr)
@@ -151,9 +161,12 @@ final class SlopeModel(
       case "class" =>
         fam match {
           case Binomial =>
-            // sign threshold at 0 → class_names (R/predict.R:102-115)
+            // sign threshold at 0 → class_names (R/predict.R:102-115);
+            // NULL lp (NULL feature) must stay NULL, not fall into the
+            // otherwise-branch label
             viaTmp(betas.indices.map(k =>
-              when(lp(k, 0) > 0, lit(cn(1))).otherwise(lit(cn(0)))))
+              when(lp(k, 0).isNull, lit(null).cast("string"))
+                .when(lp(k, 0) > 0, lit(cn(1))).otherwise(lit(cn(0)))))
           case Multinomial =>
             // argmax over the softmax PROBABILITIES (not the raw linear
             // predictors): comparing what the UDF compared keeps its exact
@@ -162,7 +175,7 @@ final class SlopeModel(
             // ties (reference class first, then class order: the loop only
             // replaced on STRICTLY greater), and an all-NaN row falls
             // through to the reference class in both formulations.
-            val tmpResp = outputCol + "__resp"
+            val tmpResp = fresh(outputCol + "__resp")
             val withResp = transform(df, featureCols, tmpResp, requestedSigma, "response")
             def prob(k: Int, j: Int) = col(tmpResp).getItem(k).getItem(j)
             val steps = betas.indices.map { k =>
@@ -170,7 +183,10 @@ final class SlopeModel(
                 struct((-prob(k, mT)).as("negv"), lit(0).as("pref"), lit(cn(mT)).as("name")) +:
                   (0 until mT).map(j =>
                     struct((-prob(k, j)).as("negv"), lit(j + 1).as("pref"), lit(cn(j)).as("name")))
-              least(choices: _*).getField("name")
+              // NULL probs (NULL feature) stay NULL — the struct-least would
+              // otherwise tie on NULL keys and emit the reference class
+              when(prob(k, 0).isNull, lit(null).cast("string"))
+                .otherwise(least(choices: _*).getField("name"))
             }
             withResp.withColumn(outputCol, array(steps: _*)).drop(tmpResp)
           case other =>

@@ -217,7 +217,10 @@ object SimHash {
     // GATED like Tables.spread: on a real lake the scan already has more
     // splits than cores, the gate fails, and no forced shuffle of corpus
     // text happens (the token rows then shuffle into the tf aggregation,
-    // which AQE sizes normally — correct at that scale).
+    // which AQE sizes normally — correct at that scale). Note the `.rdd`
+    // probe finalizes physical planning of `docs` — like Tables.spread,
+    // pass a RAW SCAN here (all current callers do); an input with its own
+    // upstream shuffles would plan them twice.
     val target = docs.sparkSession.sparkContext.defaultParallelism
     val spreadById =
       if (docs.rdd.getNumPartitions < target) docs.repartition(target, col(idCol))

@@ -171,6 +171,33 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("NULL features yield NULL predictions in every predict type") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(5)
+    val train = (0 until 80).map { i =>
+      val x = rng.nextGaussian()
+      (if (x + 0.3 * rng.nextGaussian() > 0) "P" else "N", x)
+    }.toDF("lab", "x")
+    val model = SlopeEstimator.fit(train, Seq("x"), "lab",
+      SlopeConfig(family = "binomial", nSigma = 3))
+
+    val probe = Seq((java.lang.Double.valueOf(1.0)), (null: java.lang.Double))
+      .toDF("x")
+    for (tp <- Seq("link", "response", "class")) {
+      val out = model.transform(probe, Seq("x"), predictType = tp)
+        .select(org.apache.spark.sql.functions.expr("pred[0]")).collect()
+      val okRow = out(0)
+      val nullRow = out(1)
+      assert(!okRow.isNullAt(0), s"$tp: non-null row must predict")
+      val v = nullRow.get(0)
+      val isNullish = v == null || (v match {
+        case s: scala.collection.Seq[_] => s.forall(_ == null) // rows hold mutable.ArraySeq
+        case _                          => false
+      })
+      assert(isNullish, s"$tp: NULL feature must not yield a confident prediction, got $v")
+    }
+  }
+
   test("coefExact refit reproduces on-path betas (test-coef.R:37-47, exact = TRUE)") {
     val prob = RandomProblem(n = 150, p = 5, family = Gaussian, seed = 77L)
     import scala.jdk.CollectionConverters._

@@ -104,19 +104,8 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  // LAST test in the suite: it replaces the shared session (extensions only
-  // apply at session construction, so getOrCreate on the live one can't
-  // exercise them).
   test("GraftExtensions exposes vec_dot and vec_cosine to SQL") {
-    spark.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    ensureExtensionsSession()
     val r = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |       vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""".stripMargin)
@@ -125,9 +114,11 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(1) == 1.0)
   }
 
-  test("optimizer rule rewrites the aggregate(zip_with(...)) idiom to vec_dot") {
-    // order-independent: build the extensions session if an earlier test
-    // hasn't already swapped it in
+  /** Swap the shared session for one with GraftExtensions installed
+    * (extensions only apply at session construction). Idempotent, so the
+    * extension tests are order-independent.
+    */
+  private def ensureExtensionsSession(): Unit =
     if (!spark.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions"))) {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -138,7 +129,11 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
         .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
     }
+
+  test("optimizer rule rewrites the aggregate(zip_with(...)) idiom to vec_dot") {
+    ensureExtensionsSession()
     val df = spark.range(50).select(
       transform(sequence(lit(0), lit(7)), i => (col("id") + i).cast("float")).as("a"),
       transform(sequence(lit(0), lit(7)), i => (col("id") * i + 1).cast("float")).as("b"))
