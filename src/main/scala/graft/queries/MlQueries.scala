@@ -101,23 +101,33 @@ object MlQueries {
 
   /** M10: mse/mae of a FIXED coefficient vector (scoring a known model is
     * pure SQL; the β here is arbitrary but shared with the oracle).
+    *
+    * Arithmetic is EXACT decimal end-to-end: every input column holds
+    * 2-decimal values and the β are integers, so err has scale 2, err² has
+    * scale 4, and no sum or cast ever rounds. (The previous double-based
+    * form rounded err² at scale 3 — a 4-decimal quantity, so `.xxx5` ties
+    * were common, and Spark's shortest-string double→decimal cast breaks
+    * ties differently from DuckDB's exact-binary cast → hash mismatch.)
     */
   val scoreFixedBeta: Q = {
-    val (b0, b1, b2, b3) = (1000.0, 25.0, -2000.0, 1500.0)
+    val (b0, b1, b2, b3) = (1000, 25, -2000, 1500)
     Q.sql(
       "m_score_fixed_beta",
       s"""WITH e AS (
-         |  SELECT ($b0 + $b1*l_quantity + $b2*l_discount + $b3*l_tax) - l_extendedprice AS err
+         |  SELECT (($b0 + $b1*(l_quantity::DECIMAL(8,2)) + $b2*(l_discount::DECIMAL(4,2))
+         |           + $b3*(l_tax::DECIMAL(4,2))) - (l_extendedprice::DECIMAL(10,2)))::DECIMAL(12,2) AS err
          |  FROM lineitem)
-         |SELECT (sum((err*err)::DECIMAL(30,3)))::DOUBLE / count(*)::DOUBLE AS mse,
-         |       (sum(abs(err)::DECIMAL(30,6)))::DOUBLE / count(*)::DOUBLE AS mae
+         |SELECT (sum(err*err))::DOUBLE / count(*)::DOUBLE AS mse,
+         |       (sum(abs(err)))::DOUBLE / count(*)::DOUBLE AS mae
          |FROM e""".stripMargin) { (s, dir) =>
-      Tables.spread(li(s, dir)
-        .select(((lit(b0) + lit(b1) * col("l_quantity") + lit(b2) * col("l_discount")
-          + lit(b3) * col("l_tax")) - col("l_extendedprice")).as("err")))
+      val err = ((lit(b0) + lit(b1) * col("l_quantity").cast(DecimalType(8, 2))
+        + lit(b2) * col("l_discount").cast(DecimalType(4, 2))
+        + lit(b3) * col("l_tax").cast(DecimalType(4, 2)))
+        - col("l_extendedprice").cast(DecimalType(10, 2))).cast(DecimalType(12, 2))
+      Tables.spread(li(s, dir).select(err.as("err")))
         .agg(
-          (Det.dsum(col("err") * col("err"), 3) / count(lit(1)).cast("double")).as("mse"),
-          (Det.dsum(abs(col("err")), 6) / count(lit(1)).cast("double")).as("mae"))
+          (sum(col("err") * col("err")).cast("double") / count(lit(1)).cast("double")).as("mse"),
+          (sum(abs(col("err"))).cast("double") / count(lit(1)).cast("double")).as("mae"))
     }
   }
 
