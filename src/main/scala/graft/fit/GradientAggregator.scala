@@ -1,6 +1,6 @@
 package graft.fit
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal}
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import graft.slope._
@@ -12,10 +12,13 @@ import graft.slope._
   * SQL-visible and composable with `groupBy`, e.g. per-segment gradient
   * diagnostics).
   *
-  * Accumulation is EXACT: each addend is rounded to a fixed decimal scale
-  * and summed as BigDecimal (the `Det` recipe), so the result is
-  * bit-identical to a DuckDB oracle and invariant to partitioning,
-  * AQE re-plans and speculative retries.
+  * Accumulation is EXACT: each addend is fixed to an integer grid with
+  * `floor(v·10^s + 0.5)` and summed as BigDecimal (the `Det` recipe —
+  * rounding the same IEEE double with the same function in both engines,
+  * so agreement with the DuckDB oracle is structural), making the result
+  * invariant to partitioning, AQE re-plans and speculative retries.
+  * BigDecimal (not long) accumulation keeps the TOTAL overflow-safe at
+  * 100 TB row counts.
   */
 final case class GradState(loss: JBigDecimal, gradSum: Array[JBigDecimal])
 
@@ -35,10 +38,12 @@ class GradientAggregator(
   def zero: GradState =
     GradState(JBigDecimal.ZERO, Array.fill(p + 1)(JBigDecimal.ZERO))
 
-  private def dec(v: Double, scale: Int): JBigDecimal =
-    // valueOf goes through Double.toString — the same path Spark's
-    // double→decimal cast takes, so addends match the Det/DuckDB recipe
-    JBigDecimal.valueOf(v).setScale(scale, RoundingMode.HALF_UP)
+  private val lossM = math.pow(10, lossScale)
+  private val gradM = math.pow(10, gradScale)
+
+  // the Det floor-grid addend: an exact integer, cheap to build and to add
+  private def dec(v: Double, m: Double): JBigDecimal =
+    JBigDecimal.valueOf(Math.floor(v * m + 0.5).toLong)
 
   def reduce(b: GradState, row: (Double, Array[Double])): GradState = {
     val (y, x) = row
@@ -47,12 +52,12 @@ class GradientAggregator(
     while (j < p) { lp += betas(j) * x(j); j += 1 }
     val ya = Array(y)
     val lpa = Array(lp)
-    val loss = b.loss.add(dec(family.rowPrimal(ya, lpa), lossScale))
+    val loss = b.loss.add(dec(family.rowPrimal(ya, lpa), lossM))
     val g = family.rowPseudoGradient(ya, lpa)(0)
     val gs = b.gradSum.clone()
-    gs(0) = gs(0).add(dec(g, gradScale)) // intercept gradient
+    gs(0) = gs(0).add(dec(g, gradM)) // intercept gradient
     j = 0
-    while (j < p) { gs(j + 1) = gs(j + 1).add(dec(x(j) * g, gradScale)); j += 1 }
+    while (j < p) { gs(j + 1) = gs(j + 1).add(dec(x(j) * g, gradM)); j += 1 }
     GradState(loss, gs)
   }
 
@@ -61,7 +66,9 @@ class GradientAggregator(
       Array.tabulate(p + 1)(j => a.gradSum(j).add(b.gradSum(j))))
 
   def finish(r: GradState): GradResult =
-    GradResult(r.loss.doubleValue(), r.gradSum.map(_.doubleValue()))
+    // grid-integer totals back to value scale; the double division mirrors
+    // the oracle's `::DOUBLE / 1e{s}` exactly
+    GradResult(r.loss.doubleValue() / lossM, r.gradSum.map(_.doubleValue() / gradM))
 
   def bufferEncoder: Encoder[GradState] = Encoders.kryo[GradState]
   def outputEncoder: Encoder[GradResult] = Encoders.product[GradResult]

@@ -59,8 +59,8 @@ object MlQueries {
        |agg AS (
        |  SELECT feature,
        |         count(*) AS n,
-       |         (sum(x::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE AS mean,
-       |         (sum((x*x)::DECIMAL(30,6)))::DOUBLE AS sumsq
+       |         ${Det.davgSql("x")} AS mean,
+       |         ${Det.dsumSql("x*x")} AS sumsq
        |  FROM f GROUP BY feature)
        |SELECT feature,
        |       mean,
@@ -84,10 +84,10 @@ object MlQueries {
        |agg AS (
        |  SELECT feature,
        |         count(*) AS n,
-       |         (sum(x::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE AS xm,
-       |         (sum(y::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE AS ym,
-       |         (sum((x*x)::DECIMAL(30,6)))::DOUBLE AS sxx,
-       |         (sum((x*y)::DECIMAL(30,6)))::DOUBLE AS sxy
+       |         ${Det.davgSql("x")} AS xm,
+       |         ${Det.davgSql("y")} AS ym,
+       |         ${Det.dsumSql("x*x")} AS sxx,
+       |         ${Det.dsumSql("x*y")} AS sxy
        |  FROM f GROUP BY feature)
        |SELECT feature,
        |       abs((sxy - n*xm*ym)/sqrt(sxx - n*xm*xm)) AS lambda_max
@@ -102,32 +102,30 @@ object MlQueries {
   /** M10: mse/mae of a FIXED coefficient vector (scoring a known model is
     * pure SQL; the β here is arbitrary but shared with the oracle).
     *
-    * Arithmetic is EXACT decimal end-to-end: every input column holds
-    * 2-decimal values and the β are integers, so err has scale 2, err² has
-    * scale 4, and no sum or cast ever rounds. (The previous double-based
-    * form rounded err² at scale 3 — a 4-decimal quantity, so `.xxx5` ties
-    * were common, and Spark's shortest-string double→decimal cast breaks
-    * ties differently from DuckDB's exact-binary cast → hash mismatch.)
+    * Every input column holds 2-decimal values and the β are integers, so
+    * err sits exactly on the 1e-2 grid and err² on the 1e-4 grid — the
+    * floor-grid `Det` recipe at those scales rounds nothing and both
+    * engines sum the exact values. (An earlier double→DECIMAL(30,3) cast
+    * form rounded err² — a 4-decimal quantity — at scale 3, so `.xxx5`
+    * ties were everywhere and Spark's shortest-string cast broke them
+    * differently from DuckDB's exact-binary cast → hash mismatch.)
     */
   val scoreFixedBeta: Q = {
-    val (b0, b1, b2, b3) = (1000, 25, -2000, 1500)
+    val (b0, b1, b2, b3) = (1000.0, 25.0, -2000.0, 1500.0)
     Q.sql(
       "m_score_fixed_beta",
       s"""WITH e AS (
-         |  SELECT (($b0 + $b1*(l_quantity::DECIMAL(8,2)) + $b2*(l_discount::DECIMAL(4,2))
-         |           + $b3*(l_tax::DECIMAL(4,2))) - (l_extendedprice::DECIMAL(10,2)))::DECIMAL(12,2) AS err
+         |  SELECT ($b0 + $b1*l_quantity + $b2*l_discount + $b3*l_tax) - l_extendedprice AS err
          |  FROM lineitem)
-         |SELECT (sum(err*err))::DOUBLE / count(*)::DOUBLE AS mse,
-         |       (sum(abs(err)))::DOUBLE / count(*)::DOUBLE AS mae
+         |SELECT ${Det.dsumSql("err*err", 4)} / count(*)::DOUBLE AS mse,
+         |       ${Det.dsumSql("abs(err)", 2)} / count(*)::DOUBLE AS mae
          |FROM e""".stripMargin) { (s, dir) =>
-      val err = ((lit(b0) + lit(b1) * col("l_quantity").cast(DecimalType(8, 2))
-        + lit(b2) * col("l_discount").cast(DecimalType(4, 2))
-        + lit(b3) * col("l_tax").cast(DecimalType(4, 2)))
-        - col("l_extendedprice").cast(DecimalType(10, 2))).cast(DecimalType(12, 2))
-      Tables.spread(li(s, dir).select(err.as("err")))
+      Tables.spread(li(s, dir)
+        .select(((lit(b0) + lit(b1) * col("l_quantity") + lit(b2) * col("l_discount")
+          + lit(b3) * col("l_tax")) - col("l_extendedprice")).as("err")))
         .agg(
-          (sum(col("err") * col("err")).cast("double") / count(lit(1)).cast("double")).as("mse"),
-          (sum(abs(col("err"))).cast("double") / count(lit(1)).cast("double")).as("mae"))
+          (Det.dsum(col("err") * col("err"), 4) / count(lit(1)).cast("double")).as("mse"),
+          (Det.dsum(abs(col("err")), 2) / count(lit(1)).cast("double")).as("mae"))
     }
   }
 
@@ -139,7 +137,7 @@ object MlQueries {
     */
   val aucFixedScore: Q = Q.sql(
     "m_auc_fixed_score",
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT o_totalprice AS prob,
       |         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
       |  FROM orders),
@@ -148,8 +146,8 @@ object MlQueries {
       |             sum(rn)::DOUBLE / count(*)::DOUBLE AS avg_rank,
       |             sum(y) AS n1_in, count(*) AS cnt
       |      FROM r GROUP BY prob),
-      |a AS (SELECT (sum((avg_rank*n1_in)::DECIMAL(30,6)))::DOUBLE AS rank_sum,
-      |             (sum(n1_in::DECIMAL(30,6)))::DOUBLE AS n1,
+      |a AS (SELECT ${Det.dsumSql("avg_rank*n1_in")} AS rank_sum,
+      |             ${Det.dsumSql("n1_in")} AS n1,
       |             sum(cnt) AS n
       |      FROM g)
       |SELECT exp(ln(rank_sum - n1*(n1 + 1)/2) - ln(n1) - ln(n::DOUBLE - n1)) AS auc
@@ -232,11 +230,11 @@ object MlQueries {
          |         ($b0 + ${bs(0)}*l_quantity + ${bs(1)}*l_discount + ${bs(2)}*l_tax)
          |           - l_extendedprice AS r
          |  FROM lineitem)
-         |SELECT (sum((0.5*r*r)::DECIMAL(30,3)))::DOUBLE AS loss,
-         |       (sum(r::DECIMAL(30,6)))::DOUBLE AS g_intercept,
-         |       (sum((x1*r)::DECIMAL(30,6)))::DOUBLE AS g_quantity,
-         |       (sum((x2*r)::DECIMAL(30,6)))::DOUBLE AS g_discount,
-         |       (sum((x3*r)::DECIMAL(30,6)))::DOUBLE AS g_tax
+         |SELECT ${Det.dsumSql("0.5*r*r", 3)} AS loss,
+         |       ${Det.dsumSql("r")} AS g_intercept,
+         |       ${Det.dsumSql("x1*r")} AS g_quantity,
+         |       ${Det.dsumSql("x2*r")} AS g_discount,
+         |       ${Det.dsumSql("x3*r")} AS g_tax
          |FROM e""".stripMargin) { (s, dir) =>
       import s.implicits._
       val ds = Tables.spread(li(s, dir)

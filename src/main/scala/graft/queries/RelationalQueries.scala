@@ -29,13 +29,13 @@ object RelationalQueries {
     // ---- Q1: scan + filter + hash aggregate (TPC-H Q1 shape) ----
     Q.sql(
       "q1_pricing_summary",
-      """SELECT l_returnflag, l_linestatus,
-        |  (sum(l_quantity::DECIMAL(30,6)))::DOUBLE AS sum_qty,
-        |  (sum(l_extendedprice::DECIMAL(30,6)))::DOUBLE AS sum_base_price,
-        |  (sum((l_extendedprice*(1-l_discount))::DECIMAL(30,6)))::DOUBLE AS sum_disc_price,
-        |  (sum((l_extendedprice*(1-l_discount)*(1+l_tax))::DECIMAL(30,6)))::DOUBLE AS sum_charge,
-        |  (sum(l_quantity::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE AS avg_qty,
-        |  (sum(l_discount::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Det.dsumSql("l_quantity")} AS sum_qty,
+        |  ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
+        |  ${Det.dsumSql("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+        |  ${Det.dsumSql("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+        |  ${Det.davgSql("l_quantity")} AS avg_qty,
+        |  ${Det.davgSql("l_discount")} AS avg_disc,
         |  count(*)::BIGINT AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -83,8 +83,8 @@ object RelationalQueries {
     // ---- Q3: broadcast dim join + fact join + agg + top-k (TPC-H Q3) ----
     Q.sql(
       "q3_shipping_priority",
-      """SELECT l_orderkey,
-        |  (sum((l_extendedprice*(1-l_discount))::DECIMAL(30,6)))::DOUBLE AS revenue,
+      s"""SELECT l_orderkey,
+        |  ${Det.dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -116,8 +116,8 @@ object RelationalQueries {
     // ---- Q5: five-way join through the full star schema (TPC-H Q5) ----
     Q.sql(
       "q5_local_supplier_volume",
-      """SELECT n_name,
-        |  (sum((l_extendedprice*(1-l_discount))::DECIMAL(30,6)))::DOUBLE AS revenue
+      s"""SELECT n_name,
+        |  ${Det.dsumSql("l_extendedprice*(1-l_discount)")} AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -154,7 +154,7 @@ object RelationalQueries {
     // ---- Q6: tight filter + global aggregate (TPC-H Q6) ----
     Q.sql(
       "q6_forecast_revenue",
-      """SELECT (sum((l_extendedprice*l_discount)::DECIMAL(30,6)))::DOUBLE AS revenue,
+      s"""SELECT ${Det.dsumSql("l_extendedprice*l_discount")} AS revenue,
         |  count(*)::BIGINT AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -178,14 +178,16 @@ object RelationalQueries {
       """SELECT user_id, event_id,
         |  row_number() OVER w AS rn,
         |  lag(event_type, 1) OVER w AS prev_type,
-        |  sum(value) OVER (PARTITION BY user_id
-        |                   ORDER BY ts, event_id
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  (sum(CAST(floor(value*1e9 + 0.5) AS BIGINT)::DECIMAL(38,0))
+        |     OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / 1e9
         |    AS running_value
         |FROM events
         |WHERE user_id < 50
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
         .filter(col("user_id") < 50)
@@ -193,7 +195,12 @@ object RelationalQueries {
           col("user_id"), col("event_id"),
           row_number().over(w).as("rn"),
           lag(col("event_type"), 1).over(w).as("prev_type"),
-          sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          // running sum on the Det floor-grid: a raw double running sum is
+          // only tolerance-close to the oracle (order-sensitive last ulps);
+          // the grid makes every prefix sum exact in both engines
+          (sum(floor(col("value") * lit(1e9) + lit(0.5)).cast(DecimalType(38, 0)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / lit(1e9))
             .as("running_value"))
         .orderBy(col("user_id"), col("rn"))
     },
@@ -271,8 +278,8 @@ object RelationalQueries {
     // ---- left outer join preserving unmatched rows ----
     Q.sql(
       "q12_outer_join",
-      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
-        |  coalesce((sum(o_totalprice::DECIMAL(30,6)))::DOUBLE, 0.0) AS total_spend
+      s"""SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
+        |  coalesce(${Det.dsumSql("o_totalprice")}, 0.0) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |WHERE c_custkey < 200
         |GROUP BY c_custkey
@@ -290,8 +297,8 @@ object RelationalQueries {
     // ---- group-by + HAVING ----
     Q.sql(
       "q13_having",
-      """SELECT p_brand, count(*)::BIGINT AS n_parts,
-        |  (sum(p_retailprice::DECIMAL(30,6)))::DOUBLE AS sum_price
+      s"""SELECT p_brand, count(*)::BIGINT AS n_parts,
+        |  ${Det.dsumSql("p_retailprice")} AS sum_price
         |FROM part
         |GROUP BY p_brand
         |HAVING count(*) > 10
@@ -306,11 +313,10 @@ object RelationalQueries {
     // ---- conditional aggregation (CASE WHEN inside agg; TPC-H Q14 shape) ----
     Q.sql(
       "q14_promo_share",
-      """SELECT
-        |  (sum((CASE WHEN p_type LIKE 'PROMO%'
-        |        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)::DECIMAL(30,6)))::DOUBLE
+      s"""SELECT
+        |  ${Det.dsumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")}
         |    AS promo_revenue,
-        |  (sum((l_extendedprice*(1-l_discount))::DECIMAL(30,6)))::DOUBLE AS total_revenue
+        |  ${Det.dsumSql("l_extendedprice*(1-l_discount)")} AS total_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin) { (s, dir) =>
@@ -362,10 +368,10 @@ object RelationalQueries {
     // ---- rollup (hierarchical aggregation) ----
     Q.sql(
       "q16_rollup",
-      """SELECT coalesce(r_name, 'ALL') AS region_name,
+      s"""SELECT coalesce(r_name, 'ALL') AS region_name,
         |  coalesce(n_name, 'ALL') AS nation_name,
         |  count(*)::BIGINT AS n_customers,
-        |  (sum(c_acctbal::DECIMAL(30,6)))::DOUBLE AS sum_acctbal
+        |  ${Det.dsumSql("c_acctbal")} AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -389,11 +395,11 @@ object RelationalQueries {
     // ---- scalar subquery in predicate ----
     Q.sql(
       "q17_above_avg_orders",
-      """SELECT count(*)::BIGINT AS n_big_orders,
-        |  (sum(o_totalprice::DECIMAL(30,6)))::DOUBLE AS big_revenue
+      s"""SELECT count(*)::BIGINT AS n_big_orders,
+        |  ${Det.dsumSql("o_totalprice")} AS big_revenue
         |FROM orders
         |WHERE o_totalprice > 1.5 * (
-        |  SELECT (sum(o_totalprice::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE
+        |  SELECT ${Det.davgSql("o_totalprice")}
         |  FROM orders)""".stripMargin) { (s, dir) =>
       val ord = t(s, dir, "orders")
       val avgDf = ord.agg(davg(col("o_totalprice")).as("avg_price"))
@@ -405,12 +411,12 @@ object RelationalQueries {
     // ---- grouped aggregation over the events table (JSON + date funcs) ----
     Q.sql(
       "q18_events_profile",
-      """SELECT event_type,
+      s"""SELECT event_type,
         |  count(*)::BIGINT AS n_events,
         |  count(DISTINCT user_id)::BIGINT AS n_users,
-        |  (sum(value::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE AS avg_value,
+        |  ${Det.davgSql("value")} AS avg_value,
         |  min(value) AS min_value, max(value) AS max_value,
-        |  (sum(regexp_extract(props, '"k": (\d+)', 1)::BIGINT))::BIGINT AS sum_k
+        |  (sum(regexp_extract(props, '"k": (\\d+)', 1)::BIGINT))::BIGINT AS sum_k
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, dir) =>

@@ -60,20 +60,45 @@ object Tables {
   *
   * Double sums are order-dependent, and Spark's partial aggregation order
   * differs from DuckDB's, so a raw `sum(double)` can differ in the last few
-  * ulps between the engine and the oracle. Casting each addend to a fixed
-  * decimal makes the sum exact and associative — bit-identical in both
-  * engines — and the final decimal→double cast is deterministic too.
+  * ulps between the engine and the oracle. Fixing each addend to an integer
+  * grid — `floor(x·10^s + 0.5)` as a 64-bit integer, summed as a decimal —
+  * makes the sum exact and associative, so the result is bit-identical in
+  * both engines and invariant to partitioning/AQE/speculation.
   *
-  * The DuckDB twin of `dsum(x, 6)` is `(sum(x::DECIMAL(30,6)))::DOUBLE`.
-  * The twin of `davg(x, 9)` is
-  * `(sum(x::DECIMAL(30,9)))::DOUBLE / count(*)::DOUBLE`.
+  * Why `floor(x·10^s + 0.5)` instead of a double→DECIMAL(·,s) cast: the
+  * cast asks each engine to round a *real number* at a decimal boundary,
+  * and on `.xxx5` ties Spark (shortest-string repr, HALF_UP) and DuckDB
+  * (exact binary value) disagree. `floor` rounds the *same IEEE double*
+  * with the same function — agreement is structural, not luck. It is also
+  * ~an order of magnitude cheaper per row: Spark's double→decimal cast goes
+  * through `Double.toString` + BigDecimal parse; this path is a codegen'd
+  * multiply+floor into a compact long-backed decimal.
+  *
+  * The long-typed grid value requires |x|·10^s < 2^63 per row; the decimal
+  * re-cast before the sum keeps the TOTAL overflow-safe at any scale
+  * (a 100 TB sum of e10-sized addends exceeds int64 but not DECIMAL(38)).
+  *
+  * The DuckDB twin of `dsum(x, 6)` is
+  * `(sum(CAST(floor(x*1e6 + 0.5) AS BIGINT)::DECIMAL(38,0)))::DOUBLE / 1e6`
+  * and `davg(x, 9)` appends `/ count(*)::DOUBLE` to the scale-9 form.
   */
 object Det {
-  def dsum(c: Column, scale: Int = 6): Column =
-    sum(c.cast(DecimalType(30, scale))).cast("double")
+  def dsum(c: Column, scale: Int = 6): Column = {
+    val m = math.pow(10, scale) // powers of ten ≤ 1e22 are exact doubles
+    sum(floor(c * lit(m) + lit(0.5)).cast(DecimalType(38, 0)))
+      .cast("double") / lit(m)
+  }
 
   def davg(c: Column, scale: Int = 9): Column =
     dsum(c, scale) / count(lit(1)).cast("double")
+
+  /** DuckDB twin of [[dsum]] as an oracle-SQL fragment. */
+  def dsumSql(expr: String, scale: Int = 6): String =
+    s"(sum(CAST(floor(($expr)*1e$scale + 0.5) AS BIGINT)::DECIMAL(38,0)))::DOUBLE / 1e$scale"
+
+  /** DuckDB twin of [[davg]] as an oracle-SQL fragment. */
+  def davgSql(expr: String, scale: Int = 9): String =
+    s"${dsumSql(expr, scale)} / count(*)::DOUBLE"
 
   /** 60-bit hash shared with DuckDB:
     * Spark  : conv(substring(md5(s),1,15),16,10)::long
