@@ -35,26 +35,7 @@ object SlopeEstimator {
     validate(df, featureCols, labelCol, cfg, family)
 
     // ---- response encoding (R/preProcessResponse.R) ----
-    val classNames: Array[String] = family match {
-      case Binomial | Multinomial =>
-        val raw = df.select(labelCol).distinct()
-          .collect().map(r => String.valueOf(r.get(0)))
-        // R factor-level order: numeric labels sort numerically (levels of
-        // as.factor(c(2,10)) are "2","10"), everything else lexicographically
-        val names =
-          if (raw.forall(s => scala.util.Try(s.toDouble).isSuccess))
-            raw.sortBy(_.toDouble)
-          else raw.sorted
-        family match {
-          case Binomial =>
-            require(names.length == 2, s"binomial needs 2 classes, got ${names.length}")
-          case _ =>
-            require(names.length >= 3,
-              s"multinomial needs >= 3 classes, got ${names.length}")
-        }
-        names
-      case _ => Array.empty
-    }
+    val classNames: Array[String] = classNamesFor(df, labelCol, family)
     val mTargets = family match {
       case Multinomial => classNames.length - 1
       case _           => 1
@@ -73,6 +54,27 @@ object SlopeEstimator {
     val fCols = featureCols.toArray
     val lCol = labelCol
     val classIndex = classNames.zipWithIndex.toMap
+
+    // fast sub-threshold path for scalar features: ONE cheap count decides,
+    // then the pruned projection collects as flat primitive arrays (a chunk
+    // per partition — no per-row java-serialization, no spread shuffle, no
+    // RDD persist, no stats treeAggregate job) and everything else happens
+    // on the driver. Identical math to the distributed path (pinned by
+    // SparkFitSpec); above the threshold the treeAggregate path below runs
+    // exactly as before.
+    if (!vectorInput) {
+      import org.apache.spark.sql.functions.col
+      val stringLabel = family == Binomial || family == Multinomial
+      val labelExpr =
+        if (stringLabel) col(lCol).cast("string") else col(lCol).cast("double")
+      val pruned = df.select(labelExpr +: fCols.toSeq.map(c => col(c).cast("double")): _*)
+      val nRows = pruned.count()
+      if (nRows * pFeat <= cfg.localFitThreshold && nRows > 0) {
+        val (yFlat, xFlat) = collectFlat(pruned, family, classNames, mTargets, pFeat)
+        return fitLocalArrays(yFlat, xFlat, nRows.toInt, family, mTargets, pFeat,
+          fCols, classNames, cfg)
+      }
+    }
 
     val rows: RDD[(Array[Double], MlVector)] = {
       val localFam = family
@@ -142,10 +144,188 @@ object SlopeEstimator {
       s"unknown scale: ${cfg.scale}")
   }
 
+  /** Sorted distinct label values as class names (R factor-level order:
+    * numeric labels sort numerically — levels of as.factor(c(2,10)) are
+    * "2","10" — everything else lexicographically). Empty for
+    * gaussian/poisson.
+    */
+  private[fit] def classNamesFor(df: DataFrame, labelCol: String,
+                                 family: Family): Array[String] = family match {
+    case Binomial | Multinomial =>
+      val raw = df.select(labelCol).distinct()
+        .collect().map(r => String.valueOf(r.get(0)))
+      val names =
+        if (raw.forall(s => scala.util.Try(s.toDouble).isSuccess))
+          raw.sortBy(_.toDouble)
+        else raw.sorted
+      family match {
+        case Binomial =>
+          require(names.length == 2, s"binomial needs 2 classes, got ${names.length}")
+        case _ =>
+          require(names.length >= 3,
+            s"multinomial needs >= 3 classes, got ${names.length}")
+      }
+      names
+    case _ => Array.empty
+  }
+
   private def numeric(r: Row, i: Int): Double = r.get(i) match {
     case null              => throw new IllegalArgumentException("missing values not allowed")
     case d: java.lang.Number => d.doubleValue()
     case other             => other.toString.toDouble
+  }
+
+  /** Collect a pre-cast (label, feature...) projection as flat row-major
+    * primitive arrays — ONE (y, x) chunk per partition crosses the wire, so
+    * the driver transfer is a handful of double-array blobs instead of n
+    * java-serialized row objects, and reading `InternalRow` primitives
+    * skips the external-Row boxing entirely. The label column must arrive
+    * cast to string (binomial/multinomial) or double (gaussian/poisson);
+    * label semantics match the RDD encode path (null numeric label / null
+    * feature → "missing values not allowed"; a null class label is the
+    * class "null", as `String.valueOf` produced there).
+    */
+  private[fit] def collectFlat(pruned: DataFrame, family: Family,
+                               classNames: Array[String], mTargets: Int,
+                               pFeat: Int): (Array[Double], Array[Double]) = {
+    val classIndex = classNames.zipWithIndex.toMap
+    val fam = family
+    val chunks = pruned.queryExecution.toRdd.mapPartitions { it =>
+      val yb = new scala.collection.mutable.ArrayBuilder.ofDouble
+      val xb = new scala.collection.mutable.ArrayBuilder.ofDouble
+      it.foreach { r =>
+        fam match {
+          case Binomial =>
+            val s = if (r.isNullAt(0)) "null" else r.getUTF8String(0).toString
+            yb += (if (classIndex(s) == 0) -1.0 else 1.0)
+          case Multinomial =>
+            val s = if (r.isNullAt(0)) "null" else r.getUTF8String(0).toString
+            val k = classIndex(s)
+            var j = 0
+            while (j < mTargets) { yb += (if (k == j) 1.0 else 0.0); j += 1 }
+          case Poisson =>
+            if (r.isNullAt(0)) throw new IllegalArgumentException(
+              "missing values not allowed")
+            val v = r.getDouble(0)
+            if (v < 0) throw new IllegalArgumentException(
+              "cannot have negative responses in poisson model")
+            yb += v
+          case _ =>
+            if (r.isNullAt(0)) throw new IllegalArgumentException(
+              "missing values not allowed")
+            yb += r.getDouble(0)
+        }
+        var i = 0
+        while (i < pFeat) {
+          if (r.isNullAt(i + 1)) throw new IllegalArgumentException(
+            "missing values not allowed")
+          xb += r.getDouble(i + 1)
+          i += 1
+        }
+      }
+      Iterator.single((yb.result(), xb.result()))
+    }.collect()
+    val nY = chunks.iterator.map(_._1.length).sum
+    val nX = chunks.iterator.map(_._2.length).sum
+    val y = new Array[Double](nY)
+    val x = new Array[Double](nX)
+    var oy = 0; var ox = 0
+    chunks.foreach { case (yc, xc) =>
+      System.arraycopy(yc, 0, y, oy, yc.length); oy += yc.length
+      System.arraycopy(xc, 0, x, ox, xc.length); ox += xc.length
+    }
+    (y, x)
+  }
+
+  /** Fit from flat row-major arrays entirely on the driver: dense
+    * standardization stats (same semantics as [[standardizeStats]] —
+    * n−1 sd, centered-column scales, zero-variance guard → 1), then
+    * `LocalOps` + the shared path driver. The distributed and local
+    * substrates stay interchangeable (SparkFitSpec).
+    */
+  private[fit] def fitLocalArrays(yFlat: Array[Double], xFlat: Array[Double],
+                                  n: Int, family: Family, mTargets: Int,
+                                  pFeat: Int, featureNames: Array[String],
+                                  classNames: Array[String],
+                                  cfg: SlopeConfig): SlopeModel = {
+    val nD = n.toDouble
+    val yMeans = new Array[Double](mTargets)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < mTargets) { yMeans(j) += yFlat(i * mTargets + j); j += 1 }
+      i += 1
+    }
+    var j = 0
+    while (j < mTargets) { yMeans(j) /= nD; j += 1 }
+
+    val mean = new Array[Double](pFeat)
+    val sumsq = new Array[Double](pFeat)
+    val mx = Array.fill(pFeat)(Double.NegativeInfinity)
+    i = 0
+    while (i < n) {
+      var c = 0
+      while (c < pFeat) {
+        val v = xFlat(i * pFeat + c)
+        mean(c) += v
+        sumsq(c) += v * v
+        if (v > mx(c)) mx(c) = v
+        c += 1
+      }
+      i += 1
+    }
+    var c = 0
+    while (c < pFeat) { mean(c) /= nD; c += 1 }
+    val xCenter = if (cfg.center) mean else new Array[Double](pFeat)
+    def centeredSumSq(c0: Int): Double =
+      math.max(sumsq(c0) - nD * mean(c0) * mean(c0), 0.0)
+    val xScale: Array[Double] = cfg.scale match {
+      case "none" => Array.fill(pFeat)(1.0)
+      case "l2" =>
+        Array.tabulate(pFeat) { c0 =>
+          if (cfg.center) math.sqrt(centeredSumSq(c0)) else math.sqrt(sumsq(c0))
+        }
+      case "sd" =>
+        Array.tabulate(pFeat)(c0 => math.sqrt(centeredSumSq(c0) / (nD - 1.0)))
+      case "max" =>
+        Array.tabulate(pFeat)(c0 => mx(c0) - xCenter(c0))
+      case "l1" =>
+        val acc = new Array[Double](pFeat)
+        var r = 0
+        while (r < n) {
+          var c2 = 0
+          while (c2 < pFeat) {
+            acc(c2) += math.abs(xFlat(r * pFeat + c2) - xCenter(c2)); c2 += 1
+          }
+          r += 1
+        }
+        acc
+      case other => throw new IllegalArgumentException(s"unknown scale: $other")
+    }
+    val guarded = xScale.map(s => if (s == 0.0) 1.0 else s)
+
+    val yCenter: Array[Double] =
+      if (family == Gaussian) yMeans.clone() else Array.fill(mTargets)(0.0)
+    val ic = if (cfg.intercept) 1 else 0
+    val xs = DenseMatrix.zeros[Double](n, pFeat + ic)
+    val ym = DenseMatrix.zeros[Double](n, mTargets)
+    val interceptVal = 1.0 / math.sqrt(nD)
+    i = 0
+    while (i < n) {
+      if (cfg.intercept) xs(i, 0) = interceptVal
+      var c2 = 0
+      while (c2 < pFeat) {
+        xs(i, c2 + ic) = (xFlat(i * pFeat + c2) - xCenter(c2)) / guarded(c2)
+        c2 += 1
+      }
+      c2 = 0
+      while (c2 < mTargets) { ym(i, c2) = yFlat(i * mTargets + c2) - yCenter(c2); c2 += 1 }
+      i += 1
+    }
+    val ops = new LocalOps(xs, ym, family, cfg.intercept)
+    val fit = SlopePath.fit(ops, cfg, xCenter, guarded, yCenter,
+      Array.fill(mTargets)(1.0))
+    new SlopeModel(fit, featureNames, classNames)
   }
 
   /** Fit from an already-encoded RDD (labels preprocessed per family). */

@@ -54,19 +54,117 @@ object TrainSlope {
             measures: Seq[String] = Seq.empty,
             cfg: SlopeConfig = SlopeConfig()): TrainedSlope = {
     require(number > 1, "need at least 2 folds")
-    val fullModel = SlopeEstimator.fit(df, featureCols, labelCol, cfg)
-    val sigma = fullModel.fit.sigma
     val ms = if (measures.nonEmpty) measures else defaultMeasures(cfg.family)
     val ok = defaultMeasures(cfg.family)
     val used = ms.filter(ok.contains)
     require(used.nonEmpty, s"no valid measure among $ms for family ${cfg.family}")
 
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = for {
       rep <- 0 until repeats
       fold <- 0 until number
       q <- qs
     } yield (rep, fold, q)
+
+    trainLocal(df, featureCols, labelCol, idCol, qs, number, repeats, used,
+      cells, cfg)
+      .getOrElse(trainDistributed(df, featureCols, labelCol, idCol, number,
+        repeats, used, cells, cfg))
+  }
+
+  /** Sub-threshold fast path: ONE flat collect brings the encoded rows plus
+    * the per-repeat fold hashes to the driver; the full fit, every cell fit
+    * and all scoring run in memory (the reference's own execution shape for
+    * data this size). Falls back to the distributed path when the data is
+    * over `localFitThreshold` or the features are an assembled vector.
+    */
+  private def trainLocal(df: DataFrame, featureCols: Seq[String],
+                         labelCol: String, idCol: String, qs: Seq[Double],
+                         number: Int, repeats: Int, used: Seq[String],
+                         cells: Seq[(Int, Int, Double)],
+                         cfg: SlopeConfig): Option[TrainedSlope] = {
+    val family = Family(cfg.family)
+    val vectorInput = featureCols.length == 1 &&
+      df.schema(featureCols.head).dataType ==
+        org.apache.spark.ml.linalg.SQLDataTypes.VectorType
+    if (vectorInput) return None
+    val p = featureCols.length
+    val classNames = SlopeEstimator.classNamesFor(df, labelCol, family)
+    val mTargets = family match {
+      case Multinomial => classNames.length - 1
+      case _           => 1
+    }
+    val stringLabel = family == Binomial || family == Multinomial
+    val labelExpr =
+      if (stringLabel) col(labelCol).cast("string") else col(labelCol).cast("double")
+    // deterministic salted-hash fold ids (murmur3 of (id, rep)) computed
+    // ENGINE-side so local and distributed paths assign identical folds
+    val foldExprs = (0 until repeats).map(rep =>
+      pmod(hash(col(idCol), lit(rep)), lit(number)).cast("double"))
+    val pruned = df.select(
+      labelExpr +: (featureCols.map(c => col(c).cast("double")) ++ foldExprs): _*)
+    val n = pruned.count()
+    if (n == 0 || n * p > cfg.localFitThreshold) return None
+
+    val pw = p + repeats
+    val (yFlat, xfFlat) =
+      SlopeEstimator.collectFlat(pruned, family, classNames, mTargets, pw)
+    val nI = n.toInt
+    val x = new Array[Double](nI * p)
+    val folds = Array.ofDim[Int](repeats, nI)
+    var i = 0
+    while (i < nI) {
+      System.arraycopy(xfFlat, i * pw, x, i * p, p)
+      var r = 0
+      while (r < repeats) { folds(r)(i) = xfFlat(i * pw + p + r).toInt; r += 1 }
+      i += 1
+    }
+    val names = featureCols.toArray
+    val fullModel = SlopeEstimator.fitLocalArrays(yFlat, x, nI, family,
+      mTargets, p, names, classNames, cfg)
+    val sigma = fullModel.fit.sigma
+
+    val results = cells.map { case (rep, fold, q) =>
+      val f = folds(rep)
+      var nTrain = 0
+      var r = 0
+      while (r < nI) { if (f(r) != fold) nTrain += 1; r += 1 }
+      val nTest = nI - nTrain
+      val yTr = new Array[Double](nTrain * mTargets)
+      val xTr = new Array[Double](nTrain * p)
+      val yTe = new Array[Double](nTest * mTargets)
+      val xTe = new Array[Double](nTest * p)
+      var it = 0; var ie = 0
+      r = 0
+      while (r < nI) {
+        if (f(r) != fold) {
+          System.arraycopy(yFlat, r * mTargets, yTr, it * mTargets, mTargets)
+          System.arraycopy(x, r * p, xTr, it * p, p)
+          it += 1
+        } else {
+          System.arraycopy(yFlat, r * mTargets, yTe, ie * mTargets, mTargets)
+          System.arraycopy(x, r * p, xTe, ie * p, p)
+          ie += 1
+        }
+        r += 1
+      }
+      val m = SlopeEstimator.fitLocalArrays(yTr, xTr, nTrain, family, mTargets,
+        p, names, classNames, cfg.copy(sigma = sigma, q = q))
+      used.map(meas => meas -> LocalScore.score(m, yTe, xTe, nTest, p, meas))
+    }
+    Some(assemble(cells, results, sigma, used, fullModel, number, repeats))
+  }
+
+  /** Over-threshold path: per-cell distributed fits over the shared cached
+    * data with a BOUNDED pool of concurrent cells (see object Scaladoc).
+    */
+  private def trainDistributed(df: DataFrame, featureCols: Seq[String],
+                               labelCol: String, idCol: String, number: Int,
+                               repeats: Int, used: Seq[String],
+                               cells: Seq[(Int, Int, Double)],
+                               cfg: SlopeConfig): TrainedSlope = {
+    val fullModel = SlopeEstimator.fit(df, featureCols, labelCol, cfg)
+    val sigma = fullModel.fit.sigma
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(cells.length, 4)))
     try {
@@ -86,37 +184,48 @@ object TrainSlope {
       val results = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futures),
         scala.concurrent.duration.Duration.Inf)
-      val raw = for {
-        ((rep, fold, q), scores) <- cells.zip(results)
-        (meas, vals) <- scores
-        k <- vals.indices
-      } yield CellScore(q, k, sigma(k), fold, rep, meas, vals(k))
-
-      val grouped = raw.groupBy(c => (c.q, c.sigmaIndex, c.measure))
-      val tDist = new org.apache.commons.math3.distribution.TDistribution(null,
-        math.max(number * repeats - 1, 1).toDouble)
-      val tq = tDist.inverseCumulativeProbability(0.975)
-      val summary = grouped.toSeq.map { case ((q, k, meas), cells) =>
-        val vals = cells.map(_.value)
-        val n = vals.length
-        val mean = vals.sum / n
-        val sd = if (n > 1)
-          math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (n - 1)) else 0.0
-        val se = sd / math.sqrt(n.toDouble)
-        (q, k, cells.head.sigma, meas, mean, se, mean - tq * se, mean + tq * se)
-      }.sortBy(t => (t._4, t._1, t._2))
-
-      val optima = used.map { meas =>
-        val rows = summary.filter(_._4 == meas)
-        val best = if (meas == "auc") rows.maxBy(_._5) else rows.minBy(_._5)
-        meas -> (best._1, best._3, best._5)
-      }.toMap
-
-      TrainedSlope(summary, optima, fullModel, raw)
+      assemble(cells, results, sigma, used, fullModel, number, repeats)
     } finally {
       pool.shutdown()
       cached.unpersist(blocking = false)
     }
+  }
+
+  /** Grid-order assembly of per-cell scores into summary/optima — shared by
+    * both substrates so concurrency and locality never change the output.
+    */
+  private def assemble(cells: Seq[(Int, Int, Double)],
+                       results: Seq[Seq[(String, Array[Double])]],
+                       sigma: Array[Double], used: Seq[String],
+                       fullModel: SlopeModel, number: Int,
+                       repeats: Int): TrainedSlope = {
+    val raw = for {
+      ((rep, fold, q), scores) <- cells.zip(results)
+      (meas, vals) <- scores
+      k <- vals.indices
+    } yield CellScore(q, k, sigma(k), fold, rep, meas, vals(k))
+
+    val grouped = raw.groupBy(c => (c.q, c.sigmaIndex, c.measure))
+    val tDist = new org.apache.commons.math3.distribution.TDistribution(null,
+      math.max(number * repeats - 1, 1).toDouble)
+    val tq = tDist.inverseCumulativeProbability(0.975)
+    val summary = grouped.toSeq.map { case ((q, k, meas), cs) =>
+      val vals = cs.map(_.value)
+      val n = vals.length
+      val mean = vals.sum / n
+      val sd = if (n > 1)
+        math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (n - 1)) else 0.0
+      val se = sd / math.sqrt(n.toDouble)
+      (q, k, cs.head.sigma, meas, mean, se, mean - tq * se, mean + tq * se)
+    }.sortBy(t => (t._4, t._1, t._2))
+
+    val optima = used.map { meas =>
+      val rows = summary.filter(_._4 == meas)
+      val best = if (meas == "auc") rows.maxBy(_._5) else rows.minBy(_._5)
+      meas -> (best._1, best._3, best._5)
+    }.toMap
+
+    TrainedSlope(summary, optima, fullModel, raw)
   }
 
   /** CV summary as a DataFrame (the reference's TrainedOwl$summary). */

@@ -32,6 +32,11 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
+    // the generated-class cache defaults to 100 entries; a session running
+    // the full query suite compiles several hundred distinct codegen units,
+    // so the default thrashes and every query pays Janino recompilation on
+    // every run (static conf — must be set before the session starts)
+    "spark.sql.codegen.cache.maxEntries" -> "5000",
     // native expressions (vec_dot) on the SQL surface of every session
     "spark.sql.extensions" -> "graft.GraftExtensions")
 

@@ -68,6 +68,43 @@ class TrainSlopeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.raw.map(c => (c.fold, c.rep)).distinct.length == 6)
   }
 
+  test("local CV substrate matches the distributed path (gaussian)") {
+    val df = gaussianDf(150)
+    val cfg = SlopeConfig(nSigma = 5)
+    val loc = TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
+      qs = Seq(0.2), number = 3, cfg = cfg)
+    val dist = TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
+      qs = Seq(0.2), number = 3, cfg = cfg.copy(localFitThreshold = 0L))
+    assert(loc.summary.length == dist.summary.length)
+    loc.summary.zip(dist.summary).foreach { case (a, b) =>
+      assert((a._1, a._2, a._4) == (b._1, b._2, b._4))
+      assert(math.abs(a._3 - b._3) <= 1e-8 * math.max(1.0, math.abs(b._3)), s"sigma: $a vs $b")
+      assert(math.abs(a._5 - b._5) <= 1e-6 * math.max(1.0, math.abs(b._5)), s"mean: $a vs $b")
+    }
+  }
+
+  test("local CV substrate matches the distributed path (binomial, all measures)") {
+    val prob = RandomProblem(n = 140, p = 3, family = Binomial, seed = 7L)
+    val sp = spark; import sp.implicits._
+    val df = (0 until 140).map { i =>
+      (i.toLong, if (prob.y(i, 0) > 0) "pos" else "neg",
+        prob.x(i, 0), prob.x(i, 1), prob.x(i, 2))
+    }.toDF("id", "label", "f0", "f1", "f2")
+    val cfg = SlopeConfig(family = "binomial", nSigma = 4)
+    val meas = Seq("mse", "mae", "deviance", "misclass", "auc")
+    val loc = TrainSlope.train(df, Seq("f0", "f1", "f2"), "label", "id",
+      qs = Seq(0.2), number = 3, measures = meas, cfg = cfg)
+    val dist = TrainSlope.train(df, Seq("f0", "f1", "f2"), "label", "id",
+      qs = Seq(0.2), number = 3, measures = meas,
+      cfg = cfg.copy(localFitThreshold = 0L))
+    assert(loc.summary.length == dist.summary.length)
+    loc.summary.zip(dist.summary).foreach { case (a, b) =>
+      assert((a._1, a._2, a._4) == (b._1, b._2, b._4))
+      assert(math.abs(a._5 - b._5) <= 1e-6 * math.max(1.0, math.abs(b._5)),
+        s"measure ${a._4}: $a vs $b")
+    }
+  }
+
   test("diagnostics traces are collected when enabled") {
     val prob = RandomProblem(n = 60, p = 3, family = Binomial, seed = 9L)
     val (xs, ctr, scl) = RandomProblem.standardizeLocal(prob.x, intercept = true,
