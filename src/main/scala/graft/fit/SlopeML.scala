@@ -1,0 +1,166 @@
+package graft.fit
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.linalg.SQLDataTypes
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** `spark.ml` Pipeline adapter — the engine's analogue of the reference's
+  * caret integration (`R/caretOwl.R:15-269`, SURVEY §2.4 T2): the tuning
+  * contract there (tuning grid from an initial path fit, the "submodels"
+  * trick reusing one path fit for every σ, predict/prob hooks) maps onto
+  * the ml `Estimator`/`Params`/`Model` surface, where the path fit already
+  * yields all σ in one pass and `sigmaIndex` selects a submodel.
+  *
+  * Usage: `new SlopeML().setFeaturesCol("fv").setLabelCol("y")` in an
+  * `ml.Pipeline` after a `VectorAssembler`. With `sigmaIndex >= 0` the
+  * prediction column is FLAT (double for regression/probability, string for
+  * class) so stock evaluators — and therefore `CrossValidator` /
+  * `TrainValidationSplit` — consume it directly; with the default −1 the
+  * column holds the whole path (n_sigma × m nested arrays), the engine's
+  * native all-submodels form.
+  */
+class SlopeML(override val uid: String) extends Estimator[SlopeMLModel] {
+
+  def this() = this(Identifiable.randomUID("slope"))
+
+  final val featuresCol: Param[String] =
+    new Param[String](this, "featuresCol", "assembled features column (VectorUDT)")
+  final val labelCol: Param[String] =
+    new Param[String](this, "labelCol", "label column")
+  final val predictionCol: Param[String] =
+    new Param[String](this, "predictionCol", "output column")
+  final val family: Param[String] = new Param[String](this, "family",
+    "gaussian | binomial | poisson | multinomial",
+    ParamValidators.inArray(Array("gaussian", "binomial", "poisson", "multinomial")))
+  final val nSigma: IntParam =
+    new IntParam(this, "nSigma", "path length", ParamValidators.gt(0))
+  final val q: DoubleParam =
+    new DoubleParam(this, "q", "BH false-discovery parameter (<=0 = auto)")
+  final val fitIntercept: BooleanParam =
+    new BooleanParam(this, "fitIntercept", "fit an intercept")
+  final val center: BooleanParam =
+    new BooleanParam(this, "center", "center features")
+  final val scale: Param[String] = new Param[String](this, "scale",
+    "feature scaling: l2 | l1 | sd | max | none",
+    ParamValidators.inArray(Array("l2", "l1", "sd", "max", "none")))
+  final val predictType: Param[String] = new Param[String](this, "predictType",
+    "link | response | class",
+    ParamValidators.inArray(Array("link", "response", "class")))
+  final val sigmaIndex: IntParam = new IntParam(this, "sigmaIndex",
+    "path step for a flat prediction column (-1 = whole path, nested)")
+
+  setDefault(featuresCol -> "features", labelCol -> "label",
+    predictionCol -> "prediction", family -> "gaussian", nSigma -> 20,
+    q -> -1.0, fitIntercept -> true, center -> true, scale -> "l2",
+    predictType -> "link", sigmaIndex -> -1)
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setFamily(v: String): this.type = set(family, v)
+  def setNSigma(v: Int): this.type = set(nSigma, v)
+  def setQ(v: Double): this.type = set(q, v)
+  def setFitIntercept(v: Boolean): this.type = set(fitIntercept, v)
+  def setCenter(v: Boolean): this.type = set(center, v)
+  def setScale(v: String): this.type = set(scale, v)
+  def setPredictType(v: String): this.type = set(predictType, v)
+  def setSigmaIndex(v: Int): this.type = set(sigmaIndex, v)
+
+  private[fit] def config: SlopeConfig = SlopeConfig(
+    family = $(family), intercept = $(fitIntercept), center = $(center),
+    scale = $(scale), nSigma = $(nSigma), q = $(q))
+
+  override def fit(dataset: Dataset[_]): SlopeMLModel = {
+    val inner = SlopeEstimator.fit(dataset.toDF(), Seq($(featuresCol)),
+      $(labelCol), config)
+    val m = new SlopeMLModel(uid, inner)
+    copyValues(m).setParent(this)
+  }
+
+  override def copy(extra: ParamMap): SlopeML = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema($(featuresCol)).dataType == SQLDataTypes.VectorType,
+      s"${$(featuresCol)} must be a VectorUDT column (use VectorAssembler)")
+    SlopeMLModel.outputSchema(schema, $(predictionCol), $(predictType), $(sigmaIndex))
+  }
+}
+
+/** Fitted Pipeline model wrapping [[SlopeModel]]. */
+class SlopeMLModel private[fit] (override val uid: String,
+                                 val slopeModel: SlopeModel)
+  extends Model[SlopeMLModel] {
+
+  // params mirror the estimator's prediction-surface subset (copied by fit)
+  final val featuresCol: Param[String] =
+    new Param[String](this, "featuresCol", "assembled features column")
+  final val labelCol: Param[String] =
+    new Param[String](this, "labelCol", "label column")
+  final val predictionCol: Param[String] =
+    new Param[String](this, "predictionCol", "output column")
+  final val family: Param[String] = new Param[String](this, "family", "family")
+  final val nSigma: IntParam = new IntParam(this, "nSigma", "path length")
+  final val q: DoubleParam = new DoubleParam(this, "q", "BH parameter")
+  final val fitIntercept: BooleanParam =
+    new BooleanParam(this, "fitIntercept", "fit an intercept")
+  final val center: BooleanParam = new BooleanParam(this, "center", "center")
+  final val scale: Param[String] = new Param[String](this, "scale", "scaling")
+  final val predictType: Param[String] =
+    new Param[String](this, "predictType", "link | response | class")
+  final val sigmaIndex: IntParam =
+    new IntParam(this, "sigmaIndex", "path step for a flat column")
+  setDefault(featuresCol -> "features", labelCol -> "label",
+    predictionCol -> "prediction", family -> "gaussian", nSigma -> 20,
+    q -> -1.0, fitIntercept -> true, center -> true, scale -> "l2",
+    predictType -> "link", sigmaIndex -> -1)
+
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setPredictType(v: String): this.type = set(predictType, v)
+  def setSigmaIndex(v: Int): this.type = set(sigmaIndex, v)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    val df = dataset.toDF()
+    val out = $(predictionCol)
+    val full = slopeModel.transform(df, Seq($(featuresCol)), out,
+      predictType = $(predictType))
+    val k = $(sigmaIndex)
+    if (k < 0) full
+    else {
+      require(k < slopeModel.fit.sigma.length,
+        s"sigmaIndex $k out of range (path has ${slopeModel.fit.sigma.length} steps)")
+      // flatten to an evaluator-consumable column: double for single-target
+      // numeric predictions, string for class labels
+      val step = col(out).getItem(k)
+      val flat =
+        if ($(predictType) == "class") step
+        else step.getItem(0)
+      full.withColumn(out, flat)
+    }
+  }
+
+  override def copy(extra: ParamMap): SlopeMLModel = {
+    val m = new SlopeMLModel(uid, slopeModel)
+    copyValues(m, extra).setParent(parent)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    SlopeMLModel.outputSchema(schema, $(predictionCol), $(predictType), $(sigmaIndex))
+}
+
+object SlopeMLModel {
+  private[fit] def outputSchema(schema: StructType, outCol: String,
+                                pType: String, sigmaIndex: Int): StructType = {
+    val dt: DataType =
+      if (sigmaIndex < 0) {
+        if (pType == "class") ArrayType(StringType)
+        else ArrayType(ArrayType(DoubleType))
+      } else {
+        if (pType == "class") StringType else DoubleType
+      }
+    StructType(schema.fields :+ StructField(outCol, dt, nullable = true))
+  }
+}

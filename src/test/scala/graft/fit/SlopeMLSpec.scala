@@ -1,0 +1,95 @@
+package graft.fit
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.slope._
+
+class SlopeMLSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-ml-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def df(n: Int) = {
+    val prob = RandomProblem(n = n, p = 3, family = Gaussian, seed = 42L)
+    val sp = spark; import sp.implicits._
+    (0 until n).map(i =>
+      (prob.y(i, 0), prob.x(i, 0), prob.x(i, 1), prob.x(i, 2)))
+      .toDF("label", "f0", "f1", "f2")
+  }
+
+  test("SlopeML runs inside an ml.Pipeline after VectorAssembler") {
+    val data = df(200)
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("f0", "f1", "f2")).setOutputCol("fv"),
+      new SlopeML().setFeaturesCol("fv").setLabelCol("label").setNSigma(5)))
+    val model = pipe.fit(data)
+    val out = model.transform(data)
+    val field = out.schema("prediction")
+    assert(field.dataType.isInstanceOf[ArrayType] &&
+      field.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[ArrayType])
+    val first = out.select("prediction").head().getSeq[scala.collection.Seq[Double]](0)
+    assert(first.nonEmpty && first.head.length == 1)
+
+    // path predictions match the plain estimator's transform
+    val inner = model.stages(1).asInstanceOf[SlopeMLModel].slopeModel
+    val direct = inner.transform(
+      new VectorAssembler().setInputCols(Array("f0", "f1", "f2"))
+        .setOutputCol("fv").transform(data),
+      Seq("fv"), "p2")
+    val a = out.select("prediction").collect().map(_.getSeq[scala.collection.Seq[Double]](0))
+    val b = direct.select("p2").collect().map(_.getSeq[scala.collection.Seq[Double]](0))
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("flat sigmaIndex column feeds a stock RegressionEvaluator") {
+    val data = df(150)
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("f0", "f1", "f2")).setOutputCol("fv").transform(data)
+    val est = new SlopeML().setFeaturesCol("fv").setLabelCol("label").setNSigma(4)
+    val m = est.fit(assembled)
+    val nSteps = m.slopeModel.fit.sigma.length
+    m.setSigmaIndex(nSteps - 1) // least-penalized step
+    val out = m.transform(assembled)
+    assert(out.schema("prediction").dataType == DoubleType)
+    val rmse = new RegressionEvaluator().setLabelCol("label")
+      .setPredictionCol("prediction").setMetricName("rmse").evaluate(out)
+    assert(rmse.isFinite && rmse >= 0.0)
+    // least-penalized fit should beat predicting the mean on signal data
+    val sd = data.agg(org.apache.spark.sql.functions.stddev_pop(
+      org.apache.spark.sql.functions.col("label"))).head().getDouble(0)
+    assert(rmse < sd)
+  }
+
+  test("binomial class predictions surface class names") {
+    val prob = RandomProblem(n = 160, p = 3, family = Binomial, seed = 11L)
+    val sp = spark; import sp.implicits._
+    val data = (0 until 160).map(i =>
+      (if (prob.y(i, 0) > 0) "yes" else "no",
+        prob.x(i, 0), prob.x(i, 1), prob.x(i, 2)))
+      .toDF("label", "f0", "f1", "f2")
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("f0", "f1", "f2")).setOutputCol("fv").transform(data)
+    val m = new SlopeML().setFeaturesCol("fv").setLabelCol("label")
+      .setFamily("binomial").setNSigma(3).setPredictType("class")
+      .fit(assembled)
+    m.setSigmaIndex(m.slopeModel.fit.sigma.length - 1)
+    val preds = m.transform(assembled).select("prediction")
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("yes", "no")))
+  }
+}
