@@ -312,11 +312,43 @@ object PipelineQueries {
       countDistinct(col("rolling_fp")).as("n_distinct_fp"))
   }
 
-  /** LSH-bucketed approximate top-k (rows-only: recall depends on bucket
-    * sizes; determinism is pinned by p_ann_lsh_buckets + p_cosine_topk).
+  /** LSH-bucketed approximate top-k, fully oracled: the md5-derived
+    * hyperplanes, the 9-decimal cosine rounding and the (cos desc, cand_id)
+    * tie-break make the whole approximate result engine-independent — the
+    * oracle reproduces buckets, candidate sets and ranking exactly.
     */
-  val annLshTopK: Q = Q.rowsOnly("p_ann_lsh_topk") { (s, dir) =>
+  val annLshTopK: Q = Q.sql(
+    "p_ann_lsh_topk",
+    """WITH v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |         unnest(embedding::DOUBLE[]) AS val
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, ss.s,
+      |         val * (CASE WHEN ('0x' || substr(md5('h' || ss.s::VARCHAR || '-' || d::VARCHAR), 1, 15))::BIGINT % 2 = 0
+      |                     THEN 1.0 ELSE -1.0 END) AS contrib
+      |  FROM v, (SELECT unnest(range(8)) AS s) ss),
+      |pr AS (SELECT vec_id, s, sum(contrib) AS proj FROM c GROUP BY vec_id, s),
+      |b AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << s::INT) ELSE 0 END)::BIGINT AS bucket
+      |  FROM pr GROUP BY vec_id),
+      |wb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, b.bucket
+      |       FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+      |p AS (SELECT vec_id AS probe_id, emb AS pv, bucket FROM wb WHERE vec_id % 100 = 0),
+      |s AS (
+      |  SELECT p.probe_id, cnd.vec_id AS cand_id,
+      |         round(list_dot_product(pv, cnd.emb) /
+      |               (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cnd.emb, cnd.emb))), 9) AS cos
+      |  FROM p JOIN wb cnd ON cnd.bucket = p.bucket AND cnd.vec_id != p.probe_id),
+      |r AS (SELECT probe_id, cand_id, cos,
+      |             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+      |      FROM s)
+      |SELECT probe_id, rank::BIGINT AS rank, cand_id, cos FROM r WHERE rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
     Similarity.lshTopK(emb(s, dir), col("vec_id") % 100 === 0, 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cos"))
       .orderBy("probe_id", "rank")
   }
 
