@@ -27,10 +27,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+val defaultHeap: String = {
+  val physGiB =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize / (1L << 30)
+    catch { case _: Throwable => 16L }
+  if (physGiB >= 64) "32g" else if (physGiB >= 24) "12g" else "6g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // single-JVM local mode: 32 executor threads + 44 query plans + codegen
-  // share one heap, and an 8g heap measurably GC-throttles the bench
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // share one heap, and an 8g heap measurably GC-throttles the bench.
+  // Default scales with physical RAM so small machines don't swap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

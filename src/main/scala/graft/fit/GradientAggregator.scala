@@ -41,9 +41,16 @@ class GradientAggregator(
   private val lossM = math.pow(10, lossScale)
   private val gradM = math.pow(10, gradScale)
 
-  // the Det floor-grid addend: an exact integer, cheap to build and to add
-  private def dec(v: Double, m: Double): JBigDecimal =
+  // the Det floor-grid addend: an exact integer, cheap to build and to add.
+  // Non-finite input must fail LOUDLY (as the previous BigDecimal.valueOf
+  // path and the DuckDB oracle's BIGINT cast both do) — floor(NaN).toLong
+  // would silently contribute 0 and the aggregate would disagree with the
+  // oracle while looking plausible
+  private def dec(v: Double, m: Double): JBigDecimal = {
+    if (!java.lang.Double.isFinite(v))
+      throw new ArithmeticException(s"non-finite addend in exact aggregation: $v")
     JBigDecimal.valueOf(Math.floor(v * m + 0.5).toLong)
+  }
 
   def reduce(b: GradState, row: (Double, Array[Double])): GradState = {
     val (y, x) = row

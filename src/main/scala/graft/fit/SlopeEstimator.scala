@@ -62,14 +62,15 @@ object SlopeEstimator {
     // on the driver. Identical math to the distributed path (pinned by
     // SparkFitSpec); above the threshold the treeAggregate path below runs
     // exactly as before.
-    if (!vectorInput) {
+    if (!vectorInput && localPathTypesOk(df, fCols, lCol, family)) {
       import org.apache.spark.sql.functions.col
       val stringLabel = family == Binomial || family == Multinomial
       val labelExpr =
         if (stringLabel) col(lCol).cast("string") else col(lCol).cast("double")
       val pruned = df.select(labelExpr +: fCols.toSeq.map(c => col(c).cast("double")): _*)
       val nRows = pruned.count()
-      if (nRows * pFeat <= cfg.localFitThreshold && nRows > 0) {
+      if (nRows * pFeat <= cfg.localFitThreshold && nRows > 0 &&
+          nRows <= Int.MaxValue) {
         val (yFlat, xFlat) = collectFlat(pruned, family, classNames, mTargets, pFeat)
         return fitLocalArrays(yFlat, xFlat, nRows.toInt, family, mTargets, pFeat,
           fCols, classNames, cfg)
@@ -142,6 +143,25 @@ object SlopeEstimator {
     }
     require(Seq("l2", "l1", "sd", "max", "none").contains(cfg.scale),
       s"unknown scale: ${cfg.scale}")
+  }
+
+  /** The fast local path pre-casts columns in SQL, so it is only taken when
+    * the SQL cast provably agrees with the RDD path's JVM-side coercion:
+    * numeric/boolean/string labels (a timestamp's `cast(string)` differs
+    * from `String.valueOf` on the external object) and numeric features (a
+    * boolean feature would cast to 1.0/0.0 here but throw in `numeric()` —
+    * the two substrates must accept/reject identical inputs).
+    */
+  private[fit] def localPathTypesOk(df: DataFrame, fCols: Array[String],
+                                    lCol: String, family: Family): Boolean = {
+    import org.apache.spark.sql.types.{BooleanType, StringType}
+    val labelOk = df.schema(lCol).dataType match {
+      case _: NumericType => true
+      case StringType     => true
+      case BooleanType    => family == Binomial || family == Multinomial
+      case _              => false
+    }
+    labelOk && fCols.forall(c => df.schema(c).dataType.isInstanceOf[NumericType])
   }
 
   /** Sorted distinct label values as class names (R factor-level order:

@@ -86,7 +86,8 @@ class SlopeML(override val uid: String) extends Estimator[SlopeMLModel] {
   override def transformSchema(schema: StructType): StructType = {
     require(schema($(featuresCol)).dataType == SQLDataTypes.VectorType,
       s"${$(featuresCol)} must be a VectorUDT column (use VectorAssembler)")
-    SlopeMLModel.outputSchema(schema, $(predictionCol), $(predictType), $(sigmaIndex))
+    SlopeMLModel.outputSchema(schema, $(predictionCol), $(predictType),
+      $(sigmaIndex), multiTarget = $(family) == "multinomial")
   }
 }
 
@@ -133,14 +134,21 @@ class SlopeMLModel private[fit] (override val uid: String,
       require(k < slopeModel.fit.sigma.length,
         s"sigmaIndex $k out of range (path has ${slopeModel.fit.sigma.length} steps)")
       // flatten to an evaluator-consumable column: double for single-target
-      // numeric predictions, string for class labels
+      // numeric predictions, string for class labels. Multinomial keeps the
+      // per-class array — collapsing it to element 0 would silently emit
+      // only the first class's probability as "the" prediction
       val step = col(out).getItem(k)
       val flat =
         if ($(predictType) == "class") step
+        else if (multiTarget) step
         else step.getItem(0)
       full.withColumn(out, flat)
     }
   }
+
+  /** More than one numeric prediction per row (multinomial response/link). */
+  private def multiTarget: Boolean =
+    slopeModel.fit.betas.headOption.exists(_.cols > 1)
 
   override def copy(extra: ParamMap): SlopeMLModel = {
     val m = new SlopeMLModel(uid, slopeModel)
@@ -148,18 +156,22 @@ class SlopeMLModel private[fit] (override val uid: String,
   }
 
   override def transformSchema(schema: StructType): StructType =
-    SlopeMLModel.outputSchema(schema, $(predictionCol), $(predictType), $(sigmaIndex))
+    SlopeMLModel.outputSchema(schema, $(predictionCol), $(predictType),
+      $(sigmaIndex), multiTarget)
 }
 
 object SlopeMLModel {
   private[fit] def outputSchema(schema: StructType, outCol: String,
-                                pType: String, sigmaIndex: Int): StructType = {
+                                pType: String, sigmaIndex: Int,
+                                multiTarget: Boolean = false): StructType = {
     val dt: DataType =
       if (sigmaIndex < 0) {
         if (pType == "class") ArrayType(StringType)
         else ArrayType(ArrayType(DoubleType))
       } else {
-        if (pType == "class") StringType else DoubleType
+        if (pType == "class") StringType
+        else if (multiTarget) ArrayType(DoubleType)
+        else DoubleType
       }
     StructType(schema.fields :+ StructField(outCol, dt, nullable = true))
   }

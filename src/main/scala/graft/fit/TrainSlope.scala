@@ -86,8 +86,14 @@ object TrainSlope {
     val vectorInput = featureCols.length == 1 &&
       df.schema(featureCols.head).dataType ==
         org.apache.spark.ml.linalg.SQLDataTypes.VectorType
-    if (vectorInput) return None
+    if (vectorInput ||
+        !SlopeEstimator.localPathTypesOk(df, featureCols.toArray, labelCol, family))
+      return None
     val p = featureCols.length
+    // cheap size gate FIRST — over-threshold data must not pay the label
+    // distinct before falling back to the distributed path
+    val n = df.count()
+    if (n == 0 || n * p > cfg.localFitThreshold || n > Int.MaxValue) return None
     val classNames = SlopeEstimator.classNamesFor(df, labelCol, family)
     val mTargets = family match {
       case Multinomial => classNames.length - 1
@@ -102,8 +108,6 @@ object TrainSlope {
       pmod(hash(col(idCol), lit(rep)), lit(number)).cast("double"))
     val pruned = df.select(
       labelExpr +: (featureCols.map(c => col(c).cast("double")) ++ foldExprs): _*)
-    val n = pruned.count()
-    if (n == 0 || n * p > cfg.localFitThreshold) return None
 
     val pw = p + repeats
     val (yFlat, xfFlat) =
@@ -129,6 +133,11 @@ object TrainSlope {
       var r = 0
       while (r < nI) { if (f(r) != fold) nTrain += 1; r += 1 }
       val nTest = nI - nTrain
+      // fail loudly, not with NaN means and corrupt optima downstream
+      require(nTest > 0,
+        s"fold $fold of repeat $rep has no test rows (n=$nI, number=$number); use fewer folds")
+      require(nTrain > 0,
+        s"fold $fold of repeat $rep has no training rows (n=$nI, number=$number)")
       val yTr = new Array[Double](nTrain * mTargets)
       val xTr = new Array[Double](nTrain * p)
       val yTe = new Array[Double](nTest * mTargets)

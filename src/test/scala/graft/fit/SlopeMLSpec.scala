@@ -75,6 +75,26 @@ class SlopeMLSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rmse < sd)
   }
 
+  test("multinomial flat response keeps the full per-class probability array") {
+    val prob = RandomProblem(n = 120, p = 3, family = Gaussian, seed = 5L)
+    val sp = spark; import sp.implicits._
+    val data = (0 until 120).map { i =>
+      val lbl = if (prob.x(i, 0) > 0) "a" else if (prob.x(i, 1) > 0) "b" else "c"
+      (lbl, prob.x(i, 0), prob.x(i, 1), prob.x(i, 2))
+    }.toDF("label", "f0", "f1", "f2")
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("f0", "f1", "f2")).setOutputCol("fv").transform(data)
+    val m = new SlopeML().setFeaturesCol("fv").setLabelCol("label")
+      .setFamily("multinomial").setNSigma(3).setPredictType("response")
+      .fit(assembled)
+    m.setSigmaIndex(0)
+    val out = m.transform(assembled)
+    assert(out.schema("prediction").dataType.isInstanceOf[ArrayType])
+    val probs = out.select("prediction").head().getSeq[Double](0)
+    assert(probs.length == 3) // all classes, not just the first
+    assert(math.abs(probs.sum - 1.0) < 1e-9)
+  }
+
   test("binomial class predictions surface class names") {
     val prob = RandomProblem(n = 160, p = 3, family = Binomial, seed = 11L)
     val sp = spark; import sp.implicits._

@@ -105,6 +105,15 @@ class TrainSlopeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CV fails loudly when a fold has no test rows") {
+    val df = gaussianDf(20)
+    val e = intercept[IllegalArgumentException] {
+      TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
+        qs = Seq(0.2), number = 40, cfg = SlopeConfig(nSigma = 2))
+    }
+    assert(e.getMessage.contains("no test rows"))
+  }
+
   test("diagnostics traces are collected when enabled") {
     val prob = RandomProblem(n = 60, p = 3, family = Binomial, seed = 9L)
     val (xs, ctr, scl) = RandomProblem.standardizeLocal(prob.x, intercept = true,
