@@ -223,7 +223,8 @@ object SimHash {
     // upstream shuffles would plan them twice.
     val target = docs.sparkSession.sparkContext.defaultParallelism
     val spreadById =
-      if (docs.rdd.getNumPartitions < target) docs.repartition(target, col(idCol))
+      if (graft.util.Tables.scanPartitions(docs) < target)
+        docs.repartition(target, col(idCol))
       else docs
     val toks = spreadById.select(col(idCol).as("doc_id"),
         explode(TextPipeline.tokens(col(textCol))).as("tok"))

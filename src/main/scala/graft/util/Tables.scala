@@ -57,7 +57,21 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (scanPartitions(df) < target) df.repartition(target) else df
+  }
+
+  // the `.rdd` probe compiles a SECOND physical plan for the same query
+  // (~100-150 ms of pure driver planning per call); identical plans always
+  // probe identical counts, so memoize by canonicalized-plan hash. Keyed
+  // per session (defaultParallelism and catalog state are session-scoped).
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Int]()
+
+  /** Partition count of `df`'s physical plan, memoized per (session, plan). */
+  def scanPartitions(df: DataFrame): Int = {
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.canonicalized.semanticHash())
+    probeCache.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
   }
 }
 
