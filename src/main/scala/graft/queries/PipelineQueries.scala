@@ -480,9 +480,47 @@ object PipelineQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Gap-based sessionization of the event log (24 h gap): lag → new-session
+    * flag → prefix-sum ordinal → per-session aggregate. One shuffle on
+    * user_id, window + groupBy reuse it. Streaming twin with identical
+    * session semantics and O(1) state per user:
+    * [[graft.streaming.StreamingPipeline.sessionizeStream]].
+    */
+  val sessionize: Q = {
+    val gapUs = 24L * 3600 * 1000000
+    Q.sql(
+      "p_sessionize",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value FROM events),
+         |l AS (
+         |  SELECT user_id, us, value,
+         |         lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+         |  FROM e),
+         |f AS (
+         |  SELECT user_id, us, value,
+         |         CASE WHEN prev IS NULL OR us - prev > $gapUs
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM l),
+         |s AS (
+         |  SELECT user_id, us, value,
+         |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM f)
+         |SELECT user_id, sess_id::BIGINT AS sess_id,
+         |       min(us)::BIGINT AS session_start_us,
+         |       max(us)::BIGINT AS session_end_us,
+         |       count(*)::BIGINT AS n_events,
+         |       ${Det.dsumSql("value")} AS sum_value
+         |FROM s GROUP BY user_id, sess_id
+         |ORDER BY user_id, sess_id""".stripMargin) { (s, dir) =>
+      Sessionize.sessions(Tables.t(s, dir, "events"), gapUs)
+        .orderBy("user_id", "sess_id")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
-    annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard)
+    annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize)
 }

@@ -1,8 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.pipeline.TextPipeline
+
+/** One event of a user activity stream (sessionization input). */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session accumulator kept in the state store (one per user). */
+final case class SessionState(startMs: Long, lastMs: Long,
+                              nEvents: Long, sumValue: Double)
+
+/** A closed session. */
+final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                             session_end: java.sql.Timestamp,
+                             n_events: Long, sum_value: Double)
 
 /** Structured Streaming variants of the stateless pipeline operators
   * (SURVEY.md §7.5: the reference is strictly batch; streaming enters only
@@ -46,4 +59,67 @@ object StreamingPipeline {
   /** Streaming language-ID tagging — fully stateless projection. */
   def langIdStream(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("pred_lang", TextPipeline.langId(col(textCol)))
+
+  /** Gap-based user sessionization with CUSTOM state
+    * (`flatMapGroupsWithState`, the engine's stateful-streaming extension
+    * point): events of a user belong to one session while consecutive gaps
+    * stay ≤ `gapMs`; a session closes when the event-time watermark passes
+    * its last event + gap (event-time timeout) or when a later same-batch
+    * event opens the next session. State per user is ONE fixed-size record,
+    * evicted on close — bounded by active users, not history, so the query
+    * runs forever at ingest scale. Batch twin (identical session
+    * semantics, SQL-window form): `p_sessionize`.
+    *
+    * Input columns: `user_id` (long), `ts` (timestamp), `value` (double).
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long,
+                       delayThreshold: String): Dataset[UserSession] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", delayThreshold)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        updateSessions(gapMs))
+  }
+
+  private def emit(user: Long, s: SessionState): UserSession =
+    UserSession(user, new java.sql.Timestamp(s.startMs),
+      new java.sql.Timestamp(s.lastMs), s.nEvents, s.sumValue)
+
+  private def updateSessions(gapMs: Long)(
+      user: Long, events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[UserSession] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(emit(user, s))
+    } else {
+      // batches are unordered within a group — order by event time first
+      val evs = events.toArray.sortBy(_.ts.getTime)
+      var closed = List.empty[UserSession]
+      var cur = state.getOption
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            cur = Some(SessionState(s.startMs, math.max(s.lastMs, t),
+              s.nEvents + 1, s.sumValue + e.value))
+          case Some(s) =>
+            closed = emit(user, s) :: closed
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + gapMs)
+      }
+      closed.reverseIterator
+    }
+  }
 }

@@ -68,6 +68,79 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming sessionization closes sessions on gap and watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingPipeline.sessionizeStream(
+      input.toDF().toDF("user_id", "ts", "value"),
+      gapMs = 10 * 60 * 1000, delayThreshold = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 55-min gap
+      // opens a second session within the same batch → first closes inline
+      input.addData(
+        (1L, ts("2026-01-01 10:00:00"), 1.0),
+        (1L, ts("2026-01-01 10:05:00"), 2.0),
+        (1L, ts("2026-01-01 11:00:00"), 4.0),
+        (2L, ts("2026-01-01 10:00:00"), 8.0),
+        (2L, ts("2026-01-01 10:02:00"), 16.0))
+      q.processAllAvailable()
+      // a much later event pushes the watermark past every open timeout
+      input.addData((9L, ts("2026-01-01 20:00:00"), 0.5))
+      q.processAllAvailable()
+      val rows = sp.sql(
+        """SELECT user_id, session_start, session_end, n_events, sum_value
+          |FROM sess_out ORDER BY user_id, session_start""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4)))
+      assert(rows.toSeq == Seq(
+        (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:05:00"), 2L, 3.0),
+        (1L, ts("2026-01-01 11:00:00"), ts("2026-01-01 11:00:00"), 1L, 4.0),
+        (2L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:02:00"), 2L, 24.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches the batch operator on closed sessions") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val gapMs = 10 * 60 * 1000L
+    val events = Seq(
+      (1L, ts("2026-01-01 09:00:00"), 1.0),
+      (1L, ts("2026-01-01 09:04:00"), 2.0),
+      (1L, ts("2026-01-01 09:30:00"), 4.0),
+      (3L, ts("2026-01-01 09:10:00"), 8.0),
+      (3L, ts("2026-01-01 09:12:00"), 16.0),
+      (3L, ts("2026-01-01 09:40:00"), 32.0))
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingPipeline.sessionizeStream(
+      input.toDF().toDF("user_id", "ts", "value"), gapMs, "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData((99L, ts("2026-01-02 00:00:00"), 0.0)) // advance watermark
+      q.processAllAvailable()
+      val streamed = sp.sql(
+        """SELECT user_id, session_start, session_end, n_events, sum_value
+          |FROM sess_parity WHERE user_id != 99""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getDouble(4))).toSet
+      val batch = graft.pipeline.Sessionize.sessions(
+          events.toDF("user_id", "ts", "value"), gapMs * 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2) / 1000, r.getLong(3) / 1000,
+          r.getLong(4), r.getDouble(5))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateless streaming language-ID tags rows") {
     val sp = spark
     import sp.implicits._
