@@ -518,9 +518,59 @@ object PipelineQueries {
     }
   }
 
+  /** Winnowing (MOSS) fingerprint overlap: rolling 7-gram hashes, window-4
+    * min selection, df-capped fingerprint bucket join, top-20 pairs by
+    * shared fingerprint count. The 40-bit hash + position composite fills a
+    * signed long exactly, so both engines minimize the same integers and
+    * the whole positional-fingerprint result is bit-reproducible.
+    */
+  val winnowFingerprint: Q = {
+    val (k, w, cap) = (7, 4, 10)
+    Q.sql(
+      "p_winnow_fingerprint",
+      s"""WITH docs0 AS (
+         |  SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= ${k + w - 1}),
+         |pos AS (SELECT doc_id, t, len(t) AS lt, unnest(range(1, len(t) - ${k - 2})) AS i FROM docs0),
+         |h AS (SELECT doc_id, i, lt,
+         |        ('0x' || substr(md5(substr(t, i::INT, $k)), 1, 15))::BIGINT % ${Winnow.FpMod} AS h
+         |      FROM pos),
+         |c AS (SELECT doc_id, i, lt, h * ${Winnow.PosMod} + (${Winnow.PosMod - 1} - i) AS c FROM h),
+         |win AS (SELECT doc_id, i, lt,
+         |          min(c) OVER (PARTITION BY doc_id ORDER BY i
+         |            ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mc
+         |        FROM c),
+         |sel AS (SELECT DISTINCT doc_id, mc // ${Winnow.PosMod} AS fp
+         |        FROM win WHERE i <= lt - ${k + w - 2}),
+         |good AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND $cap),
+         |gs AS (SELECT s.doc_id, s.fp FROM sel s JOIN good g ON s.fp = g.fp),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |  FROM gs a JOIN gs b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, n_shared::BIGINT AS n_shared FROM pairs
+         |ORDER BY n_shared DESC, d1, d2 LIMIT 20""".stripMargin) { (s, dir) =>
+      // hash-partition by doc_id BEFORE the gram explode (gated, like
+      // SimHash.simhash): HashPartitioning(doc_id) satisfies the window's
+      // required distribution, so the exploded GRAM rows never shuffle —
+      // only the small doc rows do — and the md5 work still runs on all
+      // cores. A round-robin spread would shuffle every gram row into the
+      // window sort.
+      val base = docs(s, dir)
+      val target = s.sparkContext.defaultParallelism
+      val spreadById =
+        if (Tables.scanPartitions(base) < target)
+          base.repartition(target, col("doc_id"))
+        else base
+      Winnow.overlapPairs(Winnow.fingerprints(spreadById, k = k, w = w), cap)
+        .orderBy(col("n_shared").desc, col("d1"), col("d2"))
+        .limit(20)
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
-    annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize)
+    annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
+    winnowFingerprint)
 }

@@ -106,6 +106,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("winnowing: coverage guarantee, determinism, shared-substring detection") {
+    val rng = new scala.util.Random(7)
+    val alpha = "abcdefgh "
+    def randText(n: Int) = Seq.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
+    val t0 = randText(300)
+    val t1 = randText(300)
+    // doc 3 copies a 80-char substring of doc 0 into unrelated surroundings
+    val t3 = randText(100) + t0.substring(100, 180) + randText(100)
+    val df = docsDf(0L -> t0, 1L -> t0, 2L -> t1, 3L -> t3)
+    val (k, w) = (7, 4)
+
+    // winnowing guarantee: selected positions are never more than w apart,
+    // so every length-(k+w-1) match shares a fingerprint
+    val pos = Winnow.selected(df, k = k, w = w)
+      .select("doc_id", "pos").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).sorted }
+    for ((d, ps) <- pos) {
+      assert(ps.nonEmpty)
+      ps.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1) - p(0) <= w, s"gap ${p(1) - p(0)} > $w in doc $d")
+      }
+    }
+
+    val fps = Winnow.fingerprints(df, k = k, w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, fs) => d -> fs.map(_._2).toSet }
+    assert(fps(0L) == fps(1L)) // identical text → identical fingerprint set
+    // the copied substring must surface shared fingerprints (coverage)
+    assert((fps(0L) & fps(3L)).nonEmpty)
+
+    val pairs = Winnow.overlapPairs(Winnow.fingerprints(df, k = k, w = w), maxDf = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs((0L, 1L)) >= pairs.getOrElse((0L, 3L), 0L))
+  }
+
   test("cosine top-k: orthonormal probes rank by construction") {
     val sp = spark; import sp.implicits._
     // vec 0 = e1; vec 1 ≈ e1 (cos ~0.995); vec 2 = e2 (cos 0); vec 3 = -e1

@@ -81,10 +81,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pipeline queries contain no cartesian product") {
     for (name <- Seq("p_minhash_lsh_dedup", "p_simhash_hamming", "p_ann_lsh_topk",
-      "p_exact_dedup")) {
+      "p_exact_dedup", "p_winnow_fingerprint")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
+  }
+
+  test("winnow window reuses the doc_id pre-partitioning (gram rows never shuffle)") {
+    val p = planOf("p_winnow_fingerprint")
+    // expected exchanges: the gated doc-row repartition, groupBy(fp), and
+    // the pair aggregation — the window and the fingerprint distinct must
+    // ride the doc_id hash partitioning instead of adding their own
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 4, s"expected <=4 exchanges, got $shuffles:\n$p")
+    assert(p.contains("Window"), "window-min selection missing from plan")
   }
 
   test("cosine top-k joins via broadcast of the probe set only") {
