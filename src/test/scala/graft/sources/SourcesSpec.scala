@@ -16,13 +16,14 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var dir: java.nio.file.Path = _
 
   override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("graft-sources")
     spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", dir.resolve("warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    dir = Files.createTempDirectory("graft-sources")
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
@@ -75,5 +76,45 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byY(1.0) == ((0.0, 1.0)))
     assert(byY(2.0) == ((0.0, 0.0)))
     assert(byY(3.0) == ((1.0, 0.0)))
+  }
+
+  test("partitioned parquet sink: reads prune non-matching partitions before I/O") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "en", "hello"), (2L, "de", "hallo"), (3L, "en", "world"),
+      (4L, "fr", "salut")).toDF("doc_id", "lang", "text")
+    val out = dir.resolve("docs_by_lang").toString
+    Sinks.writeParquetPartitioned(docs, out, Seq("lang"))
+
+    val back = spark.read.parquet(out).filter($"lang" === "en")
+    assert(back.count() == 2)
+    val scan = back.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      s"partition filter must prune at the directory level: ${scan.partitionFilters}")
+    // the pruned scan's file listing holds only the en=... directory
+    assert(scan.relation.location.inputFiles.length == 4, "layout sanity")
+    assert(scan.metrics.contains("numFiles"))
+  }
+
+  test("bucketed sink: fact-to-fact join on the bucket key plans with zero exchanges") {
+    val sp = spark; import sp.implicits._
+    val a = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "va")
+    val b = (1L to 100L).map(i => (i, s"s$i")).toDF("k", "vb")
+    Sinks.writeBucketed(a, "fact_a", "k", 4)
+    Sinks.writeBucketed(b, "fact_b", "k", 4)
+    // hint on the INPUT side forces the sort-merge path: a broadcast join
+    // would hide the bucket layout (and at real fact⋈fact scale neither
+    // side fits in memory anyway)
+    val noBcast = spark.table("fact_a").hint("merge")
+      .join(spark.table("fact_b"), "k")
+    assert(noBcast.collect().length == 100)
+    // same QueryExecution that just ran — AQE has finalized this plan
+    val plan = noBcast.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    spark.sql("DROP TABLE IF EXISTS fact_a")
+    spark.sql("DROP TABLE IF EXISTS fact_b")
   }
 }
