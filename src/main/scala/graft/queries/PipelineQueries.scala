@@ -567,10 +567,30 @@ object PipelineQueries {
     }
   }
 
+  /** Deterministic stratified mixture sample: 2 docs per (lang, source)
+    * stratum, ranked by a salted md5 row hash — reproducible across
+    * engines, partitionings and re-executions; re-salt to resample.
+    */
+  val stratifiedSample: Q = Q.sql(
+    "p_stratified_sample",
+    s"""WITH h AS (
+       |  SELECT lang, source, doc_id,
+       |         ${Det.md5Hash60Sql("'mix-v1-' || doc_id::VARCHAR")} AS h
+       |  FROM documents),
+       |r AS (SELECT lang, source, doc_id,
+       |             row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS rk
+       |      FROM h)
+       |SELECT lang, source, doc_id, rk::BIGINT AS rk FROM r WHERE rk <= 2
+       |ORDER BY lang, source, rk""".stripMargin) { (s, dir) =>
+    Sampling.stratifiedSample(docs(s, dir), Seq("lang", "source"), 2, "mix-v1", "doc_id")
+      .select(col("lang"), col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "source", "rk")
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
-    winnowFingerprint)
+    winnowFingerprint, stratifiedSample)
 }

@@ -143,6 +143,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs((0L, 1L)) >= pairs.getOrElse((0L, 3L), 0L))
   }
 
+  test("stratified sample: quotas, determinism, salt independence") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 200L).map(i => (i, s"L${i % 3}", s"S${i % 4}")).toDF("id", "lang", "source")
+    val s1 = Sampling.stratifiedSample(df, Seq("lang", "source"), 2, "saltA", "id")
+    val rows = s1.select("lang", "source", "id").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    // every stratum filled to its quota (all strata have >=2 members here)
+    assert(rows.groupBy(_._1).forall(_._2.length == 2))
+    // deterministic: a second run selects the identical rows
+    val again = Sampling.stratifiedSample(df, Seq("lang", "source"), 2, "saltA", "id")
+      .select("lang", "source", "id").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+    // a different salt draws a different sample
+    val other = Sampling.stratifiedSample(df, Seq("lang", "source"), 2, "saltB", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(other != rows.map(_._2).toSet)
+  }
+
+  test("hash split: full cover, approximate proportions, stable under growth") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val splits = Sampling.hashSplit(df, "id", "cv", Seq(80, 90))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == 1000)
+    assert(splits("split_0") > 700 && splits("split_0") < 900)
+    assert(splits("split_1") > 50 && splits("split_2") > 50)
+    // row-local: a row's split never changes when the corpus grows
+    val small = Sampling.hashSplit((1L to 100L).toDF("id"), "id", "cv", Seq(80, 90))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = Sampling.hashSplit(df, "id", "cv", Seq(80, 90))
+      .filter(col("id") <= 100).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == big)
+  }
+
   test("cosine top-k: orthonormal probes rank by construction") {
     val sp = spark; import sp.implicits._
     // vec 0 = e1; vec 1 ≈ e1 (cos ~0.995); vec 2 = e2 (cos 0); vec 3 = -e1

@@ -87,6 +87,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stratified sample ranks via WindowGroupLimit (map-side top-k, no full stratum sort)") {
+    val p = planOf("p_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k filter should push a group limit below the stratum shuffle:\n$p")
+  }
+
   test("winnow window reuses the doc_id pre-partitioning (gram rows never shuffle)") {
     val p = planOf("p_winnow_fingerprint")
     // expected exchanges: the gated doc-row repartition, groupBy(fp), and
