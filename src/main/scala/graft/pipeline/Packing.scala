@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk sequence packing — the standard pretraining layout:
+  * documents concatenate in a deterministic order and the token stream is
+  * cut into fixed `seqLen` chunks, documents spanning a boundary when they
+  * must. Packing is SHARDED: a salted-hash shard key splits the corpus into
+  * independent streams, each packed with a per-shard prefix sum — a global
+  * ordering would serialize 100 TB through one prefix-sum chain, while
+  * shards pack in parallel and waste at most one partial chunk each.
+  *
+  * Order within a shard is (salted hash, id): deterministic, engine- and
+  * partitioning-independent, and it shuffles long/short documents together
+  * so chunk boundaries aren't correlated with document length.
+  */
+object Packing {
+
+  /** Per-document packing assignment: shard, token interval
+    * [start_tok, end_tok) in the shard's concatenated stream, and the
+    * first/last chunk the document touches.
+    */
+  def packChunks(docs: DataFrame, idCol: String, tokCol: String,
+                 nShards: Int, seqLen: Int, salt: String): DataFrame = {
+    val shard = Sampling.rowHash(col(idCol), salt + "-shard") % nShards
+    val w = Window.partitionBy("shard")
+      .orderBy(Sampling.rowHash(col(idCol), salt + "-order"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", shard)
+      .withColumn("end_tok", sum(col(tokCol)).over(w))
+      .select(col("shard"), col(idCol), col(tokCol).as("n_tok"),
+        (col("end_tok") - col(tokCol)).as("start_tok"), col("end_tok"),
+        expr(s"(end_tok - $tokCol) div $seqLen").as("first_chunk"),
+        expr(s"(end_tok - 1) div $seqLen").as("last_chunk"))
+  }
+
+  /** Shard-level packing report: documents, tokens, emitted chunks, and
+    * how many documents span a chunk boundary.
+    */
+  def shardReport(packed: DataFrame, seqLen: Int): DataFrame =
+    packed.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      // integer ceil-div: exact at any token count (a double ceil would
+      // lose exactness past 2^53 tokens per shard)
+      expr(s"(max(end_tok) + ${seqLen - 1}) div $seqLen").as("n_chunks"),
+      sum(when(col("first_chunk") =!= col("last_chunk"), 1L).otherwise(0L))
+        .as("n_spanning"))
+}

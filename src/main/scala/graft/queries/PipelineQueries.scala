@@ -587,10 +587,44 @@ object PipelineQueries {
       .orderBy("lang", "source", "rk")
   }
 
+  /** Sharded concat-and-chunk sequence packing (seq_len 2048, 8 shards):
+    * per-shard deterministic order, token prefix sum, integer chunk
+    * assignment. Zero-token docs are excluded up front (they contribute
+    * nothing to the stream and their [t, t) interval has no chunk).
+    */
+  val packSequences: Q = {
+    val (nShards, seqLen, salt) = (8, 2048, "pack-v1")
+    Q.sql(
+      "p_pack_sequences",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tok,
+         |         ${Det.md5Hash60Sql(s"'$salt-shard-' || doc_id::VARCHAR")} % $nShards AS shard,
+         |         ${Det.md5Hash60Sql(s"'$salt-order-' || doc_id::VARCHAR")} AS h
+         |  FROM documents),
+         |c AS (SELECT shard, doc_id, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+         |      FROM d WHERE n_tok > 0)
+         |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+         |       ((max(end_tok) + ${seqLen - 1}) // $seqLen)::BIGINT AS n_chunks,
+         |       sum(CASE WHEN (end_tok - n_tok) // $seqLen != (end_tok - 1) // $seqLen
+         |                THEN 1 ELSE 0 END)::BIGINT AS n_spanning
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      val toks = docsSpread(s, dir)
+        .select(col("doc_id"),
+          TextPipeline.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      Packing.shardReport(
+        Packing.packChunks(toks, "doc_id", "n_tok", nShards, seqLen, salt), seqLen)
+        .orderBy("shard")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
-    winnowFingerprint, stratifiedSample)
+    winnowFingerprint, stratifiedSample, packSequences)
 }

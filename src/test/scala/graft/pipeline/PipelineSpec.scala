@@ -178,6 +178,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(small == big)
   }
 
+  test("packing: contiguous per-shard streams, exact chunk math, spanning docs") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 60L).map(i => (i, 10L + i % 7)).toDF("id", "n_tok")
+    val packed = Packing.packChunks(df, "id", "n_tok", nShards = 3,
+      seqLen = 32, salt = "t").collect()
+    val byShard = packed.groupBy(_.getLong(0))
+    for ((_, rows) <- byShard) {
+      val sorted = rows.sortBy(_.getLong(3)) // by start_tok
+      // the stream is contiguous: starts chain exactly onto previous ends
+      assert(sorted.head.getLong(3) == 0L)
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1).getLong(3) == p(0).getLong(4), "gap in token stream")
+      }
+      // chunk assignment is the integer interval the doc's tokens cover
+      for (r <- sorted) {
+        val (start, end) = (r.getLong(3), r.getLong(4))
+        assert(r.getLong(5) == start / 32 && r.getLong(6) == (end - 1) / 32)
+      }
+    }
+    val report = Packing.shardReport(
+      Packing.packChunks(df, "id", "n_tok", 3, 32, "t"), 32).collect()
+    assert(report.map(_.getLong(1)).sum == 60) // every doc packed exactly once
+    for (r <- report) {
+      val (toks, chunks) = (r.getLong(2), r.getLong(3))
+      assert(chunks == (toks + 31) / 32)
+      assert(r.getLong(4) <= r.getLong(1)) // spanning docs are a subset
+    }
+  }
+
   test("cosine top-k: orthonormal probes rank by construction") {
     val sp = spark; import sp.implicits._
     // vec 0 = e1; vec 1 ≈ e1 (cos ~0.995); vec 2 = e2 (cos 0); vec 3 = -e1
