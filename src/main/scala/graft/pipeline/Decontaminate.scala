@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.util.Det
+
+/** Benchmark decontamination: flag training documents that share any word
+  * n-gram with a held-out evaluation corpus (the GPT-3 appendix-C /
+  * C4-audit recipe). The eval side is reduced to a distinct set of n-gram
+  * keys; a train document is contaminated iff any of its n-grams hits that
+  * set.
+  *
+  * Scale notes (100 TB): the n-gram arrays are built INSIDE each row with
+  * array functions (`transform`/`slice` — codegen'd, no positional
+  * self-join), so the only wide exchanges are the per-doc `distinct` and
+  * the semi join on the 60-bit gram key. Grams are md5-hashed to fixed
+  * 8-byte keys before shuffling (same `Det.md5Hash60` recipe the oracle
+  * reproduces) — shuffling longs instead of ~25-byte strings. A real eval
+  * set (a few benchmarks) is tiny and AQE will broadcast it after the
+  * distinct; the hint is deliberately NOT hard-coded because here the eval
+  * partition is 1/20 of the corpus and therefore SF-scaled.
+  */
+object Decontaminate {
+
+  /** One row per DISTINCT word n-gram of each document:
+    * `(doc_id, gh)` with `gh = md5₆₀(tok_i ‖ ' ' ‖ … ‖ tok_{i+n-1})`.
+    * Documents with fewer than n tokens contribute no rows.
+    */
+  def docNgrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = TextPipeline.tokens(col(textCol))
+    // sequence(1, size-n+1) would count DOWN for short docs; guard first.
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), Det.md5Hash60(col("g")).as("gh"))
+      .distinct()
+  }
+
+  /** Distinct doc_ids of `train` documents sharing >= 1 word n-gram with
+    * any `evalDocs` document. Left-semi join on the gram key: nothing from
+    * the eval side is materialized into the output, and the train side is
+    * deduplicated per doc before the join.
+    */
+  def contaminatedDocs(train: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val evalGrams = docNgrams(evalDocs, n).select("gh").distinct()
+    docNgrams(train, n)
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
+  /** Per-source contamination audit: every train doc counted once, hits
+    * flagged via left join against the contaminated-id set.
+    */
+  def contaminationBySource(train: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val hits = contaminatedDocs(train, evalDocs, n).withColumn("is_hit", lit(1))
+    train.select("doc_id", "source")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count(col("is_hit")).as("n_contaminated"))
+      .orderBy("source")
+  }
+}

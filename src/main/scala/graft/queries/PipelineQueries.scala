@@ -621,10 +621,109 @@ object PipelineQueries {
     }
   }
 
+  /** Benchmark decontamination: per-source counts of training docs sharing
+    * any word 4-gram with the held-out eval partition (source `src0`).
+    * Word 4-grams keep the synthetic 31-word corpus selective (~10% hit
+    * rate); a real pipeline raises n to 8–13. Gram keys are md5₆₀-hashed
+    * on both engines, so the join keys — not just the verdicts — agree.
+    */
+  val decontaminate: Q = {
+    val n = 4
+    Q.sql(
+      "p_decontaminate",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+         |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS i
+         |  FROM documents),
+         |grams AS (
+         |  SELECT a.doc_id, a.source, ${Det.md5Hash60Sql("string_agg(b.tok, ' ' ORDER BY b.i)")} AS gh
+         |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + ${n - 1}
+         |  GROUP BY a.doc_id, a.source, a.i HAVING count(*) = $n),
+         |ev AS (SELECT DISTINCT gh FROM grams WHERE source = 'src0'),
+         |hit AS (SELECT DISTINCT doc_id FROM grams
+         |        WHERE source <> 'src0' AND gh IN (SELECT gh FROM ev))
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |       count(h.doc_id)::BIGINT AS n_contaminated
+         |FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN hit h ON h.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val base = docsSpread(s, dir)
+      Decontaminate.contaminationBySource(
+        base.filter(col("source") =!= "src0"),
+        base.filter(col("source") === "src0"), n)
+    }
+  }
+
+  /** Exact heavy hitters via a Misra–Gries sketch (k=30 counters) + an
+    * exact recount of the <= k candidates: tokens with count·k > N. The
+    * sketch is partition-dependent; the final answer is not (the exact
+    * pass makes the cut), which is what lets DuckDB reproduce it with a
+    * plain HAVING.
+    */
+  val heavyHitters: Q = {
+    val k = 30
+    Q.sql(
+      "p_heavy_hitters",
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |  FROM documents)
+         |SELECT tok, count(*)::BIGINT AS cnt
+         |FROM toks GROUP BY tok
+         |HAVING count(*) * $k > (SELECT count(*) FROM toks)
+         |ORDER BY cnt DESC, tok""".stripMargin) { (s, dir) =>
+      val toks = docsSpread(s, dir)
+        .select(explode(TextPipeline.tokens(col("text"))).as("tok"))
+      Sketch.heavyHittersExact(toks, k)
+    }
+  }
+
+  /** Exact per-language length quantiles (lower-index quantile — pure
+    * integer picks at rank floor((cnt-1)·q)+1, so no interpolation floats
+    * cross engines). Scale note: exact quantiles cost one sort per group;
+    * the approximate path at 100 TB is `percentile_approx`, benched in
+    * BENCH_LOCAL but not oracle-comparable (sketch-dependent).
+    */
+  val lengthQuantiles: Q = Q.sql(
+    "p_length_quantiles",
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents)
+      |SELECT lang, max(cnt)::BIGINT AS n_docs,
+      |       min(n_chars)::BIGINT AS min_chars,
+      |       max(CASE WHEN rn = (cnt - 1) // 4 + 1 THEN n_chars END)::BIGINT AS p25_chars,
+      |       max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN n_chars END)::BIGINT AS p50_chars,
+      |       max(CASE WHEN rn = ((cnt - 1) * 3) // 4 + 1 THEN n_chars END)::BIGINT AS p75_chars,
+      |       max(n_chars)::BIGINT AS max_chars
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    docs(s, dir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy("lang")
+      .agg(
+        max(col("cnt")).cast("long").as("n_docs"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(when(col("rn") === expr("(cnt - 1) div 4 + 1"), col("n_chars")))
+          .cast("long").as("p25_chars"),
+        max(when(col("rn") === expr("(cnt - 1) div 2 + 1"), col("n_chars")))
+          .cast("long").as("p50_chars"),
+        max(when(col("rn") === expr("((cnt - 1) * 3) div 4 + 1"), col("n_chars")))
+          .cast("long").as("p75_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
-    winnowFingerprint, stratifiedSample, packSequences)
+    winnowFingerprint, stratifiedSample, packSequences, decontaminate,
+    heavyHitters, lengthQuantiles)
 }
