@@ -27,19 +27,12 @@ object Decontaminate {
     * Documents with fewer than n tokens contribute no rows.
     */
   def docNgrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val toks = TextPipeline.tokens(col(textCol))
-    // sequence(1, size-n+1) would count DOWN for short docs; guard first.
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+      textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .select(col(idCol).as("doc_id"),
+        explode(TextPipeline.wordGramArray(col(textCol), n)).as("g"))
       .select(col("doc_id"), Det.md5Hash60(col("g")).as("gh"))
       .distinct()
-  }
 
   /** Distinct doc_ids of `train` documents sharing >= 1 word n-gram with
     * any `evalDocs` document. Left-semi join on the gram key: nothing from

@@ -83,6 +83,21 @@ object TextPipeline {
     }
   }
 
+  /** Word n-gram array of the text, one entry per OCCURRENCE in document
+    * order (space-joined token windows). Built entirely inside the row
+    * with `transform`/`slice` — no positional self-join, so per-doc gram
+    * work never shuffles. Empty array for docs with fewer than n tokens
+    * (`sequence(1, size-n+1)` would count DOWN there, hence the guard).
+    */
+  def wordGramArray(c: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** 60-bit md5 fingerprint of the normalized text — the exact-dedup key
     * (shared hash recipe with the DuckDB oracle, see Det.md5Hash60).
     */

@@ -719,11 +719,53 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Gopher-style repetition quality per language: most-common-2-gram
+    * char mass > 20% (R1) and duplicate-3-gram occurrences > 2% (R2).
+    * Spark computes both row-locally (sorted-array run scan — no
+    * per-gram shuffle); the oracle re-derives the same stats relationally.
+    * Tie-break parity: the row-local scan keeps the lexicographically
+    * smallest gram among equal max runs, = the oracle's
+    * `ORDER BY c DESC, g` row_number pick.
+    */
+  val repetitionQuality: Q = Q.sql(
+    "p_repetition_quality",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+      |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS i
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT a.doc_id, a.i, string_agg(b.tok, ' ' ORDER BY b.i) AS g
+      |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 1
+      |  GROUP BY a.doc_id, a.i HAVING count(*) = 2),
+      |cnt2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |top2 AS (SELECT doc_id, c * len(g) AS topchars,
+      |                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      |         FROM cnt2),
+      |g3 AS (
+      |  SELECT a.doc_id, a.i, string_agg(b.tok, ' ' ORDER BY b.i) AS g
+      |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 2
+      |  GROUP BY a.doc_id, a.i HAVING count(*) = 3),
+      |a3 AS (SELECT doc_id, count(*) AS occ, count(DISTINCT g) AS uniq FROM g3 GROUP BY 1),
+      |d AS (SELECT doc_id, lang, len(text) AS nc FROM documents)
+      |SELECT d.lang,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN coalesce(t.topchars, 0) * 5 > d.nc THEN 1 ELSE 0 END)::BIGINT AS n_flag_top2,
+      |  sum(CASE WHEN coalesce(a.occ - a.uniq, 0) * 100 > coalesce(a.occ, 0) * 2 THEN 1 ELSE 0 END)::BIGINT AS n_flag_dup,
+      |  sum(CASE WHEN NOT (coalesce(t.topchars, 0) * 5 > d.nc)
+      |            AND NOT (coalesce(a.occ - a.uniq, 0) * 100 > coalesce(a.occ, 0) * 2)
+      |           THEN 1 ELSE 0 END)::BIGINT AS n_clean
+      |FROM d
+      |LEFT JOIN (SELECT doc_id, topchars FROM top2 WHERE rn = 1) t ON t.doc_id = d.doc_id
+      |LEFT JOIN a3 a ON a.doc_id = d.doc_id
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+    Repetition.qualityByLang(docsSpread(s, dir), dupN = 3)
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, packSequences, decontaminate,
-    heavyHitters, lengthQuantiles)
+    heavyHitters, lengthQuantiles, repetitionQuality)
 }
