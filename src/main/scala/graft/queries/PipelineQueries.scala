@@ -761,11 +761,42 @@ object PipelineQueries {
     Repetition.qualityByLang(docsSpread(s, dir), dupN = 3)
   }
 
+  /** Incremental skip-processing audit: incoming batch = odd doc_ids,
+    * history = even doc_ids, key = cached-feature signature
+    * (lang, n_chars div 4). A doc whose signature is already in history is
+    * skipped (e.g. its features are cached); bloom-prefiltered, exactly
+    * verified — the oracle sees only the exact IN-subquery semantics.
+    */
+  val incrementalDedup: Q = Q.sql(
+    "p_incremental_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, source, lang || '|' || (n_chars // 4)::VARCHAR AS k
+      |  FROM documents),
+      |seen AS (SELECT DISTINCT k FROM d WHERE doc_id % 2 = 0),
+      |inc AS (SELECT doc_id, source, k FROM d WHERE doc_id % 2 = 1)
+      |SELECT source, count(*)::BIGINT AS n_incoming,
+      |  sum(CASE WHEN k IN (SELECT k FROM seen) THEN 0 ELSE 1 END)::BIGINT AS n_new,
+      |  sum(CASE WHEN k IN (SELECT k FROM seen) THEN 1 ELSE 0 END)::BIGINT AS n_skip
+      |FROM inc GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir).withColumn("k",
+      concat_ws("|", col("lang"), expr("n_chars div 4").cast("string")))
+    val tagged = Incremental.tagNew(
+      d.filter(col("doc_id") % 2 === 1),
+      d.filter(col("doc_id") % 2 === 0),
+      col("k"), expectedItems = 4096L)
+    tagged.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("is_new"), 0L).otherwise(1L)).as("n_skip"))
+      .orderBy("source")
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, packSequences, decontaminate,
-    heavyHitters, lengthQuantiles, repetitionQuality)
+    heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup)
 }
