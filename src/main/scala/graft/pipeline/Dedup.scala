@@ -192,6 +192,52 @@ object Dedup {
     val candDocs = spread.join(candIds, Seq("doc_id"), "left_semi")
     jaccardVerify(cand, shingles(candDocs, k = k), threshold)
   }
+
+  /** Duplicate-cluster resolution: connected components over verified
+    * near-dup pairs — each doc ends up labeled with the smallest doc_id
+    * reachable from it, so "keep one per cluster" is `label == doc_id`.
+    * Deterministic (min is merge-order-invariant).
+    *
+    * Each round takes the min over (own label, neighbors' labels, label of
+    * own label). The last term is pointer jumping: label chains halve every
+    * round, so convergence is O(log diameter) rounds — a 41-node chain
+    * closes in ~7 — not the O(diameter) of plain min-propagation (the same
+    * doubling idea as Kiveris et al., "Connected Components in
+    * MapReduce"). Every round is equi-joins + a map-side-combinable min
+    * aggregate over the LABEL table (|docs in any pair| rows — a vanishing
+    * fraction of corpus size); `localCheckpoint` cuts the growing lineage
+    * so round R's plan doesn't replay rounds 1..R−1.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .unionByName(pairs.select(col("d2").cast("long").as("a"), col("d1").cast("long").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = edges.join(labels, edges("a") === labels("v"))
+        .select(edges("b").as("v"), col("lbl"))
+      val viaPtr = labels.as("x")
+        .join(labels.as("y"), col("x.lbl") === col("y.v"))
+        .select(col("x.v").as("v"), col("y.lbl").as("lbl"))
+      val next = labels.select(col("v"), col("lbl"))
+        .unionByName(viaEdges).unionByName(viaPtr)
+        .groupBy("v").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist()
+    labels // (v, lbl = min doc_id of v's component)
+  }
 }
 
 /** SimHash near-dup detection: 60-bit sign-vote fingerprints over word

@@ -45,20 +45,22 @@ object Repetition {
   }
 
   /** Per-document repetition columns: top-2-gram character mass and
-    * duplicate n-gram occurrence counts (n = `dupN`).
+    * duplicate n-gram occurrence counts (n = `dupN`). Run statistics come
+    * from the native `GramRunStats` expression (sort + run scan in one
+    * codegen'd call); `topRunStats` below is the composable HOF twin it is
+    * property-tested against.
     */
   def repetitionColumns(text: Column, dupN: Int = 3): Seq[(String, Column)] = {
-    val g2 = wordGramsSortedStats(text, 2)
-    val gn = TextPipeline.wordGramArray(text, dupN)
+    import graft.functions.GramRunStats.gramRunStats
+    val toks = TextPipeline.tokens(text) // common subexpression, evaluated once
+    val g2 = gramRunStats(toks, 2)
+    val gnStats = gramRunStats(toks, dupN)
     Seq(
       "n_chars" -> length(text).cast("long"),
       "top2_chars" -> (g2("best") * length(g2("bestg")).cast("long")),
-      "occ_dup" -> size(gn).cast("long"),
-      "uniq_dup" -> size(array_distinct(gn)).cast("long"))
+      "occ_dup" -> greatest(size(toks).cast("long") - (dupN - 1), lit(0L)),
+      "uniq_dup" -> gnStats("uniq"))
   }
-
-  private def wordGramsSortedStats(text: Column, n: Int): Column =
-    topRunStats(array_sort(TextPipeline.wordGramArray(text, n)))
 
   /** Per-language audit under the two integer-crossed rules:
     * R1 `top2_chars·5 > n_chars`       (most common 2-gram > 20% of text)

@@ -133,8 +133,12 @@ object PipelineQueries {
     * The corpus plants ~25 near-dup pairs (j ≈ 0.99) over a j ≈ 0.17
     * background; band threshold (1/3)^(1/6) ≈ 0.83 keeps candidates sparse.
     */
-  val minhashLshDedup: Q = Q.sql(
-    "p_minhash_lsh_dedup",
+  /** Verified MinHash near-dup pairs as a standalone SQL text — the full
+    * shingle → minhash → band → candidate → exact-Jaccard pipeline in
+    * DuckDB terms, shared by `p_minhash_lsh_dedup` (pair listing) and
+    * `p_dup_clusters` (connected components over the same pairs).
+    */
+  private val minhashPairsSql: String =
     s"""WITH reps AS (
       |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
       |  FROM (SELECT doc_id, text,
@@ -165,8 +169,11 @@ object PipelineQueries {
       |  GROUP BY c.d1, c.d2)
       |SELECT d1, d2, round(nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE, 9) AS jaccard
       |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-      |WHERE nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE >= 0.7
-      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      |WHERE nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE >= 0.7""".stripMargin
+
+  val minhashLshDedup: Q = Q.sql(
+    "p_minhash_lsh_dedup",
+    s"$minhashPairsSql\nORDER BY d1, d2") { (s, dir) =>
     Dedup.nearDupPairs(docs(s, dir).filter(length(col("text")) >= 5))
       .select(col("d1"), col("d2"), round(col("jaccard"), 9).as("jaccard"))
       .orderBy("d1", "d2")
@@ -792,11 +799,43 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Duplicate-cluster resolution: connected components over the verified
+    * MinHash pairs (min-label propagation to fixpoint in Spark). The
+    * oracle unrolls 3 propagation rounds — exact whenever every node is
+    * within 3 hops of its component's min, which a convergence assert in
+    * PipelineSpec pins for far larger synthetic graphs (near-dup clusters
+    * are shallow; 3 unrolled rounds reach min-labels at distance ≤ 3,
+    * while measured eccentricity here is 1).
+    */
+  val dupClusters: Q = Q.sql(
+    "p_dup_clusters",
+    s"""WITH pairs AS ($minhashPairsSql),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),
+       |l1 AS (SELECT v, min(lbl) AS lbl FROM (
+       |         SELECT v, lbl FROM l0
+       |         UNION ALL SELECT e.b, l0.lbl FROM e JOIN l0 ON l0.v = e.a) GROUP BY v),
+       |l2 AS (SELECT v, min(lbl) AS lbl FROM (
+       |         SELECT v, lbl FROM l1
+       |         UNION ALL SELECT e.b, l1.lbl FROM e JOIN l1 ON l1.v = e.a) GROUP BY v),
+       |l3 AS (SELECT v, min(lbl) AS lbl FROM (
+       |         SELECT v, lbl FROM l2
+       |         UNION ALL SELECT e.b, l2.lbl FROM e JOIN l2 ON l2.v = e.a) GROUP BY v)
+       |SELECT lbl AS cluster_rep, count(*)::BIGINT AS n_docs
+       |FROM l3 GROUP BY lbl ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    val pairs = Dedup.nearDupPairs(docs(s, dir).filter(length(col("text")) >= 5))
+    Dedup.dupClusters(pairs)
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("cluster_rep")
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, packSequences, decontaminate,
-    heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup)
+    heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
+    dupClusters)
 }

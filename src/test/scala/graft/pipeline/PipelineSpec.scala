@@ -301,4 +301,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.length == 4 && math.abs(feats.sum - 1.0) < 1e-9) // histogram sums to 1
     assert(TextPipeline.rollingHash("hello world") == rows(0).getLong(4))
   }
+
+  test("dupClusters: matches brute-force components on random graphs; chains converge") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    // random sparse graph + one long chain (exercises multi-round propagation
+    // well past the oracle's unrolled depth)
+    val randomEdges = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val edges = randomEdges ++ chain
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expect = nodes.map(v => v -> nodes.filter(u => find(u) == find(v)).min).toMap
+    val got = Dedup.dupClusters(edges.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
 }

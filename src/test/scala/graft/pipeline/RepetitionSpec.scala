@@ -52,6 +52,40 @@ class RepetitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native GramRunStats == HOF topRunStats on random arrays (codegen path)") {
+    val sp = spark; import sp.implicits._
+    import graft.functions.GramRunStats.gramRunStats
+    val rnd = new Random(41)
+    // spark.range keeps the input non-foldable so whole-stage codegen runs
+    val pool = Seq.tabulate(8)(i => s"g$i")
+    val arrays = Seq.fill(80)(Seq.fill(rnd.nextInt(25))(pool(rnd.nextInt(pool.size))))
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a.mkString(" ")) }
+      .toDF("id", "text")
+    // n=1 (element runs) and n=3 (internal gram build) against the HOF twin
+    val both = df.select(col("id"),
+      gramRunStats(TextPipeline.tokens(col("text"))).as("nat"),
+      Repetition.topRunStats(array_sort(TextPipeline.tokens(col("text")))).as("hof"),
+      gramRunStats(TextPipeline.tokens(col("text")), 3).as("nat3"),
+      Repetition.topRunStats(array_sort(TextPipeline.wordGramArray(col("text"), 3))).as("hof3"))
+      .collect()
+    both.foreach { r =>
+      for ((ni, hi) <- Seq((1, 2), (3, 4))) {
+        val nat = r.getStruct(ni)
+        val hof = r.getStruct(hi)
+        assert(nat.getLong(0) == hof.getLong(0), s"best @id=${r.getLong(0)} col$ni")
+        assert(nat.getString(1) == hof.getString(1), s"bestg @id=${r.getLong(0)} col$ni")
+        assert(nat.getLong(2) == hof.getLong(2), s"uniq @id=${r.getLong(0)} col$ni")
+      }
+    }
+    // null element poisons; empty array is the zero struct
+    val edge = Seq((0L, Seq[String]("a", null, "b")), (1L, Seq.empty[String]))
+      .toDF("id", "arr")
+      .select(col("id"), gramRunStats(col("arr")).as("s")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
+    assert(edge(0L) == null)
+    assert(edge(1L).getLong(0) == 0L && edge(1L).getString(1) == "" && edge(1L).getLong(2) == 0L)
+  }
+
   test("wordGramArray: occurrence order and short-doc guard") {
     val df = docsDf(0L -> "a b a b a", 1L -> "a b")
     val got = df.select(col("doc_id"),
