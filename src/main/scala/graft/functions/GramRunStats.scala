@@ -79,11 +79,85 @@ object GramRunStats {
     GraftSql.column(GramRunStats(GraftSql.expression(tokens), Literal(n)))
 }
 
+/** Native word-n-gram array builder: `word_grams(tokens, n)` returns the
+  * space-joined n-grams in OCCURRENCE order (one per window), the codegen'd
+  * twin of the `transform(sequence(...), i -> array_join(slice(...)))`
+  * idiom — which runs per-window on the interpreted lambda evaluator.
+  * Fewer than n tokens → empty array; NULL array or NULL element → NULL
+  * (parity with the HOF formulation).
+  */
+case class WordGrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+      val n = right.eval(null)
+      if (n != null && n.asInstanceOf[Int] >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable int), got ${l.sql} and ${r.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  // a NULL element yields NULL regardless of child nullability
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, n: Any): Any =
+    GramRunOps.grams(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, n) => {
+      // `nullable` is always true, so ev.isNull is a real variable
+      s"""
+         |${ev.value} = graft.functions.GramRunOps.grams($arr, $n);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "word_grams"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordGrams =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordGrams {
+  def wordGrams(tokens: Column, n: Int): Column =
+    GraftSql.column(WordGrams(GraftSql.expression(tokens), Literal(n)))
+}
+
 /** Static helper called from generated code (kept outside the case class so
   * the static forwarder is unambiguous in Java source).
   */
 object GramRunOps {
   private val space = UTF8String.fromString(" ")
+
+  /** Gram array in occurrence order, or null if any element is NULL. */
+  def grams(a: ArrayData, n: Int): ArrayData = {
+    val len = a.numElements()
+    val m = len - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      if (a.isNullAt(i)) return null
+      toks(i) = a.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](m)
+    if (n == 1) System.arraycopy(toks, 0, out, 0, m)
+    else {
+      i = 0
+      while (i < m) {
+        out(i) = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** null return = a NULL element was present (caller maps it to SQL NULL). */
   def compute(a: ArrayData, n: Int): InternalRow = {

@@ -208,12 +208,37 @@ object Dedup {
     * fraction of corpus size); `localCheckpoint` cuts the growing lineage
     * so round R's plan doesn't replay rounds 1..R−1.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25,
+      localThreshold: Long = 1L << 20): DataFrame = {
     val edges = pairs
       .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
       .unionByName(pairs.select(col("d2").cast("long").as("a"), col("d1").cast("long").as("b")))
       .distinct()
       .cache()
+    // Local substrate (same gate pattern as the sub-threshold SLOPE fits):
+    // verified near-dup pair lists are minuscule next to the corpus, and
+    // below the threshold a driver-side union-find beats several
+    // cluster-wide iteration barriers by orders of magnitude. Identical
+    // output by construction — min-of-component labels either way (the
+    // distributed path is exercised in tests by forcing the threshold to 0).
+    if (edges.count() <= localThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      // union by min so the root IS the component minimum
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toDF("v", "lbl")
+    }
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint()

@@ -84,14 +84,24 @@ object TextPipeline {
   }
 
   /** Word n-gram array of the text, one entry per OCCURRENCE in document
-    * order (space-joined token windows). Built entirely inside the row
-    * with `transform`/`slice` — no positional self-join, so per-doc gram
-    * work never shuffles. Empty array for docs with fewer than n tokens
-    * (`sequence(1, size-n+1)` would count DOWN there, hence the guard).
+    * order (space-joined token windows). Built entirely inside the row —
+    * no positional self-join, so per-doc gram work never shuffles — by the
+    * native codegen'd `WordGrams` expression (`wordGramArrayHof` is the
+    * interpreted `transform`/`slice` twin it is property-tested against).
+    * Empty array for docs with fewer than n tokens.
     */
   def wordGramArray(c: Column, n: Int): Column = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
+    graft.functions.WordGrams.wordGrams(tokens(c), n)
+  }
+
+  /** Composable higher-order-function twin of [[wordGramArray]] (kept as
+    * the semantic reference; interpreted, so not used on hot paths).
+    */
+  def wordGramArrayHof(c: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
     val toks = tokens(c)
+    // sequence(1, size-n+1) would count DOWN for short docs; guard first.
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))

@@ -321,8 +321,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     edges.foreach { case (a, b) => parent(find(a)) = find(b) }
     val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
     val expect = nodes.map(v => v -> nodes.filter(u => find(u) == find(v)).min).toMap
+    // both substrates: driver union-find (default gate) and the forced
+    // distributed pointer-jumping path must agree with brute force
     val got = Dedup.dupClusters(edges.toDF("d1", "d2"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
+    val gotDist = Dedup.dupClusters(edges.toDF("d1", "d2"), localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expect)
   }
 }

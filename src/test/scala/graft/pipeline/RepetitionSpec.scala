@@ -95,6 +95,21 @@ class RepetitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L).isEmpty)
   }
 
+  test("native wordGramArray == HOF twin on random texts") {
+    val rnd = new Random(53)
+    val texts = Seq.fill(50)(Seq.fill(rnd.nextInt(15))(s"w${rnd.nextInt(5)}").mkString(" "))
+    val df = docsDf(texts.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+    for (n <- Seq(1, 2, 4)) {
+      val rows = df.select(col("doc_id"),
+        TextPipeline.wordGramArray(col("text"), n).as("nat"),
+        TextPipeline.wordGramArrayHof(col("text"), n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"n=$n id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("qualityByLang flags repeated-2-gram and duplicate-3-gram docs") {
     val sp = spark; import sp.implicits._
     val df = Seq(
