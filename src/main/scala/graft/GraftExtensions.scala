@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{VecCosine, VecDot, VecDotRewrite}
+import graft.functions.{GramRunStats, VecCosine, VecDot, VecDotRewrite, WordGrams}
 
 /** Session extension registering the engine's native expressions on the SQL
   * surface, so `spark.sql("SELECT vec_dot(a, b) ...")` works anywhere the
@@ -32,6 +32,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "vec_cosine takes exactly 2 arguments")
         VecCosine(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "word_grams takes exactly 2 arguments")
+        WordGrams(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_run_stats"),
+      new ExpressionInfo(classOf[GramRunStats].getName, "gram_run_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "gram_run_stats takes exactly 2 arguments")
+        GramRunStats(children.head, children(1))
       }))
   }
 }

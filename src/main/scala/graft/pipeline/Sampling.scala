@@ -31,6 +31,26 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
   }
 
+  /** Rate-based mixture resampling: keep each row with its stratum's
+    * per-mille rate (a mixture-weight table, e.g. downsample web crawl,
+    * keep all of wiki). Purely row-local — `keep = hash mod 1000 <
+    * rate_permille` — so no shuffle, no count pass, and a row's verdict
+    * never changes when the corpus grows or the job re-executes; integer
+    * thresholds keep the verdict engine-exact. Rates > 1000 would mean
+    * upsampling (emit ⌊r/1000⌋ copies + one with the remainder rate) —
+    * deliberately out of scope here; pair with `stratifiedSample` for
+    * exact quotas instead.
+    */
+  def rateSample(df: DataFrame, strataCol: Column, ratesPermille: Map[String, Int],
+                 defaultPermille: Int, salt: String, idCol: String): DataFrame = {
+    require((defaultPermille +: ratesPermille.values.toSeq)
+      .forall(r => r >= 0 && r <= 1000), s"rates must be in [0,1000]")
+    val rate = ratesPermille.toSeq.sortBy(_._1).foldRight(lit(defaultPermille): Column) {
+      case ((s, r), acc) => when(strataCol === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("keep", rowHash(col(idCol), salt) % 1000 < rate)
+  }
+
   /** Deterministic train/validation/test assignment: bucket = hash mod
     * `denom`, split by cumulative thresholds (e.g. Seq(80, 90) with
     * denom=100 → 80/10/10). Purely row-local — no shuffle, no state; the

@@ -830,6 +830,28 @@ object PipelineQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Mixture-weight resampling audit: per-language keep counts under a
+    * rate table (en kept in full, zh heavily downsampled, default 500‰).
+    * The keep verdict is row-local (salted hash mod 1000 vs the stratum
+    * rate), so the oracle reproduces it bit-exactly per row.
+    */
+  val rateSample: Q = {
+    val (salt, rates, dflt) = ("mix-rate-v1", Map("en" -> 1000, "zh" -> 125), 500)
+    val rateSql = s"CASE WHEN lang = 'en' THEN 1000 WHEN lang = 'zh' THEN 125 ELSE $dflt END"
+    Q.sql(
+      "p_rate_sample",
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN ${Det.md5Hash60Sql(s"'$salt-' || doc_id::VARCHAR")} % 1000
+         |            < $rateSql THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Sampling.rateSample(docs(s, dir), col("lang"), rates, dflt, salt, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
@@ -837,5 +859,5 @@ object PipelineQueries {
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, packSequences, decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
-    dupClusters)
+    dupClusters, rateSample)
 }

@@ -114,6 +114,17 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("GraftExtensions exposes word_grams and gram_run_stats to SQL") {
+    ensureExtensionsSession()
+    val r = spark.sql(
+      """SELECT word_grams(array('a', 'b', 'a', 'b'), 2) AS g,
+        |       gram_run_stats(array('a', 'b', 'a', 'b'), 2) AS s""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    val s = r.getStruct(1)
+    assert(s.getLong(0) == 2L && s.getString(1) == "a b" && s.getLong(2) == 2L)
+  }
+
   /** Swap the shared session for one with GraftExtensions installed
     * (extensions only apply at session construction). Idempotent, so the
     * extension tests are order-independent.

@@ -162,6 +162,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(other != rows.map(_._2).toSet)
   }
 
+  test("rate sample: extremes exact, proportions near rates, growth-stable") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 3000L).map(i => (i, Seq("en", "zh", "de")(i.toInt % 3))).toDF("id", "lang")
+    val rates = Map("en" -> 1000, "zh" -> 0)
+    val kept = Sampling.rateSample(df, col("lang"), rates, 500, "s1", "id")
+      .filter(col("keep")).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == 1000L) // rate 1000‰ keeps everything
+    assert(!kept.contains("zh")) // rate 0‰ keeps nothing
+    assert(kept("de") > 350 && kept("de") < 650) // ~500‰
+    // row-local: verdicts don't change when the corpus grows
+    val small = Sampling.rateSample(df.filter(col("id") <= 300), col("lang"), rates, 500, "s1", "id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val big = Sampling.rateSample(df, col("lang"), rates, 500, "s1", "id")
+      .filter(col("id") <= 300).collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(small == big)
+  }
+
   test("hash split: full cover, approximate proportions, stable under growth") {
     val sp = spark; import sp.implicits._
     val df = (1L to 1000L).toDF("id")
