@@ -135,11 +135,13 @@ object WordGrams {
 object GramRunOps {
   private val space = UTF8String.fromString(" ")
 
-  /** Gram array in occurrence order, or null if any element is NULL. */
-  def grams(a: ArrayData, n: Int): ArrayData = {
+  /** Shared gram construction: NULL-element scan runs over the WHOLE array
+    * first (so a short-but-dirty array still poisons, per the expressions'
+    * contract), then the space-joined window build. null return = a NULL
+    * element was present; empty array = fewer than n tokens.
+    */
+  private def buildGrams(a: ArrayData, n: Int): Array[AnyRef] = {
     val len = a.numElements()
-    val m = len - n + 1
-    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val toks = new Array[UTF8String](len)
     var i = 0
     while (i < len) {
@@ -147,7 +149,9 @@ object GramRunOps {
       toks(i) = a.getUTF8String(i)
       i += 1
     }
-    val out = new Array[Any](m)
+    val m = len - n + 1
+    if (m <= 0) return Array.empty[AnyRef]
+    val out = new Array[AnyRef](m)
     if (n == 1) System.arraycopy(toks, 0, out, 0, m)
     else {
       i = 0
@@ -156,38 +160,30 @@ object GramRunOps {
         i += 1
       }
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
+  }
+
+  /** Gram array in occurrence order, or null if any element is NULL. */
+  def grams(a: ArrayData, n: Int): ArrayData = {
+    val g = buildGrams(a, n)
+    if (g == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(g.asInstanceOf[Array[Any]])
   }
 
   /** null return = a NULL element was present (caller maps it to SQL NULL). */
   def compute(a: ArrayData, n: Int): InternalRow = {
-    val len = a.numElements()
-    val m = len - n + 1 // gram count
-    if (m <= 0) return new GenericInternalRow(Array[Any](0L, UTF8String.EMPTY_UTF8, 0L))
-    val toks = new Array[UTF8String](len)
-    var i = 0
-    while (i < len) {
-      if (a.isNullAt(i)) return null
-      toks(i) = a.getUTF8String(i)
-      i += 1
-    }
-    val grams = new Array[AnyRef](m)
-    if (n == 1) System.arraycopy(toks, 0, grams, 0, m)
-    else {
-      i = 0
-      while (i < m) {
-        grams(i) = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
-        i += 1
-      }
-    }
+    val grams = buildGrams(a, n)
+    if (grams == null) return null
+    val m = grams.length
+    if (m == 0) return new GenericInternalRow(Array[Any](0L, UTF8String.EMPTY_UTF8, 0L))
     java.util.Arrays.sort(grams)
     var best = 1L
     var bestg = grams(0).asInstanceOf[UTF8String]
     var run = 1L
     var uniq = 1L
-    i = 1
+    var i = 1
     while (i < m) {
-      if (grams(i) == grams(i - 1) || grams(i).equals(grams(i - 1))) run += 1
+      if (grams(i).equals(grams(i - 1))) run += 1
       else { run = 1L; uniq += 1L }
       if (run > best) { best = run; bestg = grams(i).asInstanceOf[UTF8String] }
       i += 1

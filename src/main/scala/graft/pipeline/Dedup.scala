@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.util.Det
 
 /** Deduplication operators over a document corpus, designed for the 100 TB
@@ -225,9 +226,14 @@ object Dedup {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find with path compression (recursion would overflow the
+      // driver stack on adversarially-ordered long chains)
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
       }
       // union by min so the root IS the component minimum
       es.foreach { case (a, b) =>
@@ -242,6 +248,13 @@ object Dedup {
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint()
+    // labels only ever decrease, so Σlbl strictly decreases until the
+    // fixpoint: convergence is one cheap aggregate on the (already
+    // materialized) checkpoint — no per-round join-and-compare job.
+    // DECIMAL(38,0) keeps the sum overflow-free at any node count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -250,14 +263,16 @@ object Dedup {
       val viaPtr = labels.as("x")
         .join(labels.as("y"), col("x.lbl") === col("y.v"))
         .select(col("x.v").as("v"), col("y.lbl").as("lbl"))
+      // superseded checkpoints stay pinned until the loop ends — bounded by
+      // O(rounds·|nodes in pairs|) rows, negligible next to the corpus
       val next = labels.select(col("v"), col("lbl"))
         .unionByName(viaEdges).unionByName(viaPtr)
         .groupBy("v").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
-        .filter(col("lbl") =!= col("old")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     edges.unpersist()

@@ -97,14 +97,19 @@ object TextPipeline {
 
   /** Composable higher-order-function twin of [[wordGramArray]] (kept as
     * the semantic reference; interpreted, so not used on hot paths).
+    * NULL text → NULL, like the native expression (the bare
+    * when/otherwise would silently turn NULL into the empty array);
+    * token arrays from `tokens` never contain NULL elements, so the
+    * native path's element-poisoning case has no HOF analogue here.
     */
   def wordGramArrayHof(c: Column, n: Int): Column = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     val toks = tokens(c)
     // sequence(1, size-n+1) would count DOWN for short docs; guard first.
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -77,13 +77,26 @@ class RepetitionSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(nat.getLong(2) == hof.getLong(2), s"uniq @id=${r.getLong(0)} col$ni")
       }
     }
-    // null element poisons; empty array is the zero struct
-    val edge = Seq((0L, Seq[String]("a", null, "b")), (1L, Seq.empty[String]))
+    // null element poisons (even when the array is shorter than n);
+    // empty array is the zero struct
+    val edge = Seq((0L, Seq[String]("a", null, "b")), (1L, Seq.empty[String]),
+      (2L, Seq[String]("a", null)))
       .toDF("id", "arr")
-      .select(col("id"), gramRunStats(col("arr")).as("s")).collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
-    assert(edge(0L) == null)
-    assert(edge(1L).getLong(0) == 0L && edge(1L).getString(1) == "" && edge(1L).getLong(2) == 0L)
+      .select(col("id"), gramRunStats(col("arr")).as("s"),
+        graft.functions.WordGrams.wordGrams(col("arr"), 3).as("g"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getStruct(1), if (r.isNullAt(2)) null else r.getSeq[String](2))))
+      .toMap
+    assert(edge(0L)._1 == null)
+    assert(edge(1L)._1.getLong(0) == 0L && edge(1L)._1.getString(1) == "" && edge(1L)._1.getLong(2) == 0L)
+    assert(edge(1L)._2 == Seq.empty[String])
+    assert(edge(2L)._1 == null && edge(2L)._2 == null) // short AND dirty still poisons
+    // NULL text: native and HOF twins agree on NULL out
+    val nulls = docsDf(0L -> (null: String))
+      .select(TextPipeline.wordGramArray(col("text"), 2).as("nat"),
+        TextPipeline.wordGramArrayHof(col("text"), 2).as("hof")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
   test("wordGramArray: occurrence order and short-doc guard") {
