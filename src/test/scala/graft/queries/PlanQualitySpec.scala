@@ -81,10 +81,37 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pipeline queries contain no cartesian product") {
     for (name <- Seq("p_minhash_lsh_dedup", "p_simhash_hamming", "p_ann_lsh_topk",
-      "p_exact_dedup", "p_winnow_fingerprint")) {
+      "p_exact_dedup", "p_winnow_fingerprint", "p_decontaminate",
+      "p_incremental_dedup", "p_repetition_quality")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
+  }
+
+  test("repetition quality is one scan: native run-scan, shuffle only per-lang aggregates") {
+    val p = planOf("p_repetition_quality")
+    assert(p.contains("gram_run_stats"), s"native expression missing:\n$p")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"interpreted higher-order function left on the hot path:\n$p")
+    // scan → (gated spread) → partial agg → lang exchange → final agg → sort
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 3,
+      s"unexpected extra shuffles:\n$p")
+  }
+
+  test("decontaminate pushes the source filters into both document scans") {
+    val p = planOf("p_decontaminate")
+    assert(p.contains("word_grams"), s"native gram builder missing:\n$p")
+    val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(source".r.findAllIn(p).size +
+      "PushedFilters: \\[[^\\]]*Not\\(EqualTo\\(source".r.findAllIn(p).size
+    assert(pushed >= 2, s"source filters did not reach the scans:\n$p")
+  }
+
+  test("heavy hitters pass 2 pushes the candidate isin filter into the scan") {
+    val p = planOf("p_heavy_hitters")
+    assert(!p.contains("CartesianProduct"))
+    // the exact recount filters to <= k literal tokens before its groupBy
+    assert(p.contains("In(tok") || p.contains("tok#"),
+      s"candidate filter missing from recount plan:\n$p")
   }
 
   test("stratified sample ranks via WindowGroupLimit (map-side top-k, no full stratum sort)") {
