@@ -38,4 +38,13 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** JSON-lines export (interchange with non-Spark consumers; parquet
+    * stays the internal format — jsonl trades ~5× size and all pushdown
+    * for universality). One object per line so downstream readers split
+    * by byte range.
+    */
+  def writeJsonLines(df: DataFrame, path: String,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
 }

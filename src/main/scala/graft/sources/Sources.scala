@@ -45,6 +45,25 @@ object Sources {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** Read JSON-lines (the C4/Pile-style training-data interchange format)
+    * with an explicit schema — no inference scan (inference costs a full
+    * extra pass over 100 TB and silently retypes on drift). Rows that fail
+    * to parse land whole in `_corrupt_record` (PERMISSIVE) instead of
+    * killing the load; callers audit `where(col(corruptCol).isNotNull)`
+    * and decide (Spark requires a cache/materialization before a
+    * corrupt-column-ONLY query on raw JSON — QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    * Line-delimited by default so the read splits by byte range — a single
+    * multi-line JSON document array would deserialize on one task.
+    */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   /** `model.matrix(~ .)`-style treatment coding for one string column:
     * distinct levels sort lexicographically, the FIRST becomes the
     * reference level (dropped), and each remaining level yields a 0/1

@@ -66,6 +66,35 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 2)
   }
 
+  test("jsonl round trip: pinned schema, corrupt-record quarantine, no inference") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = dir.resolve("docs_jsonl").toString
+    val df = Seq((1L, "hello world", "en"), (2L, "hallo welt", "de"))
+      .toDF("doc_id", "text", "lang")
+    Sinks.writeJsonLines(df, out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    // Spark disallows corrupt-column-only queries on raw JSON; cache first
+    // (the same applies to production audits — documented on readJsonLines)
+    val back = Sources.readJsonLines(spark, out, schema).cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 0)
+    assert(back.select("doc_id", "text", "lang").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "hello world", "en"), (2L, "hallo welt", "de")))
+    back.unpersist()
+    // a malformed line is quarantined whole, not fatal, and good rows survive
+    val f = dir.resolve("dirty.jsonl")
+    Files.write(f,
+      "{\"doc_id\": 1, \"text\": \"ok\", \"lang\": \"en\"}\nnot json at all\n".getBytes)
+    val dirty = Sources.readJsonLines(spark, f.toString, schema).cache()
+    assert(dirty.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(dirty.filter(col("_corrupt_record").isNull).count() == 1)
+    assert(dirty.filter(col("doc_id") === 1L).head.getString(1) == "ok")
+    dirty.unpersist()
+  }
+
   test("oneHot drops the first lexicographic level and indicates the rest") {
     val sp = spark; import sp.implicits._
     val df = Seq((1.0, "M"), (2.0, "F"), (3.0, "I"), (4.0, "M"))
