@@ -57,12 +57,17 @@ object Sources {
     */
   def readJsonLines(spark: SparkSession, path: String,
                     schema: org.apache.spark.sql.types.StructType,
-                    corruptCol: String = "_corrupt_record"): DataFrame =
+                    corruptCol: String = "_corrupt_record"): DataFrame = {
+    // fail at call time, not with a late duplicate-column AnalysisException
+    // (and never conflate a real data field with the quarantine column)
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already has a '$corruptCol' column — pass a different corruptCol")
     spark.read
       .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
+  }
 
   /** `model.matrix(~ .)`-style treatment coding for one string column:
     * distinct levels sort lexicographically, the FIRST becomes the
