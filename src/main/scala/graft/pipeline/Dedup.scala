@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
 import graft.util.Det
 
 /** Deduplication operators over a document corpus, designed for the 100 TB
@@ -152,9 +153,38 @@ object Dedup {
 
   /** The full near-dup pipeline: shingle → minhash → band → bucket join →
     * exact verify. Returns (d1, d2, jaccard) for verified near-duplicates.
+    *
+    * EAGER: the result is materialized (`localCheckpoint`) before return and
+    * every intermediate cache is released. The pipeline fans out internally
+    * (the rep corpus feeds both the signature chain and the candidate-doc
+    * semi-join; the candidate shingle sets feed three joins in
+    * `jaccardVerify`) and exchange reuse does NOT fire across those
+    * differently-aliased subtrees — unpersisted, one logical pass becomes
+    * 3–4 full corpus scans + md5 passes. One `MEMORY_AND_DISK`
+    * materialization of the reps is strictly cheaper than two extra scans
+    * at any scale, and the verified-pairs result is vanishingly small, so
+    * downstream consumers (`dupClusters` references it twice) replay a tiny
+    * materialized RDD, never the corpus pipeline.
     */
   def nearDupPairs(docs: DataFrame, k: Int = 5, nHashes: Int = 18,
                    rowsPerBand: Int = 6, threshold: Double = 0.7): DataFrame = {
+    val f = nearDupFrames(docs, k, nHashes, rowsPerBand, threshold)
+    val out = f.verified.localCheckpoint() // eager: runs the whole pipeline
+    f.spread.unpersist(blocking = false)
+    f.cand.unpersist(blocking = false)
+    f.candShingles.unpersist(blocking = false)
+    out
+  }
+
+  /** The lazy internals of [[nearDupPairs]], exposed for plan-quality tests:
+    * each fan-out frame is persisted but nothing is materialized yet.
+    */
+  private[graft] case class NearDupFrames(
+      spread: DataFrame, cand: DataFrame, candShingles: DataFrame,
+      verified: DataFrame)
+
+  private[graft] def nearDupFrames(docs: DataFrame, k: Int, nHashes: Int,
+      rowsPerBand: Int, threshold: Double): NearDupFrames = {
     // collapse EXACT duplicates first (one representative per normalized-
     // text fingerprint, min doc_id): exact-dup groups would otherwise land
     // in one LSH bucket and expand N²/2 candidate pairs — the adversarial
@@ -178,20 +208,24 @@ object Dedup {
     // collapsing duplicate texts before they cross the wire.)
     val spread = reps.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val shRaw = shingles(spread, k = k, dedup = false)
     val cand = candidatePairs(bands(minhash(shRaw, nHashes), rowsPerBand))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // verify ONLY candidate documents: the exact-Jaccard stage needs the
     // deduplicated shingle SETS, and building those for the whole corpus is
     // a corpus-sized distinct shuffle executed once per join side — while
     // the candidate set is a vanishing fraction of docs. The semi-join
     // keeps the whole thing lazy (no driver-side collect of ids), and AQE
     // turns it into a broadcast once the candidate aggregate's true size is
-    // known. The two references to `cand` are identical subtrees — the
-    // bucket aggregation's exchange is reused, not recomputed.
+    // known. Candidate docs re-read the PERSISTED reps, never the source.
     val candIds = cand
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
     val candDocs = spread.join(candIds, Seq("doc_id"), "left_semi")
-    jaccardVerify(cand, shingles(candDocs, k = k), threshold)
+    // the candidate shingle sets feed three joins in jaccardVerify (sizes +
+    // both pair sides); persisted so the semi-join + re-shingle runs once
+    val candSh = shingles(candDocs, k = k).persist(StorageLevel.MEMORY_AND_DISK)
+    NearDupFrames(spread, cand, candSh, jaccardVerify(cand, candSh, threshold))
   }
 
   /** Duplicate-cluster resolution: connected components over verified
@@ -276,6 +310,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // pointer jumping converges in O(log diameter) rounds, so 25 rounds
+    // cover any graph a dedup corpus can produce (2^25-node chains); if the
+    // cap is ever hit anyway, unconverged labels are a silent wrong answer —
+    // fail loudly instead
+    require(converged,
+      s"dupClusters: label fixpoint not reached within $maxIters rounds")
     labels // (v, lbl = min doc_id of v's component)
   }
 }

@@ -145,6 +145,51 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "probe side should broadcast")
   }
 
+  test("near-dup pipeline materializes once: single documents scan, checkpointed fan-out") {
+    import org.apache.spark.sql.functions.{col, length}
+    // white-box: every internal fan-out frame is persisted and the lazy
+    // verified plan has no cartesian product (the PUBLIC p_* plans are
+    // checkpoint scans after the eager rewrite, so the internal pipeline
+    // must be asserted here)
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .filter(length(col("text")) >= 5)
+    val f = graft.pipeline.Dedup.nearDupFrames(docs, 5, 18, 6, 0.7)
+    try {
+      import org.apache.spark.storage.StorageLevel
+      assert(f.spread.storageLevel != StorageLevel.NONE, "reps not persisted")
+      assert(f.cand.storageLevel != StorageLevel.NONE, "candidates not persisted")
+      assert(f.candShingles.storageLevel != StorageLevel.NONE,
+        "candidate shingle sets not persisted")
+      assert(!f.verified.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"))
+    } finally {
+      f.spread.unpersist(blocking = true)
+      f.cand.unpersist(blocking = true)
+      f.candShingles.unpersist(blocking = true)
+    }
+    // physical proof of the single scan: bytes actually read from local disk
+    // while building + fully evaluating the query stay under 2x the parquet
+    // footprint (the pre-fix plan re-scanned documents 3-4x, well above it)
+    def bytesOf(fl: java.io.File): Long =
+      if (fl.isFile) fl.length
+      else Option(fl.listFiles).map(_.map(bytesOf).sum).getOrElse(0L)
+    val parquetBytes = bytesOf(new java.io.File(s"$dir/documents.parquet"))
+    val stats =
+      org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+    assert(stats != null, "file-scheme storage statistics unavailable")
+    val before = stats.getLong("bytesRead")
+    SparkEntry.queries("p_minhash_lsh_dedup")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val read = stats.getLong("bytesRead") - before
+    assert(read < 2 * parquetBytes,
+      s"documents scanned repeatedly: read $read bytes vs $parquetBytes on disk")
+    // downstream consumer plans replay the materialized pairs, not the corpus
+    for (name <- Seq("p_minhash_lsh_dedup", "p_dup_clusters")) {
+      val p = planOf(name)
+      assert(!p.contains("documents"), s"$name re-reads the corpus:\n$p")
+    }
+  }
+
   test("model predict is UDF-free and stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val li = graft.util.Tables.t(spark, dir, "lineitem")
