@@ -53,7 +53,12 @@ object Bench {
     // actually has. If the two runs still disagree by >25% the noise isn't
     // settled — one more run tightens the tail (deterministic rule, at most
     // 3 runs). Any failed run fails the query.
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration; the
+    // driver never sets it, so driver rounds always measure the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       val a = force(n)
       if (a < 0) n -> a

@@ -293,20 +293,23 @@ final class SlopeModel(
     */
   private def aucAllSteps(df: DataFrame, featureCols: Seq[String],
                           labelCol: String, nSteps: Int): Array[Double] = {
-    // fully distributed ranking: one range-partitioned sort over
-    // (step, prob) + zipWithIndex. Every step contributes exactly n rows,
-    // so the within-step rank is globalIndex − step·n — no per-step jobs,
-    // no single-partition window (see DistributedRank).
+    // fully distributed ranking: reduce to one row per (step, prob) FIRST
+    // (map-side-combinable groupBy, codegen'd), then a range-partitioned
+    // prefix sum over the distinct table yields tie-averaged ranks in
+    // closed form. Every step contributes exactly n rows, so the
+    // within-step rank is globalCum − step·n — no per-step jobs, no
+    // single-partition window (see DistributedRank).
     val scored = transform(df, featureCols, "p_resp", predictType = "response")
       .select(posexplode(col("p_resp")).as(Seq("step", "probs")),
         (col(labelCol).cast("string") === classNames(1)).cast("double").as("y"))
       .select(col("step"), expr("probs[0]").as("prob"), col("y"))
     val nRows = df.count()
-    val ranked = DistributedRank.withRowNumbers(scored, Seq("step", "prob"))
-      .withColumn("rn", (col("rn") - col("step").cast("long") * nRows).cast("double"))
-    val g = ranked
-      .groupBy("step", "prob").agg(avg(col("rn")).as("avg_rank"),
-        sum(col("y")).as("n1_in"), count(lit(1)).as("cnt"))
+    val grouped = scored.groupBy("step", "prob")
+      .agg(sum(col("y")).as("n1_in"), count(lit(1)).as("cnt"))
+    val g = DistributedRank.withPrefixSum(grouped, Seq("step", "prob"), "cnt")
+      .withColumn("avg_rank",
+        (col("cum_before") - col("step").cast("long") * nRows).cast("double") +
+          (col("cnt").cast("double") + 1.0) / 2.0)
     val rows = g.groupBy("step").agg(
       sum(col("avg_rank") * col("n1_in")).as("rank_sum"),
       sum(col("n1_in")).as("n1"),

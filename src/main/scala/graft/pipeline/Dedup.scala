@@ -171,7 +171,6 @@ object Dedup {
     val f = nearDupFrames(docs, k, nHashes, rowsPerBand, threshold)
     val out = f.verified.localCheckpoint() // eager: runs the whole pipeline
     f.spread.unpersist(blocking = false)
-    f.cand.unpersist(blocking = false)
     f.candShingles.unpersist(blocking = false)
     out
   }
@@ -210,8 +209,10 @@ object Dedup {
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shRaw = shingles(spread, k = k, dedup = false)
+    // cand's two consumers (candIds, verify) reference IDENTICAL subtrees,
+    // so the bucket aggregation's exchange is reused — persisting it only
+    // adds a columnar-build barrier (measured +0.2 s for zero saved work)
     val cand = candidatePairs(bands(minhash(shRaw, nHashes), rowsPerBand))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // verify ONLY candidate documents: the exact-Jaccard stage needs the
     // deduplicated shingle SETS, and building those for the whole corpus is
     // a corpus-sized distinct shuffle executed once per join side — while

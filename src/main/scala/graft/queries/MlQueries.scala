@@ -155,12 +155,17 @@ object MlQueries {
     val base = Tables.t(s, dir, "orders").select(
       col("o_totalprice").as("prob"),
       when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
-    // distributed sort + zipWithIndex ranking — an un-partitioned
-    // Window.orderBy would funnel the whole table through one task
-    val ranked = graft.fit.DistributedRank.withRowNumbers(base, Seq("prob"))
-    val g = ranked.groupBy("prob").agg(
-      (sum(col("rn")).cast("double") / count(lit(1)).cast("double")).as("avg_rank"),
+    // group to one row per distinct score FIRST (map-side combinable), then
+    // tie-averaged ranks fall out of a distributed prefix sum over the
+    // range-sorted distinct table — an un-partitioned Window.orderBy would
+    // funnel the whole table through one task. avg_rank = cum_before +
+    // (cnt+1)/2 is exactly sum(consecutive ranks)/cnt, as the oracle
+    // computes it (half-integers are exact doubles).
+    val grouped = base.groupBy("prob").agg(
       sum(col("y")).as("n1_in"), count(lit(1)).as("cnt"))
+    val g = graft.fit.DistributedRank.withPrefixSum(grouped, Seq("prob"), "cnt")
+      .withColumn("avg_rank",
+        col("cum_before").cast("double") + (col("cnt").cast("double") + 1.0) / 2.0)
     val a = g.agg(
       Det.dsum(col("avg_rank") * col("n1_in"), 6).as("rank_sum"),
       Det.dsum(col("n1_in"), 6).as("n1"),

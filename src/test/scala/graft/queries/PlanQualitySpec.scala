@@ -157,14 +157,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       import org.apache.spark.storage.StorageLevel
       assert(f.spread.storageLevel != StorageLevel.NONE, "reps not persisted")
-      assert(f.cand.storageLevel != StorageLevel.NONE, "candidates not persisted")
       assert(f.candShingles.storageLevel != StorageLevel.NONE,
         "candidate shingle sets not persisted")
       assert(!f.verified.queryExecution.executedPlan.toString
         .contains("CartesianProduct"))
     } finally {
       f.spread.unpersist(blocking = true)
-      f.cand.unpersist(blocking = true)
       f.candShingles.unpersist(blocking = true)
     }
     // physical proof of the single scan: bytes actually read from local disk
