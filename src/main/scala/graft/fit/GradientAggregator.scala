@@ -49,7 +49,14 @@ class GradientAggregator(
   private def dec(v: Double, m: Double): JBigDecimal = {
     if (!java.lang.Double.isFinite(v))
       throw new ArithmeticException(s"non-finite addend in exact aggregation: $v")
-    JBigDecimal.valueOf(Math.floor(v * m + 0.5).toLong)
+    val g = Math.floor(v * m + 0.5)
+    // magnitude guard: .toLong silently clamps at ±Long.MaxValue (and
+    // Spark's non-ANSI cast clamps the same way) while the DuckDB oracle's
+    // BIGINT cast ERRORS — an out-of-range addend must fail loudly here
+    // too, not produce a plausible-looking wrong sum
+    if (Math.abs(g) >= 9.223372036854776e18)
+      throw new ArithmeticException(s"addend overflows the 1e$gradScale grid: $v")
+    JBigDecimal.valueOf(g.toLong)
   }
 
   def reduce(b: GradState, row: (Double, Array[Double])): GradState = {

@@ -225,7 +225,8 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, probePred: Column, topK: Int,
               k: Int = 16, iters: Int = 2, nProbe: Int = 4,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              maxProbes: Int = 10000): DataFrame = {
     val spark = embeddings.sparkSession
     val centroids = ivfCentroids(embeddings, k, iters, idCol, vecCol)
     val assign = ivfAssign(embeddings, centroids, idCol, vecCol)
@@ -233,9 +234,17 @@ object Similarity {
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .join(assign.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
 
+    // the probe set is pulled to the driver by CONTRACT (tiny, broadcast
+    // back out) — enforce the contract instead of trusting it: the limit
+    // bounds what can ever reach driver memory, and one excess row proves
+    // the predicate was too broad, so fail fast (same spirit as the LSH
+    // bucket-blowup guard)
     val probeRows = embeddings.filter(probePred)
-      .select(col(idCol), col(vecCol)).collect()
+      .select(col(idCol), col(vecCol)).limit(maxProbes + 1).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(probeRows.length <= maxProbes,
+      s"ivfTopK: probePred selects more than maxProbes=$maxProbes rows; " +
+        "narrow the predicate or raise maxProbes")
     val probeClusters = probeRows.flatMap { case (pid, pv) =>
       val norm = math.sqrt(pv.map(x => x * x).sum)
       val byDot = centroids.zipWithIndex.map { case (c, i) =>

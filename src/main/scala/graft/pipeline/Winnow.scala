@@ -40,10 +40,19 @@ object Winnow {
     */
   def selected(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", k: Int = 7, w: Int = 4): DataFrame = {
+    // the composite key leaves 23 bits for the position, so a document may
+    // hold at most 2^23-1 grams: past that, PosMod-1-i goes negative and
+    // silently corrupts window-min selection (identically in both engines,
+    // so the oracle would NOT catch it) — fail loudly instead
+    val maxLen = k - 1 + PosMod - 1
+    val checkedLen = when(length(col("t")) <= lit(maxLen), length(col("t")))
+      .otherwise(raise_error(format_string(
+        s"winnow: document %s exceeds the ${PosMod - 1}-gram cap",
+        col("doc_id").cast("string"))))
     val grams = docs
       .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
       .filter(length(col("t")) >= k + w - 1)
-      .select(col("doc_id"), length(col("t")).as("lt"),
+      .select(col("doc_id"), checkedLen.as("lt"),
         explode(expr(s"sequence(1, length(t) - ${k - 1})")).as("i"), col("t"))
       .select(col("doc_id"), col("lt"), col("i"),
         ((Det.md5Hash60(expr(s"substring(t, i, $k)")) % lit(FpMod)) * lit(PosMod)

@@ -8,9 +8,14 @@ import graft.pipeline.TextPipeline
 /** One event of a user activity stream (sessionization input). */
 final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
-/** Open-session accumulator kept in the state store (one per user). */
+/** Open-session accumulator kept in the state store (one per user).
+  * `sumGrid` holds the value sum on the Det integer grid (units of 1e-6,
+  * see `graft.util.Det`): long addition is associative, so the emitted
+  * `sum_value` is bit-identical across retries, shuffles, and batch
+  * boundaries — and matches the batch twin's `Det.dsum` exactly.
+  */
 final case class SessionState(startMs: Long, lastMs: Long,
-                              nEvents: Long, sumValue: Double)
+                              nEvents: Long, sumGrid: Long)
 
 /** A closed session. */
 final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
@@ -86,9 +91,20 @@ object StreamingPipeline {
         updateSessions(gapMs))
   }
 
+  /** Det grid scale for the session value sum (matches `Det.dsum` default). */
+  private val GridScale = 1e6
+
+  private def toGrid(v: Double): Long = {
+    require(java.lang.Double.isFinite(v), s"sessionize: non-finite value $v")
+    val g = math.floor(v * GridScale + 0.5)
+    require(math.abs(g) < 9.223372036854776e18,
+      s"sessionize: value $v overflows the 1e-6 grid")
+    g.toLong
+  }
+
   private def emit(user: Long, s: SessionState): UserSession =
     UserSession(user, new java.sql.Timestamp(s.startMs),
-      new java.sql.Timestamp(s.lastMs), s.nEvents, s.sumValue)
+      new java.sql.Timestamp(s.lastMs), s.nEvents, s.sumGrid.toDouble / GridScale)
 
   private def updateSessions(gapMs: Long)(
       user: Long, events: Iterator[SessionEvent],
@@ -98,8 +114,12 @@ object StreamingPipeline {
       state.remove()
       Iterator.single(emit(user, s))
     } else {
-      // batches are unordered within a group — order by event time first
-      val evs = events.toArray.sortBy(_.ts.getTime)
+      // batches are unordered within a group — order by event time, with
+      // value as a tie-break: a bare ts sort is stable on arrival order,
+      // which is nondeterministic across retries (grid sums make the SUM
+      // order-invariant anyway, but session SPLITS at a gap boundary must
+      // not depend on arrival order of tied timestamps either)
+      val evs = events.toArray.sortBy(e => (e.ts.getTime, e.value))
       var closed = List.empty[UserSession]
       var cur = state.getOption
       evs.foreach { e =>
@@ -107,12 +127,12 @@ object StreamingPipeline {
         cur match {
           case Some(s) if t - s.lastMs <= gapMs =>
             cur = Some(SessionState(s.startMs, math.max(s.lastMs, t),
-              s.nEvents + 1, s.sumValue + e.value))
+              s.nEvents + 1, s.sumGrid + toGrid(e.value)))
           case Some(s) =>
             closed = emit(user, s) :: closed
-            cur = Some(SessionState(t, t, 1, e.value))
+            cur = Some(SessionState(t, t, 1, toGrid(e.value)))
           case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
+            cur = Some(SessionState(t, t, 1, toGrid(e.value)))
         }
       }
       cur.foreach { s =>

@@ -292,6 +292,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val top = Similarity.ivfTopK(df, col("vec_id") === 0, topK = 3,
       k = 2, iters = 2, nProbe = 1).collect()
     assert(top.nonEmpty && top.head.getLong(2) == 1L)
+
+    // the probe set is driver-collected by contract; a predicate that
+    // selects the whole corpus must fail fast, not OOM the driver
+    val broad = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(df, lit(true), topK = 3, k = 2, iters = 2,
+        nProbe = 1, maxProbes = 4)
+    }
+    assert(broad.getMessage.contains("maxProbes"))
   }
 
   test("multimodal resize and frame-sample plumbing (stubbed codecs)") {
