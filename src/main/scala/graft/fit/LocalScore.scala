@@ -145,4 +145,51 @@ object LocalScore {
     val u = rankSum - n1 * (n1 + 1.0) / 2.0
     math.exp(math.log(u) - math.log(n1) - math.log(n0))
   }
+
+  /** Case-weighted tie-averaged Wilcoxon AUC (reference R/score.R:152-164;
+    * the reference RANDOMIZES tie order — we tie-average deterministically,
+    * a documented deviation). Weights live on the Det 1e-6 integer grid so
+    * every intermediate is exact and the result is bit-identical to the
+    * distributed path in [[SlopeModel]]:
+    * `2U = Σ_groups w1g·(2·cumW0_before + w0g)`, `auc = 2U / (2·W1·W0)`
+    * assembled through the same exp/log form as the unweighted statistic.
+    */
+  private[fit] def aucWeighted(probs: Array[Double], y: Array[Double],
+                               w: Array[Double]): Double = {
+    import java.math.BigDecimal
+    val n = probs.length
+    val order = Array.range(0, n).sortBy(probs(_))
+    def grid(v: Double): Long = {
+      require(java.lang.Double.isFinite(v) && v >= 0.0,
+        s"auc: case weights must be finite and non-negative, got $v")
+      val g = math.floor(v * 1e6 + 0.5)
+      require(g < 9.223372036854776e18, s"auc: weight $v overflows the grid")
+      g.toLong
+    }
+    var u2 = BigDecimal.ZERO // 2·U in grid² units
+    var w1 = 0L
+    var w0 = 0L
+    var i = 0
+    while (i < n) {
+      // tie group [i, j) over equal probs
+      var j = i
+      while (j < n && probs(order(j)) == probs(order(i))) j += 1
+      var w1g = 0L
+      var w0g = 0L
+      var k = i
+      while (k < j) {
+        val g = grid(w(order(k)))
+        if (y(order(k)) > 0) w1g += g else w0g += g
+        k += 1
+      }
+      u2 = u2.add(BigDecimal.valueOf(w1g).multiply(
+        BigDecimal.valueOf(w0).multiply(BigDecimal.valueOf(2))
+          .add(BigDecimal.valueOf(w0g))))
+      w1 += w1g
+      w0 += w0g
+      i = j
+    }
+    math.exp(math.log(u2.doubleValue()) - math.log(2.0) -
+      math.log(w1.toDouble) - math.log(w0.toDouble))
+  }
 }

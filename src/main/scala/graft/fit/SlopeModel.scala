@@ -202,13 +202,18 @@ final class SlopeModel(
     * deviance, misclass, auc.
     */
   def score(df: DataFrame, featureCols: Seq[String], labelCol: String,
-            measure: String): Array[Double] = {
+            measure: String, weightCol: Option[String] = None): Array[Double] = {
     val nSteps = coef().length
     val fam = family
+    require(weightCol.isEmpty || measure == "auc",
+      "case weights are supported for auc only (reference R/score.R parity)")
     measure match {
       case "auc" =>
         require(fam == Binomial, "auc is binomial-only")
-        aucAllSteps(df, featureCols, labelCol, nSteps)
+        weightCol match {
+          case Some(wc) => aucWeightedAllSteps(df, featureCols, labelCol, nSteps, wc)
+          case None     => aucAllSteps(df, featureCols, labelCol, nSteps)
+        }
       case _ =>
         val scored = transform(df, featureCols, "p_resp",
           predictType = if (fam == Gaussian || fam == Poisson) "link" else "response")
@@ -323,6 +328,54 @@ final class SlopeModel(
       val n0 = r.getLong(3).toDouble - n1
       val u = rankSum - n1 * (n1 + 1.0) / 2.0
       out(step) = math.exp(math.log(u) - math.log(n1) - math.log(n0))
+    }
+    out
+  }
+
+  /** Case-weighted AUC for every path step (reference R/score.R:152-164,
+    * with DETERMINISTIC tie-averaging instead of the reference's randomized
+    * tie order — documented deviation). Weights are fixed to the Det 1e-6
+    * integer grid, so every per-group statistic is an exact long, the
+    * cross-group term `2U = Σ w1g·(2·cumW0 + w0g)` is an exact decimal, and
+    * the result is bit-identical to `LocalScore.aucWeighted` and invariant
+    * to partitioning. Same scale shape as the unweighted path: grouped
+    * map-side-combinable aggregation + a distributed prefix sum.
+    */
+  private def aucWeightedAllSteps(df: DataFrame, featureCols: Seq[String],
+                                  labelCol: String, nSteps: Int,
+                                  weightCol: String): Array[Double] = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val scored = transform(df, featureCols, "p_resp", predictType = "response")
+      .select(posexplode(col("p_resp")).as(Seq("step", "probs")),
+        (col(labelCol).cast("string") === classNames(1)).cast("double").as("y"),
+        floor(col(weightCol).cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("wg"))
+      .select(col("step"), expr("probs[0]").as("prob"), col("y"), col("wg"))
+    val grouped = scored.groupBy("step", "prob").agg(
+      sum(when(col("y") > 0, col("wg")).otherwise(lit(0L))).as("w1g"),
+      sum(when(col("y") > 0, lit(0L)).otherwise(col("wg"))).as("w0g"))
+    // cum_before is GLOBAL over (step, prob); every step holds the same
+    // rows, so the within-step offset is step · (per-step w0 total)
+    val pre = DistributedRank.withPrefixSum(grouped, Seq("step", "prob"), "w0g")
+    val rows = pre.groupBy("step").agg(
+      sum((col("w1g").cast(dec) *
+        (col("cum_before").cast(dec) * lit(2) + col("w0g").cast(dec))).cast(dec))
+        .as("u2raw"),
+      sum(col("w1g")).as("w1"), sum(col("w0g")).as("w0"))
+      .collect()
+    val out = new Array[Double](nSteps)
+    rows.foreach { r =>
+      val step = r.getInt(0)
+      val u2raw = r.getDecimal(1)
+      val w1 = r.getLong(2)
+      val w0 = r.getLong(3)
+      // subtract the 2 · step·W0tot · W1 contributed by earlier steps' w0
+      val u2 = u2raw.subtract(java.math.BigDecimal.valueOf(2L * step)
+        .multiply(java.math.BigDecimal.valueOf(w0))
+        .multiply(java.math.BigDecimal.valueOf(w1)))
+      out(step) = math.exp(math.log(u2.doubleValue()) - math.log(2.0) -
+        math.log(w1.toDouble) - math.log(w0.toDouble))
     }
     out
   }

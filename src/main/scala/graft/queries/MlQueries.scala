@@ -174,6 +174,55 @@ object MlQueries {
       - log(col("n1")) - log(col("n").cast("double") - col("n1"))).as("auc"))
   }
 
+  /** M12 weighted variant (reference R/score.R:152-164): case-weighted
+    * Wilcoxon AUC with DETERMINISTIC tie-averaging (the reference randomizes
+    * tie order — documented deviation; randomization is not reproducible
+    * across engines). Weights here are exact integers, so every group
+    * statistic is an exact long, the cross-group term
+    * `2U = Σ w1g·(2·cumW0 + w0g)` an exact decimal, and the final double is
+    * engine-independent. Same scale shape as `m_auc_fixed_score`: grouped
+    * map-side-combinable aggregation + distributed prefix sum — never a
+    * single-partition window.
+    */
+  val aucWeighted: Q = Q.sql(
+    "m_auc_weighted",
+    s"""WITH s AS (
+      |  SELECT o_totalprice AS prob,
+      |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+      |         (o_orderkey % 7 + 1)::BIGINT AS w
+      |  FROM orders),
+      |g AS (SELECT prob,
+      |             sum(CASE WHEN y = 1 THEN w ELSE 0 END)::BIGINT AS w1g,
+      |             sum(CASE WHEN y = 0 THEN w ELSE 0 END)::BIGINT AS w0g
+      |      FROM s GROUP BY prob),
+      |c AS (SELECT w1g, w0g,
+      |             coalesce(sum(w0g) OVER (ORDER BY prob
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw0
+      |      FROM g),
+      |a AS (SELECT sum((w1g * (2*cumw0 + w0g))::DECIMAL(38,0)) AS u2,
+      |             sum(w1g)::DOUBLE AS w1, sum(w0g)::DOUBLE AS w0
+      |      FROM c)
+      |SELECT exp(ln(u2::DOUBLE) - ln(2) - ln(w1) - ln(w0)) AS wauc
+      |FROM a""".stripMargin) { (s, dir) =>
+    val base = Tables.t(s, dir, "orders").select(
+      col("o_totalprice").as("prob"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+      (col("o_orderkey") % 7 + 1).cast("long").as("w"))
+    val g = base.groupBy("prob").agg(
+      sum(when(col("y") === 1, col("w")).otherwise(lit(0L))).as("w1g"),
+      sum(when(col("y") === 0, col("w")).otherwise(lit(0L))).as("w0g"))
+    val pre = graft.fit.DistributedRank.withPrefixSum(g, Seq("prob"), "w0g")
+    val dec = DecimalType(38, 0)
+    val a = pre.agg(
+      sum((col("w1g").cast(dec) *
+        (col("cum_before").cast(dec) * lit(2) + col("w0g").cast(dec))).cast(dec))
+        .as("u2"),
+      sum(col("w1g")).cast("double").as("w1"),
+      sum(col("w0g")).cast("double").as("w0"))
+    a.select(exp(log(col("u2").cast("double")) - log(lit(2.0))
+      - log(col("w1")) - log(col("w0"))).as("wauc"))
+  }
+
   /** F1+F9/F10 end-to-end: the gaussian SLOPE path on lineitem features.
     * Iterative optimization — no SQL oracle; the driver records rows/schema.
     * Coefficient correctness is pinned by the ScalaTest closed-form oracles.
@@ -272,6 +321,6 @@ object MlQueries {
 
   val queries: Seq[Q] = Seq(
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
-    gradientUdaf, slopePathGaussian, slopePathBinomial, slopePathMultinomial,
-    slopePathPoisson, trainCv)
+    aucWeighted, gradientUdaf, slopePathGaussian, slopePathBinomial,
+    slopePathMultinomial, slopePathPoisson, trainCv)
 }

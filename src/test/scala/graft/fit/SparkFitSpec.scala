@@ -298,6 +298,33 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     // AUC at the densest step should be well above 0.5 and ≤ 1
     val auc = model.score(df, (0 until 4).map(j => s"f$j"), "label", "auc")
     assert(auc.last > 0.7 && auc.last <= 1.0, s"auc ${auc.last}")
+
+    // weighted AUC: distributed path ≡ the driver-side grid twin, and unit
+    // weights reproduce the unweighted statistic (reference R/score.R:152-164
+    // semantics with deterministic tie-averaging)
+    import org.apache.spark.sql.functions.{abs, col, hash, lit}
+    val wdf = df.withColumn("w",
+      (abs(hash(col("f0"))) % 5 + 1).cast("double"))
+    val wauc = model.score(df.columns.foldLeft(wdf)((d, _) => d),
+      (0 until 4).map(j => s"f$j"), "label", "auc", weightCol = Some("w"))
+    val rowsW = wdf.select((0 until 4).map(j => col(s"f$j")) ++
+      Seq(col("label"), col("w")): _*).collect()
+    val betasLast = model.coef().last
+    val probsLocal = rowsW.map { r =>
+      var lp = betasLast(0, 0)
+      (0 until 4).foreach(j => lp += betasLast(j + 1, 0) * r.getDouble(j))
+      graft.slope.MathUtil.sigmoid(lp)
+    }
+    val yLocal = rowsW.map(r => if (r.getString(4) == "b") 1.0 else 0.0)
+    val wLocal = rowsW.map(_.getDouble(5))
+    val local = LocalScore.aucWeighted(probsLocal, yLocal, wLocal)
+    assert(wauc.last == local,
+      s"distributed weighted auc ${wauc.last} != local twin $local")
+    val unitW = model.score(wdf.withColumn("w", lit(1.0)),
+      (0 until 4).map(j => s"f$j"), "label", "auc", weightCol = Some("w"))
+    auc.zip(unitW).foreach { case (u, w) =>
+      assert(math.abs(u - w) < 1e-12, s"unit-weight auc $w vs unweighted $u")
+    }
   }
 
   test("predict smoke: all families × link/response/class produce sane shapes (test-predictions.R)") {
