@@ -150,6 +150,32 @@ class SlopeMLModel private[fit] (override val uid: String,
   private def multiTarget: Boolean =
     slopeModel.fit.betas.headOption.exists(_.cols > 1)
 
+  /** caret `varImp` hook (reference R/caretOwl.R:228-244): per-feature
+    * importance = |β| at ONE path step — the interpolated coefficients when
+    * `sigma` is given, else the model's `sigmaIndex` submodel (the analogue
+    * of caret's `sigmaOpt` fallback; an unset index errors like the
+    * reference's "must supply a value of sigma"). The intercept row is
+    * excluded and multi-target fits take the first target column, both
+    * exactly as the reference does. Returns (feature_index, importance);
+    * names live with the upstream VectorAssembler's inputCols.
+    */
+  def varImp(sigma: Option[Double] = None): DataFrame = {
+    val beta = sigma match {
+      case Some(s) => slopeModel.coef(Array(s)).head
+      case None =>
+        val k = $(sigmaIndex)
+        require(k >= 0 && k < slopeModel.fit.sigma.length,
+          "varImp: set sigmaIndex to a path step or pass sigma explicitly")
+        slopeModel.coef()(k)
+    }
+    val ic = if (slopeModel.fit.intercept) 1 else 0
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    (0 until beta.rows - ic)
+      .map(j => (j, math.abs(beta(j + ic, 0))))
+      .toDF("feature_index", "importance")
+  }
+
   override def copy(extra: ParamMap): SlopeMLModel = {
     val m = new SlopeMLModel(uid, slopeModel)
     copyValues(m, extra).setParent(parent)

@@ -47,6 +47,23 @@ final class SlopeModel(
     }.toDF("step", "sigma", "deviance_ratio", "n_nonzero", "n_unique", "passes")
   }
 
+  /** Coefficient path in long format — the data behind the reference's
+    * path plot (plot.Owl, R/plot.R:19-109): one row per (path step,
+    * coefficient row, target) with σ and the step's deviance ratio, so
+    * "β vs σ per feature" is a direct pivot. Rendering itself is out of
+    * scope (SURVEY M15 — data-complete); any plotting layer consumes this.
+    */
+  def pathDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val names = (if (fit.intercept) Seq("intercept") else Seq.empty) ++
+      featureNames.toSeq
+    fit.betas.indices.flatMap { k =>
+      val b = fit.betas(k)
+      for (i <- 0 until b.rows; j <- 0 until b.cols) yield
+        (k, fit.sigma(k), names(i), j, b(i, j), fit.devianceRatios(k))
+    }.toDF("step", "sigma", "feature", "target", "beta", "deviance_ratio")
+  }
+
   /** Per-iteration solver traces flattened to a long DataFrame
     * (reference setupDiagnostics, R/setupDiagnostics.R:9-25): one row per
     * (path step, iteration) with wall time, primal and dual objectives.

@@ -179,15 +179,26 @@ object TrainSlope {
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val sc = df.sparkSession.sparkContext
       val futures = cells.map { case (rep, fold, q) =>
         scala.concurrent.Future {
-          // deterministic salted-hash fold id (murmur3 of (id, rep))
-          val foldCol = pmod(hash(col(idCol), lit(rep)), lit(number))
-          val train = cached.filter(foldCol =!= fold)
-          val test = cached.filter(foldCol === fold)
-          val m = SlopeEstimator.fit(train, featureCols, labelCol,
-            cfg.copy(sigma = sigma, q = q))
-          used.map(meas => meas -> m.score(test, featureCols, labelCol, meas))
+          // each cell's jobs go to their own FAIR pool (sessionConfigs sets
+          // spark.scheduler.mode=FAIR): concurrent path fits then share the
+          // cluster round-robin instead of queueing whole stages FIFO, so
+          // no cell's solver passes starve behind another's — the engine's
+          // analogue of the reference's parLapply over grid cells
+          // (R/trainOwl.R:134-144). Output is concurrency-invariant:
+          // `assemble` reorders by grid position.
+          sc.setLocalProperty("spark.scheduler.pool", s"cv-$rep-$fold-$q")
+          try {
+            // deterministic salted-hash fold id (murmur3 of (id, rep))
+            val foldCol = pmod(hash(col(idCol), lit(rep)), lit(number))
+            val train = cached.filter(foldCol =!= fold)
+            val test = cached.filter(foldCol === fold)
+            val m = SlopeEstimator.fit(train, featureCols, labelCol,
+              cfg.copy(sigma = sigma, q = q))
+            used.map(meas => meas -> m.score(test, featureCols, labelCol, meas))
+          } finally sc.setLocalProperty("spark.scheduler.pool", null)
         }
       }
       val results = scala.concurrent.Await.result(

@@ -260,15 +260,8 @@ object MlQueries {
     pathToDf(s, model)
   }
 
-  private[queries] def pathToDf(s: SparkSession, model: SlopeModel): DataFrame = {
-    import s.implicits._
-    val names = "intercept" +: model.featureNames.toSeq
-    model.fit.betas.indices.flatMap { k =>
-      val b = model.fit.betas(k)
-      for (i <- 0 until b.rows; j <- 0 until b.cols) yield
-        (k, model.fit.sigma(k), names(i), j, b(i, j), model.fit.devianceRatios(k))
-    }.toDF("step", "sigma", "feature", "target", "beta", "deviance_ratio")
-  }
+  private[queries] def pathToDf(s: SparkSession, model: SlopeModel): DataFrame =
+    model.pathDf(s) // the reference plot.Owl data surface (M15)
 
   /** The gradient reduce as a typed Dataset Aggregator (UDAF surface,
     * SURVEY §2.5): gaussian loss + full gradient at a FIXED raw-scale β,

@@ -38,7 +38,11 @@ object Tables {
     // every run (static conf — must be set before the session starts)
     "spark.sql.codegen.cache.maxEntries" -> "5000",
     // native expressions (vec_dot) on the SQL surface of every session
-    "spark.sql.extensions" -> "graft.GraftExtensions")
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    // FAIR task scheduling: single jobs behave exactly as FIFO, but the
+    // concurrent CV-cell jobs (TrainSlope) share the cluster round-robin
+    // through per-cell pools instead of queueing whole stages
+    "spark.scheduler.mode" -> "FAIR")
 
   /** Recover scan parallelism lost to coarse parquet row groups.
     *

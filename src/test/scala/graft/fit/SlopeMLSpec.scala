@@ -75,6 +75,34 @@ class SlopeMLSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rmse < sd)
   }
 
+  test("varImp surfaces per-feature |beta| through a stock ml.Pipeline (caret hook)") {
+    val data = df(200)
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("f0", "f1", "f2")).setOutputCol("fv"),
+      new SlopeML().setFeaturesCol("fv").setLabelCol("label").setNSigma(5)))
+    val fitted = pipe.fit(data)
+    val m = fitted.stages(1).asInstanceOf[SlopeMLModel]
+
+    // unset sigmaIndex must fail like the reference's missing-sigma error
+    intercept[IllegalArgumentException] { m.varImp() }
+
+    val lastStep = m.slopeModel.fit.sigma.length - 1
+    m.setSigmaIndex(lastStep)
+    val imp = m.varImp().collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(imp.keySet == Set(0, 1, 2)) // intercept excluded, one row per feature
+    val beta = m.slopeModel.coef()(lastStep)
+    (0 until 3).foreach { j =>
+      assert(imp(j) == math.abs(beta(j + 1, 0)), s"feature $j importance")
+    }
+    assert(imp.values.forall(v => v >= 0.0 && v.isFinite))
+
+    // explicit sigma interpolates between path steps (reference coef(sigma=))
+    val sig = m.slopeModel.fit.sigma
+    val mid = (sig(lastStep - 1) + sig(lastStep)) / 2.0
+    val impMid = m.varImp(Some(mid)).collect().map(_.getDouble(1))
+    assert(impMid.length == 3 && impMid.forall(_.isFinite))
+  }
+
   test("multinomial flat response keeps the full per-class probability array") {
     val prob = RandomProblem(n = 120, p = 3, family = Gaussian, seed = 5L)
     val sp = spark; import sp.implicits._
