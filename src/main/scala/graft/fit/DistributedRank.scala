@@ -36,17 +36,20 @@ object DistributedRank {
       .sortWithinPartitions(orderCols.map(col): _*)
     val wIdx = sorted.schema.fieldIndex(weightCol)
     val rdd = sorted.rdd // one RDD → both jobs reuse the range shuffle
+    // addExact everywhere: a wrapped running total would be a plausible-
+    // looking wrong rank, while the oracle side (DuckDB HUGEINT) stays
+    // correct — overflow must be loud, exactly like the Det grid guards
     val partSums = rdd.mapPartitions { it =>
       var s = 0L
-      it.foreach(r => s += r.getLong(wIdx))
+      it.foreach(r => s = Math.addExact(s, r.getLong(wIdx)))
       Iterator.single(s)
     }.collect()
-    val offsets = partSums.scanLeft(0L)(_ + _)
+    val offsets = partSums.scanLeft(0L)(Math.addExact)
     val out = rdd.mapPartitionsWithIndex { case (i, it) =>
       var c = offsets(i)
       it.map { r =>
         val before = c
-        c += r.getLong(wIdx)
+        c = Math.addExact(c, r.getLong(wIdx))
         Row.fromSeq(r.toSeq :+ before)
       }
     }

@@ -179,14 +179,15 @@ object LocalScore {
       var k = i
       while (k < j) {
         val g = grid(w(order(k)))
-        if (y(order(k)) > 0) w1g += g else w0g += g
+        if (y(order(k)) > 0) w1g = Math.addExact(w1g, g)
+        else w0g = Math.addExact(w0g, g)
         k += 1
       }
       u2 = u2.add(BigDecimal.valueOf(w1g).multiply(
         BigDecimal.valueOf(w0).multiply(BigDecimal.valueOf(2))
           .add(BigDecimal.valueOf(w0g))))
-      w1 += w1g
-      w0 += w0g
+      w1 = Math.addExact(w1, w1g)
+      w0 = Math.addExact(w0, w0g)
       i = j
     }
     math.exp(math.log(u2.doubleValue()) - math.log(2.0) -

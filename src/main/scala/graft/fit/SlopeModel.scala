@@ -363,36 +363,54 @@ final class SlopeModel(
                                   weightCol: String): Array[Double] = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
+    // weight grid cast with the SAME loud guards as LocalScore.aucWeighted:
+    // a NaN/null weight would floor-cast to 0 (row silently dropped), an
+    // infinite one would clamp to Long.MaxValue, a negative one would
+    // corrupt U — all plausible-looking wrong answers without this
+    val w = col(weightCol).cast("double")
+    val g = floor(w * lit(1e6) + lit(0.5))
+    val wg = when(w.isNotNull && !isnan(w) && w >= 0 &&
+        g < lit(9.223372036854776e18), g.cast("long"))
+      .otherwise(raise_error(format_string(
+        "auc: case weights must be finite, non-negative and under the " +
+          "1e-6 grid range, got %s", w.cast("string"))))
     val scored = transform(df, featureCols, "p_resp", predictType = "response")
       .select(posexplode(col("p_resp")).as(Seq("step", "probs")),
         (col(labelCol).cast("string") === classNames(1)).cast("double").as("y"),
-        floor(col(weightCol).cast("double") * lit(1e6) + lit(0.5))
-          .cast("long").as("wg"))
+        wg.as("wg"))
       .select(col("step"), expr("probs[0]").as("prob"), col("y"), col("wg"))
+    // per-group masses accumulate as DECIMAL(38,0) (a degenerate tie group
+    // — think constant scores over 1e13 rows — would wrap a long sum
+    // silently); the guarded downcast feeds the long-typed prefix sum,
+    // whose own accumulator overflows LOUDLY (Math.addExact)
     val grouped = scored.groupBy("step", "prob").agg(
-      sum(when(col("y") > 0, col("wg")).otherwise(lit(0L))).as("w1g"),
-      sum(when(col("y") > 0, lit(0L)).otherwise(col("wg"))).as("w0g"))
+      sum(when(col("y") > 0, col("wg")).otherwise(lit(0L)).cast(dec)).as("w1d"),
+      sum(when(col("y") > 0, lit(0L)).otherwise(col("wg")).cast(dec)).as("w0d"))
+    def downcast(c: org.apache.spark.sql.Column) =
+      when(c < lit(9.223372036854776e18), c.cast("long"))
+        .otherwise(raise_error(lit("auc: tie-group weight mass overflows long")))
+    val groupedL = grouped.select(col("step"), col("prob"),
+      downcast(col("w1d")).as("w1g"), downcast(col("w0d")).as("w0g"))
     // cum_before is GLOBAL over (step, prob); every step holds the same
     // rows, so the within-step offset is step · (per-step w0 total)
-    val pre = DistributedRank.withPrefixSum(grouped, Seq("step", "prob"), "w0g")
+    val pre = DistributedRank.withPrefixSum(groupedL, Seq("step", "prob"), "w0g")
     val rows = pre.groupBy("step").agg(
       sum((col("w1g").cast(dec) *
         (col("cum_before").cast(dec) * lit(2) + col("w0g").cast(dec))).cast(dec))
         .as("u2raw"),
-      sum(col("w1g")).as("w1"), sum(col("w0g")).as("w0"))
+      sum(col("w1g").cast(dec)).as("w1"), sum(col("w0g").cast(dec)).as("w0"))
       .collect()
     val out = new Array[Double](nSteps)
     rows.foreach { r =>
       val step = r.getInt(0)
       val u2raw = r.getDecimal(1)
-      val w1 = r.getLong(2)
-      val w0 = r.getLong(3)
+      val w1 = r.getDecimal(2)
+      val w0 = r.getDecimal(3)
       // subtract the 2 · step·W0tot · W1 contributed by earlier steps' w0
       val u2 = u2raw.subtract(java.math.BigDecimal.valueOf(2L * step)
-        .multiply(java.math.BigDecimal.valueOf(w0))
-        .multiply(java.math.BigDecimal.valueOf(w1)))
+        .multiply(w0).multiply(w1))
       out(step) = math.exp(math.log(u2.doubleValue()) - math.log(2.0) -
-        math.log(w1.toDouble) - math.log(w0.toDouble))
+        math.log(w1.doubleValue()) - math.log(w0.doubleValue()))
     }
     out
   }

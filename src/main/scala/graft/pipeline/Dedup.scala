@@ -176,11 +176,12 @@ object Dedup {
   }
 
   /** The lazy internals of [[nearDupPairs]], exposed for plan-quality tests:
-    * each fan-out frame is persisted but nothing is materialized yet.
+    * each persisted fan-out frame plus the final lazy result. (Candidate
+    * pairs are deliberately NOT carried: their two consumers share one
+    * reused exchange, so there is nothing to persist or assert on.)
     */
   private[graft] case class NearDupFrames(
-      spread: DataFrame, cand: DataFrame, candShingles: DataFrame,
-      verified: DataFrame)
+      spread: DataFrame, candShingles: DataFrame, verified: DataFrame)
 
   private[graft] def nearDupFrames(docs: DataFrame, k: Int, nHashes: Int,
       rowsPerBand: Int, threshold: Double): NearDupFrames = {
@@ -226,7 +227,7 @@ object Dedup {
     // the candidate shingle sets feed three joins in jaccardVerify (sizes +
     // both pair sides); persisted so the semi-join + re-shingle runs once
     val candSh = shingles(candDocs, k = k).persist(StorageLevel.MEMORY_AND_DISK)
-    NearDupFrames(spread, cand, candSh, jaccardVerify(cand, candSh, threshold))
+    NearDupFrames(spread, candSh, jaccardVerify(cand, candSh, threshold))
   }
 
   /** Duplicate-cluster resolution: connected components over verified

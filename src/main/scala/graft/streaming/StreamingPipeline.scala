@@ -13,6 +13,12 @@ final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Doub
   * see `graft.util.Det`): long addition is associative, so the emitted
   * `sum_value` is bit-identical across retries, shuffles, and batch
   * boundaries — and matches the batch twin's `Det.dsum` exactly.
+  *
+  * STATE SCHEMA v2 (was `sumValue: Double`): a query restarted from a
+  * checkpoint written by the v1 schema fails Spark's state-schema check by
+  * design — start such a query from a fresh checkpoint directory; do NOT
+  * disable the check (the stored Double bits would be reinterpreted as
+  * grid longs and every open session's sum would be silently garbage).
   */
 final case class SessionState(startMs: Long, lastMs: Long,
                               nEvents: Long, sumGrid: Long)

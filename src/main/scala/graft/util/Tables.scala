@@ -67,36 +67,35 @@ object Tables {
   // the `.rdd` probe compiles a SECOND physical plan for the same query
   // (~100-150 ms of pure driver planning per call); identical plans always
   // probe identical counts, so memoize per (session, canonicalized plan).
-  // Sessions are WEAK keys (a closed session's cache is collectable, and a
-  // GC-reused identity hash can never alias a live entry); plans are FULL
-  // canonicalized trees compared structurally (a 32-bit semanticHash
-  // collision would silently return the wrong count and flip a
-  // spread/repartition decision), in a bounded LRU so plan trees can't
-  // accumulate without limit. Counts can still go stale if files change
-  // under an identical plan — acceptable for this fixed test layout; a
-  // moving lake should skip the cache, not trust it.
+  // Plans are FULL canonicalized trees compared structurally (a 32-bit
+  // semanticHash collision would silently return the wrong count and flip
+  // a spread/repartition decision), in one bounded LRU so stopped
+  // sessions' plan trees age out instead of accumulating. (A WeakHashMap
+  // keyed by session does NOT work here: the cached plans strongly
+  // reference their session, and a weak key reachable from its own value
+  // is never collected.) While a session's entries live, the session is
+  // strongly held, so its identity hash cannot be recycled into a live
+  // alias; counts can still go stale if files change under an identical
+  // plan — acceptable for this fixed test layout; a moving lake should
+  // skip the cache, not trust it.
   private val ProbeCacheMax = 256
-  private val probeCaches = new java.util.WeakHashMap[SparkSession,
-    java.util.Map[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]]()
+  private type PlanKey = (Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[PlanKey, Integer](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[PlanKey, Integer]): Boolean =
+        size() > ProbeCacheMax
+    })
 
   /** Partition count of `df`'s physical plan, memoized per (session, plan). */
   def scanPartitions(df: DataFrame): Int = {
-    type Plan = org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    val inner = probeCaches.synchronized {
-      probeCaches.computeIfAbsent(df.sparkSession, _ =>
-        java.util.Collections.synchronizedMap(
-          new java.util.LinkedHashMap[Plan, Integer](64, 0.75f, true) {
-            override def removeEldestEntry(
-                e: java.util.Map.Entry[Plan, Integer]): Boolean =
-              size() > ProbeCacheMax
-          }))
-    }
-    val key = df.queryExecution.analyzed.canonicalized
-    val cached = inner.get(key)
+    val key: PlanKey = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.canonicalized)
+    val cached = probeCache.get(key)
     if (cached != null) cached.intValue()
     else {
       val n = df.rdd.getNumPartitions
-      inner.put(key, n)
+      probeCache.put(key, n)
       n
     }
   }

@@ -305,7 +305,7 @@ class SparkFitSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.{abs, col, hash, lit}
     val wdf = df.withColumn("w",
       (abs(hash(col("f0"))) % 5 + 1).cast("double"))
-    val wauc = model.score(df.columns.foldLeft(wdf)((d, _) => d),
+    val wauc = model.score(wdf,
       (0 until 4).map(j => s"f$j"), "label", "auc", weightCol = Some("w"))
     val rowsW = wdf.select((0 until 4).map(j => col(s"f$j")) ++
       Seq(col("label"), col("w")): _*).collect()
