@@ -3,7 +3,8 @@ package graft.fit
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.linalg.SQLDataTypes
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable,
+  Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
@@ -23,7 +24,8 @@ import org.apache.spark.sql.types._
   * column holds the whole path (n_sigma × m nested arrays), the engine's
   * native all-submodels form.
   */
-class SlopeML(override val uid: String) extends Estimator[SlopeMLModel] {
+class SlopeML(override val uid: String) extends Estimator[SlopeMLModel]
+  with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("slope"))
 
@@ -91,10 +93,15 @@ class SlopeML(override val uid: String) extends Estimator[SlopeMLModel] {
   }
 }
 
+/** Params-only persistence: an unfitted `SlopeML` saves/loads inside a
+  * stock `ml.Pipeline` via the standard params writer.
+  */
+object SlopeML extends DefaultParamsReadable[SlopeML]
+
 /** Fitted Pipeline model wrapping [[SlopeModel]]. */
 class SlopeMLModel private[fit] (override val uid: String,
                                  val slopeModel: SlopeModel)
-  extends Model[SlopeMLModel] {
+  extends Model[SlopeMLModel] with MLWritable {
 
   // params mirror the estimator's prediction-surface subset (copied by fit)
   final val featuresCol: Param[String] =
@@ -184,9 +191,74 @@ class SlopeMLModel private[fit] (override val uid: String,
   override def transformSchema(schema: StructType): StructType =
     SlopeMLModel.outputSchema(schema, $(predictionCol), $(predictType),
       $(sigmaIndex), multiTarget)
+
+  override def write: MLWriter = new SlopeMLModel.Writer(this)
+
+  // reader-side param application (set is protected; the companion reader
+  // routes through this package-private hook)
+  private[fit] def setLoaded(p: Param[_], v: Any): this.type =
+    set(p.asInstanceOf[Param[Any]], v)
 }
 
-object SlopeMLModel {
+/** Fitted-model persistence compatible with stock `PipelineModel.save` /
+  * `load`: a `metadata/` part in the MLlib layout (class, uid, params JSON
+  * — what `DefaultParamsReader.loadMetadata` expects) plus the inner
+  * [[SlopeModel]] in the open [[ModelIO]] parquet+JSON format.
+  */
+object SlopeMLModel extends MLReadable[SlopeMLModel] {
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private[fit] class Writer(instance: SlopeMLModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      ModelIO.save(spark, instance.slopeModel, s"$path/slopeModel")
+      def mapJson(pairs: Seq[(String, String)]) =
+        pairs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      def enc(p: Param[_], v: Any) =
+        p.asInstanceOf[Param[Any]].jsonEncode(v)
+      val setPairs = instance.params.toSeq.flatMap(p =>
+        instance.get(p).map(v => p.name -> enc(p, v)))
+      val defaultPairs = instance.params.toSeq.flatMap(p =>
+        instance.getDefault(p).map(v => p.name -> enc(p, v)))
+      val meta = Seq(
+        "\"class\":" + jstr(classOf[SlopeMLModel].getName),
+        "\"timestamp\":" + System.currentTimeMillis(),
+        "\"sparkVersion\":" + jstr(spark.version),
+        "\"uid\":" + jstr(instance.uid),
+        "\"paramMap\":" + mapJson(setPairs),
+        "\"defaultParamMap\":" + mapJson(defaultPairs)
+      ).mkString("{", ",", "}")
+      import spark.implicits._
+      Seq(meta).toDF("value").repartition(1)
+        .write.mode("overwrite").text(s"$path/metadata")
+    }
+  }
+
+  override def read: MLReader[SlopeMLModel] = new Reader
+
+  private class Reader extends MLReader[SlopeMLModel] {
+    override def load(path: String): SlopeMLModel = {
+      val spark = sparkSession
+      import org.json4s.jackson.JsonMethods
+      import org.json4s.{DefaultFormats, JObject}
+      implicit val fmt: DefaultFormats.type = DefaultFormats
+      val metaStr = spark.read.text(s"$path/metadata").head().getString(0)
+      val j = JsonMethods.parse(metaStr)
+      val uid = (j \ "uid").extract[String]
+      val inner = ModelIO.load(spark, s"$path/slopeModel")
+      val m = new SlopeMLModel(uid, inner)
+      (j \ "paramMap") match {
+        case JObject(fields) => fields.foreach { case (name, v) =>
+          val p = m.getParam(name)
+          m.setLoaded(p, p.jsonDecode(JsonMethods.compact(JsonMethods.render(v))))
+        }
+        case _ => // no explicitly-set params recorded
+      }
+      m
+    }
+  }
   private[fit] def outputSchema(schema: StructType, outCol: String,
                                 pType: String, sigmaIndex: Int,
                                 multiTarget: Boolean = false): StructType = {

@@ -123,6 +123,37 @@ class SlopeMLSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(probs.sum - 1.0) < 1e-9)
   }
 
+  test("PipelineModel save/load round-trips through the stock ml persistence") {
+    val data = df(150)
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("f0", "f1", "f2")).setOutputCol("fv"),
+      new SlopeML().setFeaturesCol("fv").setLabelCol("label").setNSigma(4)
+        .setScale("sd")))
+    val fitted = pipe.fit(data)
+    fitted.stages(1).asInstanceOf[SlopeMLModel]
+      .setSigmaIndex(2).setPredictionCol("pred2")
+    val dir = java.nio.file.Files.createTempDirectory("slopeml-io").toString
+    val path = s"$dir/pm"
+    fitted.write.overwrite().save(path)
+
+    val loaded = org.apache.spark.ml.PipelineModel.load(path)
+    val lm = loaded.stages(1).asInstanceOf[SlopeMLModel]
+    // params round-trip, including post-fit setters
+    assert(lm.getOrDefault(lm.sigmaIndex) == 2)
+    assert(lm.getOrDefault(lm.predictionCol) == "pred2")
+    assert(lm.getOrDefault(lm.scale) == "sd")
+    // predictions are identical to the original model's
+    val a = fitted.transform(data).select("pred2").collect().map(_.getDouble(0))
+    val b = loaded.transform(data).select("pred2").collect().map(_.getDouble(0))
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+
+    // the unfitted Pipeline (params-only stages) round-trips too
+    pipe.write.overwrite().save(s"$dir/pipe")
+    val p2 = Pipeline.load(s"$dir/pipe")
+    assert(p2.getStages(1).asInstanceOf[SlopeML].getOrDefault(
+      p2.getStages(1).asInstanceOf[SlopeML].scale) == "sd")
+  }
+
   test("binomial class predictions surface class names") {
     val prob = RandomProblem(n = 160, p = 3, family = Binomial, seed = 11L)
     val sp = spark; import sp.implicits._
