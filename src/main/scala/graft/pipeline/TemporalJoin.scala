@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, composed from existing
+  * operators (the brief's preference order: compose before going native —
+  * both shapes reduce to one equi-shuffle plus codegen'd projections, so
+  * a custom `SparkPlan` would buy nothing).
+  *
+  * - [[asofJoin]]: each left row picks the LATEST right row at-or-before
+  *   its timestamp per key (DuckDB/kdb "ASOF JOIN"). Implemented as a
+  *   tagged union + one per-key ordered window with `last(ignoreNulls)`:
+  *   ONE shuffle on the key, no join explosion, no per-row probe — the
+  *   scale-canonical form (a sort-merge band join would shuffle the same
+  *   data AND pay a merge with backtracking; the window is forward-only).
+  * - [[rangeJoinBucketed]]: events ⋈ intervals on containment. The naive
+  *   plan is a broadcast nested loop (fine only while the interval side is
+  *   tiny); this is the scale path — intervals EXPLODE into fixed-width
+  *   time buckets, the join becomes an equi-join on the bucket key with a
+  *   residual containment filter, and both sides shuffle-partition by
+  *   bucket. Overlapping intervals are supported (an event may match
+  *   several).
+  */
+object TemporalJoin {
+
+  /** As-of join: for each row of `left`, append `right`'s value columns
+    * from the latest right row with `right.ts <= left.ts` on the same key
+    * (nulls when no such row). `right` must be UNIQUE per (key, ts) —
+    * pre-aggregate duplicates (e.g. `max_by`) or the pick at a tied
+    * timestamp is undefined; this mirrors DuckDB ASOF, which has the same
+    * contract. One hash shuffle on `keyCols`; the window never spans keys,
+    * so parallelism is per-key at any scale.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(right.columns.contains), "valueCols must exist in right")
+    require(!valueCols.exists(leftCols.contains),
+      "valueCols collide with left columns — rename before joining")
+    // tagged union: right rows sort BEFORE left rows at a tied timestamp
+    // (side 0 < 1), so "at-or-before" includes equal-ts right rows
+    val l = left
+      .select((leftCols.map(col) :+ lit(1).as("_side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
+      .select(leftCols.map(c =>
+        if (keyCols.contains(c) || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        (lit(0).as("_side") +: valueCols.map(col)): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select((leftCols.map(col) :+ col("_side")) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+
+  /** Containment range join on fixed-width time buckets: every interval
+    * `[startCol, endCol)` of `intervals` explodes into the bucket ids it
+    * covers, events map to their single bucket, and the pair equi-joins on
+    * the bucket before the exact containment filter. Bucket width should
+    * be on the order of the typical interval length: each interval then
+    * lands in O(1) buckets and the shuffle stays linear in both inputs.
+    */
+  def rangeJoinBucketed(events: DataFrame, intervals: DataFrame,
+                        tsCol: String, startCol: String, endCol: String,
+                        bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val b = lit(bucketSeconds)
+    val ev = events.withColumn("_bucket",
+      floor(unix_timestamp(col(tsCol)) / b).cast("long"))
+    val iv = intervals.withColumn("_bucket",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol)) / b).cast("long"),
+        // end is EXCLUSIVE: an interval ending exactly on a bucket
+        // boundary must not claim the next bucket
+        floor((unix_timestamp(col(endCol)) - 1) / b).cast("long"))))
+    ev.join(iv, Seq("_bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_bucket")
+  }
+}

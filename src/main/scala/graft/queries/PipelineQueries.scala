@@ -857,7 +857,72 @@ object PipelineQueries {
     }
   }
 
+  /** As-of join (DuckDB/kdb ASOF): every click event picks the user's
+    * latest purchase value at-or-before its timestamp. Spark lacks the
+    * operator; [[graft.pipeline.TemporalJoin.asofJoin]] composes it as a
+    * tagged union + one per-key ordered window — ONE shuffle on user_id,
+    * no join explosion. The purchase side pre-aggregates to unique
+    * (user_id, ts) via max_by(event_id) so tied timestamps are
+    * deterministic in both engines.
+    */
+  val asofJoin: Q = Q.sql(
+    "p_asof_join",
+    """WITH r AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts, arg_max(value, event_id) AS last_purchase
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts::TIMESTAMP),
+      |l AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value AS click_value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT l.event_id, l.user_id, l.click_value, r.last_purchase
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("last_purchase"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("click_value"))
+    TemporalJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+        Seq("last_purchase"))
+      .select("event_id", "user_id", "click_value", "last_purchase")
+      .orderBy("event_id")
+  }
+
+  /** Range (containment) join: events against 20 OVERLAPPING 24 h windows
+    * on a 12 h stride. The scale path never nested-loops:
+    * [[graft.pipeline.TemporalJoin.rangeJoinBucketed]] explodes each
+    * window into its 12 h time buckets and equi-joins on the bucket key
+    * with a residual containment filter, so both sides shuffle-partition
+    * and overlapping windows multiply only the (tiny) interval side.
+    */
+  val rangeJoin: Q = {
+    val nWindows = 20
+    Q.sql(
+      "p_range_join",
+      s"""WITH w AS (
+         |  SELECT k::INT AS window_id,
+         |         TIMESTAMP '2024-01-01' + k * INTERVAL 12 HOUR AS ws,
+         |         TIMESTAMP '2024-01-01' + k * INTERVAL 12 HOUR + INTERVAL 24 HOUR AS we
+         |  FROM range($nWindows) t(k))
+         |SELECT w.window_id, count(*)::BIGINT AS n_events,
+         |       ${Det.dsumSql("e.value")} AS sum_value
+         |FROM events e JOIN w ON e.ts::TIMESTAMP >= w.ws AND e.ts::TIMESTAMP < w.we
+         |GROUP BY w.window_id ORDER BY w.window_id""".stripMargin) { (s, dir) =>
+      val windows = s.range(nWindows).select(
+        col("id").cast("int").as("window_id"),
+        expr("timestampadd(HOUR, id * 12, TIMESTAMP'2024-01-01 00:00:00')").as("ws"),
+        expr("timestampadd(HOUR, id * 12 + 24, TIMESTAMP'2024-01-01 00:00:00')").as("we"))
+      TemporalJoin.rangeJoinBucketed(Tables.t(s, dir, "events"), windows,
+          "ts", "ws", "we", bucketSeconds = 12L * 3600)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy("window_id")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
+    asofJoin, rangeJoin,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,

@@ -188,6 +188,24 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asof join is join-free (union + window), range join is an equi-join on the bucket key") {
+    val asof = planOf("p_asof_join")
+    // the whole as-of semantic rides ONE per-key window over a union —
+    // any Join node would mean the composition regressed to a probe
+    assert(asof.contains("Window"), s"asof lost its window:\n$asof")
+    assert(!asof.contains("Join"), s"asof should not contain a join:\n$asof")
+    val shuffles = asof.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 3, s"asof join has $shuffles hash exchanges:\n$asof")
+
+    val range = planOf("p_range_join")
+    // bucketing exists precisely so the containment join is an EQUI join;
+    // a nested-loop or cartesian product means the bucket key got lost
+    assert(!range.contains("CartesianProduct") &&
+      !range.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a non-equi join:\n$range")
+    assert(range.contains("Join"), s"range join plan lost its join:\n$range")
+  }
+
   test("model predict is UDF-free and stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val li = graft.util.Tables.t(spark, dir, "lineitem")
