@@ -207,32 +207,33 @@ class SlopeMLModel private[fit] (override val uid: String,
   */
 object SlopeMLModel extends MLReadable[SlopeMLModel] {
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-
   private[fit] class Writer(instance: SlopeMLModel) extends MLWriter {
     override protected def saveImpl(path: String): Unit = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      import org.json4s.{JObject, JValue}
       val spark = sparkSession
       ModelIO.save(spark, instance.slopeModel, s"$path/slopeModel")
-      def mapJson(pairs: Seq[(String, String)]) =
-        pairs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-      def enc(p: Param[_], v: Any) =
-        p.asInstanceOf[Param[Any]].jsonEncode(v)
+      // structural JSON (json4s, like the Reader): hand concatenation
+      // would emit an unparseable metadata line for e.g. a uid containing
+      // a control character
+      def paramsJson(pairs: Seq[(String, JValue)]): JObject = JObject(pairs.toList)
+      def enc(p: Param[_], v: Any): JValue =
+        JsonMethods.parse(p.asInstanceOf[Param[Any]].jsonEncode(v))
       val setPairs = instance.params.toSeq.flatMap(p =>
         instance.get(p).map(v => p.name -> enc(p, v)))
       val defaultPairs = instance.params.toSeq.flatMap(p =>
         instance.getDefault(p).map(v => p.name -> enc(p, v)))
-      val meta = Seq(
-        "\"class\":" + jstr(classOf[SlopeMLModel].getName),
-        "\"timestamp\":" + System.currentTimeMillis(),
-        "\"sparkVersion\":" + jstr(spark.version),
-        "\"uid\":" + jstr(instance.uid),
-        "\"paramMap\":" + mapJson(setPairs),
-        "\"defaultParamMap\":" + mapJson(defaultPairs)
-      ).mkString("{", ",", "}")
+      val meta: JObject =
+        ("class" -> classOf[SlopeMLModel].getName) ~
+          ("timestamp" -> System.currentTimeMillis()) ~
+          ("sparkVersion" -> spark.version) ~
+          ("uid" -> instance.uid) ~
+          ("paramMap" -> paramsJson(setPairs)) ~
+          ("defaultParamMap" -> paramsJson(defaultPairs))
       import spark.implicits._
-      Seq(meta).toDF("value").repartition(1)
-        .write.mode("overwrite").text(s"$path/metadata")
+      Seq(JsonMethods.compact(JsonMethods.render(meta))).toDF("value")
+        .repartition(1).write.mode("overwrite").text(s"$path/metadata")
     }
   }
 

@@ -36,27 +36,38 @@ object TemporalJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(keyCols.nonEmpty,
+      "asofJoin: empty keyCols would build a single-partition global window")
     require(valueCols.forall(right.columns.contains), "valueCols must exist in right")
     require(!valueCols.exists(leftCols.contains),
       "valueCols collide with left columns — rename before joining")
+    require(!(left.columns ++ right.columns).exists(Set("_side", "_vals")),
+      "asofJoin reserves the _side and _vals column names")
+    // the right row's values travel as ONE non-null STRUCT: `last` must
+    // pick the latest right ROW, not the latest non-null value per column —
+    // carrying columns separately would resurrect an older row's value
+    // when the latest row holds a null, and could stitch fields from
+    // different rows (the DuckDB-ASOF contract is row-wise)
+    val valStruct = struct(valueCols.map(col): _*)
     // tagged union: right rows sort BEFORE left rows at a tied timestamp
     // (side 0 < 1), so "at-or-before" includes equal-ts right rows
-    val l = left
-      .select((leftCols.map(col) :+ lit(1).as("_side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val l = left.select(leftCols.map(col) :+ lit(1).as("_side") :+
+      lit(null).cast(right.select(valStruct).schema.head.dataType).as("_vals"): _*)
     val r = right
-      .select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
+      .select((keyCols :+ tsCol).map(col) :+ valStruct.as("_vals"): _*)
       .select(leftCols.map(c =>
         if (keyCols.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (lit(0).as("_side") +: valueCols.map(col)): _*)
+        Seq(lit(0).as("_side"), col("_vals")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select((leftCols.map(col) :+ col("_side")) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.filter(col("_side") === 1).drop("_side")
+      .select(leftCols.map(col) :+ col("_side") :+
+        last(col("_vals"), ignoreNulls = true).over(w).as("_vals"): _*)
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("_vals").getField(c).as(c)): _*)
   }
 
   /** Containment range join on fixed-width time buckets: every interval
@@ -70,15 +81,22 @@ object TemporalJoin {
                         tsCol: String, startCol: String, endCol: String,
                         bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
-    val b = lit(bucketSeconds)
+    require(!(events.columns ++ intervals.columns).contains("_bucket"),
+      "rangeJoinBucketed reserves the _bucket column name")
+    // bucket arithmetic in MICROSECONDS (Spark timestamps are µs):
+    // unix_timestamp truncates to whole seconds, and with a sub-second
+    // interval end sitting just past a bucket boundary the truncated
+    // exclusive-end math would drop the interval's real last bucket —
+    // silently losing matches
+    val bUs = lit(bucketSeconds * 1000000L)
     val ev = events.withColumn("_bucket",
-      floor(unix_timestamp(col(tsCol)) / b).cast("long"))
+      floor(unix_micros(col(tsCol)) / bUs).cast("long"))
     val iv = intervals.withColumn("_bucket",
       explode(sequence(
-        floor(unix_timestamp(col(startCol)) / b).cast("long"),
+        floor(unix_micros(col(startCol)) / bUs).cast("long"),
         // end is EXCLUSIVE: an interval ending exactly on a bucket
         // boundary must not claim the next bucket
-        floor((unix_timestamp(col(endCol)) - 1) / b).cast("long"))))
+        floor((unix_micros(col(endCol)) - 1) / bUs).cast("long"))))
     ev.join(iv, Seq("_bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bucket")

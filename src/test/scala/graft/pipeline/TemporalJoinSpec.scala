@@ -47,6 +47,43 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getDouble(3) == 9.0)
   }
 
+  test("asofJoin is row-wise: a null in the LATEST right row wins over older non-nulls") {
+    val sp = spark; import sp.implicits._
+    // latest at-or-before row (ts=20) carries v=null, a=2 — the result must
+    // be THAT row's (null, 2), not v=5.0 resurrected from ts=10
+    val left = Seq((1L, 1L, new java.sql.Timestamp(30000L))).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, new java.sql.Timestamp(10000L), Some(5.0), Some(1L)),
+      (1L, new java.sql.Timestamp(20000L), None, Some(2L)))
+      .toDF("k", "ts", "v", "a")
+    val row = TemporalJoin.asofJoin(left, right, Seq("k"), "ts", Seq("v", "a")).head()
+    assert(row.isNullAt(3), s"expected latest row's null v, got ${row.get(3)}")
+    assert(row.getLong(4) == 2L)
+    // guards: empty keys and reserved names fail fast
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(left, right, Seq.empty, "ts", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(left.withColumn("_side",
+        org.apache.spark.sql.functions.lit(0)), right, Seq("k"), "ts", Seq("v"))
+    }
+  }
+
+  test("rangeJoinBucketed keeps matches for sub-second interval ends on bucket boundaries") {
+    val sp = spark; import sp.implicits._
+    val base = 1700000000L // seconds; bucket width 3600 aligned
+    // interval end = next bucket boundary + 0.5s; event 0.2s past the
+    // boundary is INSIDE the interval and must survive the bucket math
+    val ev = Seq((1L, new java.sql.Timestamp(base * 1000L + 3600000L + 200L)))
+      .toDF("eid", "ts")
+    val iv = Seq((0, new java.sql.Timestamp(base * 1000L),
+      new java.sql.Timestamp(base * 1000L + 3600000L + 500L)))
+      .toDF("wid", "ws", "we")
+    val got = TemporalJoin.rangeJoinBucketed(ev, iv, "ts", "ws", "we", 3600)
+      .select("eid", "wid").collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+  }
+
   test("rangeJoinBucketed matches brute-force containment, end exclusive, overlaps kept") {
     val sp = spark; import sp.implicits._
     val base = 1700000000L
