@@ -28,6 +28,21 @@ final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                              session_end: java.sql.Timestamp,
                              n_events: Long, sum_value: Double)
 
+/** One tagged row of the streaming as-of input (side 0 = reference
+  * update, side 1 = event to enrich).
+  */
+final case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
+                           value: Double)
+
+/** Latest reference value per key — the O(1) as-of state. */
+final case class AsofState(refTsMs: Long, refValue: Double)
+
+/** An event enriched with the as-of reference value (None before the
+  * first reference update for its key).
+  */
+final case class AsofEnriched(key: Long, ts: java.sql.Timestamp,
+                              value: Double, ref_value: Option[Double])
+
 /** Structured Streaming variants of the stateless pipeline operators
   * (SURVEY.md §7.5: the reference is strictly batch; streaming enters only
   * on the extension surface). The same codegen'd column expressions from
@@ -95,6 +110,54 @@ object StreamingPipeline {
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         updateSessions(gapMs))
+  }
+
+  /** Streaming twin of [[graft.pipeline.TemporalJoin.asofJoin]]: every
+    * event is enriched with the latest reference value at-or-before it.
+    * State per key is ONE (ts, value) record — bounded by active keys,
+    * never by history — so the query runs forever at ingest scale.
+    *
+    * Semantics: within a micro-batch the enrichment is EXACT as-of
+    * (rows process in (ts, side) order, reference updates first on
+    * ties). Across batches only the latest reference survives, so an
+    * event arriving LATER than a newer reference update is enriched
+    * with the latest-known value — the standard streaming-enrich
+    * trade; use the batch operator for reprocessing-exact semantics.
+    *
+    * `events` columns: key (long), ts (timestamp), value (double);
+    * `refUpdates`: key, ts, ref_value.
+    */
+  def asofEnrichStream(events: DataFrame, refUpdates: DataFrame): Dataset[AsofEnriched] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val tagged = refUpdates
+      .select(col("key").cast("long").as("key"), col("ts"),
+        lit(0).as("side"), col("ref_value").cast("double").as("value"))
+      .unionByName(events.select(col("key").cast("long").as("key"), col("ts"),
+        lit(1).as("side"), col("value").cast("double").as("value")))
+      .as[AsofEvent]
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateAsof)
+  }
+
+  private def updateAsof(key: Long, rows: Iterator[AsofEvent],
+                         state: GroupState[AsofState]): Iterator[AsofEnriched] = {
+    // (ts, side, value): refs before events on tied timestamps, value as
+    // the deterministic tie-break (same rationale as updateSessions)
+    val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.side, e.value))
+    var cur = state.getOption
+    val out = Array.newBuilder[AsofEnriched]
+    evs.foreach { e =>
+      if (e.side == 0) {
+        if (cur.forall(c => e.ts.getTime >= c.refTsMs))
+          cur = Some(AsofState(e.ts.getTime, e.value))
+      } else {
+        out += AsofEnriched(key, e.ts, e.value, cur.map(_.refValue))
+      }
+    }
+    cur.foreach(state.update)
+    out.result().iterator
   }
 
   /** Det grid scale for the session value sum (matches `Det.dsum` default). */

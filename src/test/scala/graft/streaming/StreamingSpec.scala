@@ -141,6 +141,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming as-of enrich: exact within a batch, latest-ref state across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = MemoryStream[(Long, Timestamp, Double)]
+    val refs = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingPipeline.asofEnrichStream(
+      events.toDF().toDF("key", "ts", "value"),
+      refs.toDF().toDF("key", "ts", "ref_value"))
+    // batch 1 data is buffered BEFORE the query starts so refs and events
+    // land in ONE micro-batch (started queries may split two addData calls
+    // across batches, which would exercise only the cross-batch path):
+    // within-batch exactness — event at 10:05 sees the 10:00 ref, not the
+    // 10:10 one; event at 09:55 predates every ref → null; a tied
+    // timestamp includes the ref (at-or-before)
+    refs.addData((1L, ts("2026-01-01 10:00:00"), 100.0),
+      (1L, ts("2026-01-01 10:10:00"), 200.0))
+    events.addData(
+      (1L, ts("2026-01-01 09:55:00"), 1.0),
+      (1L, ts("2026-01-01 10:05:00"), 2.0),
+      (1L, ts("2026-01-01 10:10:00"), 3.0))
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val b1 = sp.sql("SELECT value, ref_value FROM asof_out").collect()
+        .map(r => r.getDouble(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+      assert(b1(1.0).isEmpty, "event before any ref must enrich to null")
+      assert(b1(2.0).contains(100.0), "mid event must see the 10:00 ref")
+      assert(b1(3.0).contains(200.0), "tied timestamp includes the ref")
+
+      // batch 2: only the LATEST ref survives as state
+      events.addData((1L, ts("2026-01-01 10:20:00"), 4.0))
+      q.processAllAvailable()
+      val b2 = sp.sql("SELECT ref_value FROM asof_out WHERE value = 4.0")
+        .head().getDouble(0)
+      assert(b2 == 200.0)
+      // a key with no refs at all enriches to null
+      events.addData((2L, ts("2026-01-01 10:21:00"), 5.0))
+      q.processAllAvailable()
+      assert(sp.sql("SELECT ref_value FROM asof_out WHERE value = 5.0").head().isNullAt(0))
+    } finally q.stop()
+  }
+
   test("stateless streaming language-ID tags rows") {
     val sp = spark
     import sp.implicits._
