@@ -96,6 +96,52 @@ object PipelineQueries {
       .limit(50)
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * `tf · ln(N/df)` (first 10 docs listed; df/N always computed over the
+    * FULL corpus). Scale shape: the global (doc, term) count table is
+    * computed once — its aggregation exchange is reused by both consumers
+    * (the df aggregate and the doc-filtered scoring side) — then one
+    * vocab-sized join on the term and a per-doc top-k window. Ints stay
+    * exact end-to-end; the one float (the score) rounds to 9 decimals
+    * with term tie-breaks, so ranking is engine-independent.
+    */
+  val tfidfTopK: Q = Q.sql(
+    "p_tfidf_topk",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT t.doc_id, t.tok,
+      |         round(t.tf * ln(n.n_docs::DOUBLE / d.df::DOUBLE), 9) AS tfidf
+      |  FROM tf t JOIN df d USING (tok) CROSS JOIN n
+      |  WHERE t.doc_id < 10),
+      |r AS (SELECT doc_id, tok, tfidf,
+      |             row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY tfidf DESC, tok) AS rnk
+      |      FROM sc)
+      |SELECT doc_id, rnk::BIGINT AS rnk, tok, tfidf
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = docsSpread(s, dir)
+      .select(col("doc_id"), explode(TextPipeline.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(col("doc_id") < 10)
+      .join(dft, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log(col("n_docs").cast("double") / col("df").cast("double")), 9))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Bigram counts over word tokens, top 50 — the n-gram statistics pass. */
   val bigramTopK: Q = Q.sql(
     "p_bigram_topk",
@@ -922,7 +968,7 @@ object PipelineQueries {
   }
 
   val queries: Seq[Q] = Seq(
-    asofJoin, rangeJoin,
+    asofJoin, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
