@@ -55,6 +55,50 @@ object Similarity {
       .select("probe_id", "rank", "cand_id", "cos")
   }
 
+  /** Symmetric per-vector max-abs int8 quantization of the embedding
+    * column — the 4× storage compression every 100 TB vector corpus wants
+    * at rest. Output: (id, scale float, q array<tinyint>) with
+    * `q[i] = floor(x[i]/scale + 0.5)`, scale = max|x|/127 (the Det
+    * floor-grid rounding, so both engines of an oracle agree bit-exactly);
+    * an all-zero vector quantizes to zeros with scale 0.
+    */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("_dv"))
+      .withColumn("_s",
+        array_max(transform(col("_dv"), x => abs(x))) / lit(127.0))
+      .select(col(idCol), col("_s").cast("float").as("scale"),
+        when(col("_s") === 0,
+          transform(col("_dv"), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col("_dv"),
+            x => floor(x / col("_s") + lit(0.5)).cast("tinyint"))).as("q"))
+
+  /** Brute-force cosine top-k over the int8-QUANTIZED vectors: the two
+    * per-vector scales cancel out of the cosine, so the score is exact
+    * integer arithmetic over the byte arrays (one double division at the
+    * end) — engine-independent without any dequantization, and the dot
+    * products run on the same native [[graft.functions.VecDot]] codegen
+    * (byte getter). Same probe-broadcast shape as [[cosineTopK]].
+    */
+  def int8CosineTopK(embeddings: DataFrame, probePred: Column, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val qt = quantizeInt8(embeddings, idCol, vecCol)
+    val probes = qt.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("q").as("pq"))
+    val cands = qt.select(col(idCol).as("cand_id"), col("q").as("cq"))
+    val scored = cands.crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(cosine(col("pq"), col("cq")), 9).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "cand_id", "cos")
+  }
+
   /** Sign-LSH bucket id (0..2^nPlanes−1) for each vector: bit s is the sign
     * of the projection onto a pseudo-random ±1 hyperplane derived from
     * md5("h<s>-<dim>").

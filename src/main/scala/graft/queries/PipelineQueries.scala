@@ -282,6 +282,41 @@ object PipelineQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Int8-quantized cosine top-5 for the same probe set as
+    * `p_cosine_topk`: per-vector max-abs quantization (Det floor-grid
+    * rounding), then cosine over the BYTE arrays — the scales cancel, so
+    * every dot product is exact integer arithmetic and the ranking is
+    * engine-independent by construction. The quantized ranking is the 4×
+    * storage path's recall baseline against the exact query.
+    */
+  val annInt8TopK: Q = Q.sql(
+    "p_ann_int8_topk",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+      |m AS (SELECT vec_id, dv,
+      |             list_max(list_transform(dv, x -> abs(x))) / 127.0 AS s
+      |      FROM v),
+      |q AS (SELECT vec_id,
+      |             CASE WHEN s = 0 THEN list_transform(dv, x -> 0.0)
+      |                  ELSE list_transform(dv, x -> floor(x / s + 0.5)) END AS qv
+      |      FROM m),
+      |p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS cand_id, qv AS cq FROM q),
+      |sc AS (
+      |  SELECT probe_id, cand_id,
+      |         round(list_dot_product(pq, cq) /
+      |               (sqrt(list_dot_product(pq, pq)) * sqrt(list_dot_product(cq, cq))), 9) AS cos
+      |  FROM p, c WHERE cand_id != probe_id),
+      |r AS (SELECT probe_id, cand_id, cos,
+      |             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+      |      FROM sc)
+      |SELECT probe_id, rank::BIGINT AS rank, cand_id, cos FROM r WHERE rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+    Similarity.int8CosineTopK(emb(s, dir), col("vec_id") % 100 === 0, 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Sign-LSH bucket histogram — the ANN scale path's index diagnostic. */
   val annLshBuckets: Q = Q.sql(
     "p_ann_lsh_buckets",
@@ -970,7 +1005,7 @@ object PipelineQueries {
   val queries: Seq[Q] = Seq(
     asofJoin, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
-    minhashLshDedup, simhashHamming, cosineTopK, annLshBuckets,
+    minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, packSequences, decontaminate,

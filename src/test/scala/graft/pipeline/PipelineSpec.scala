@@ -236,6 +236,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Similarity.cosineTopK(df, col("vec_id") === 0, k = 3)
       .collect().map(r => (r.getInt(1), r.getLong(2))).toList
     assert(out.map(_._2) == List(1L, 2L, 3L)) // by descending cosine
+
+    // int8 quantization preserves the ranking on well-separated vectors,
+    // quantized values stay in [-127, 127], and the max element hits ±127
+    val qt = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](2)).toMap
+    assert(qt(0L) == Seq[Byte](127, 0, 0))
+    assert(qt(3L) == Seq[Byte](-127, 0, 0))
+    assert(qt.values.flatten.forall(b => b >= -127 && b <= 127))
+    val qout = Similarity.int8CosineTopK(df, col("vec_id") === 0, k = 3)
+      .collect().map(_.getLong(2)).toList
+    assert(qout == List(1L, 2L, 3L), s"quantized ranking diverged: $qout")
   }
 
   test("LSH buckets: identical vectors share buckets; topk finds the twin") {
