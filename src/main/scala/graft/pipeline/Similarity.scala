@@ -85,18 +85,14 @@ object Similarity {
   def int8CosineTopK(embeddings: DataFrame, probePred: Column, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    // zero vectors (scale 0) quantize to all-zero bytes whose cosine is
+    // NaN — and Spark sorts NaN ABOVE every real score, so one zero
+    // vector would take rank 1 for every probe; they have no defined
+    // direction, so exclude them from both sides
     val qt = quantizeInt8(embeddings, idCol, vecCol)
-    val probes = qt.filter(probePred)
-      .select(col(idCol).as("probe_id"), col("q").as("pq"))
-    val cands = qt.select(col(idCol).as("cand_id"), col("q").as("cq"))
-    val scored = cands.crossJoin(broadcast(probes))
-      .filter(col("cand_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("cand_id"),
-        round(cosine(col("pq"), col("cq")), 9).as("cos"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "rank", "cand_id", "cos")
+      .filter(col("scale") =!= 0.0)
+    // identical ranking recipe to the exact path by construction
+    cosineTopK(qt, probePred, k, idCol, vecCol = "q")
   }
 
   /** Sign-LSH bucket id (0..2^nPlanes−1) for each vector: bit s is the sign

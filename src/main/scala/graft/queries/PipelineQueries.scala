@@ -98,10 +98,12 @@ object PipelineQueries {
 
   /** TF-IDF keyword extraction: top-3 terms per document by
     * `tf · ln(N/df)` (first 10 docs listed; df/N always computed over the
-    * FULL corpus). Scale shape: the global (doc, term) count table is
-    * computed once — its aggregation exchange is reused by both consumers
-    * (the df aggregate and the doc-filtered scoring side) — then one
-    * vocab-sized join on the term and a per-doc top-k window. Ints stay
+    * FULL corpus). Scale shape: the df side aggregates the whole corpus
+    * while the scoring side's doc filter pushes into its OWN parquet scan
+    * (Catalyst specializes the two tf subplans, so the corpus tokenizes
+    * twice — the price of the scoring scan reading only the listed docs);
+    * then one vocab-sized join on the term and a per-doc top-k window —
+    * all map-side-combinable aggregations and equi-joins. Ints stay
     * exact end-to-end; the one float (the score) rounds to 9 decimals
     * with term tie-breaks, so ranking is engine-independent.
     */

@@ -114,8 +114,14 @@ object StreamingPipeline {
 
   /** Streaming twin of [[graft.pipeline.TemporalJoin.asofJoin]]: every
     * event is enriched with the latest reference value at-or-before it.
-    * State per key is ONE (ts, value) record — bounded by active keys,
-    * never by history — so the query runs forever at ingest scale.
+    * State per key is ONE (ts, value) record. With `stateTtlMs > 0` (and
+    * a `delayThreshold` watermark), a key idle past the TTL is EVICTED on
+    * event-time timeout, so the store is bounded by RECENTLY ACTIVE keys
+    * and the query runs forever under key churn — a later event for an
+    * evicted key enriches to null, the documented price of forgetting.
+    * With the default `stateTtlMs = -1` nothing is ever evicted: exact
+    * forever, but the store grows with every key EVER seen — only for
+    * closed key domains.
     *
     * Semantics: within a micro-batch the enrichment is EXACT as-of
     * (rows process in (ts, side) order, reference updates first on
@@ -127,37 +133,59 @@ object StreamingPipeline {
     * `events` columns: key (long), ts (timestamp), value (double);
     * `refUpdates`: key, ts, ref_value.
     */
-  def asofEnrichStream(events: DataFrame, refUpdates: DataFrame): Dataset[AsofEnriched] = {
+  def asofEnrichStream(events: DataFrame, refUpdates: DataFrame,
+                       delayThreshold: String = "",
+                       stateTtlMs: Long = -1L): Dataset[AsofEnriched] = {
+    require(stateTtlMs < 0 || delayThreshold.nonEmpty,
+      "asofEnrichStream: a state TTL needs a watermark (delayThreshold) " +
+        "to drive event-time timeouts")
     val sp = events.sparkSession
     import sp.implicits._
-    val tagged = refUpdates
+    val union = refUpdates
       .select(col("key").cast("long").as("key"), col("ts"),
         lit(0).as("side"), col("ref_value").cast("double").as("value"))
       .unionByName(events.select(col("key").cast("long").as("key"), col("ts"),
         lit(1).as("side"), col("value").cast("double").as("value")))
-      .as[AsofEvent]
+    val tagged =
+      (if (delayThreshold.nonEmpty) union.withWatermark("ts", delayThreshold)
+       else union).as[AsofEvent]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState[AsofState, AsofEnriched](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateAsof)
+        OutputMode.Append(), timeout)(updateAsof(stateTtlMs))
   }
 
-  private def updateAsof(key: Long, rows: Iterator[AsofEvent],
-                         state: GroupState[AsofState]): Iterator[AsofEnriched] = {
-    // (ts, side, value): refs before events on tied timestamps, value as
-    // the deterministic tie-break (same rationale as updateSessions)
-    val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.side, e.value))
-    var cur = state.getOption
-    val out = Array.newBuilder[AsofEnriched]
-    evs.foreach { e =>
-      if (e.side == 0) {
-        if (cur.forall(c => e.ts.getTime >= c.refTsMs))
-          cur = Some(AsofState(e.ts.getTime, e.value))
-      } else {
-        out += AsofEnriched(key, e.ts, e.value, cur.map(_.refValue))
+  private def updateAsof(stateTtlMs: Long)(
+      key: Long, rows: Iterator[AsofEvent],
+      state: GroupState[AsofState]): Iterator[AsofEnriched] = {
+    if (state.hasTimedOut) {
+      state.remove() // idle past the TTL — forget the reference
+      Iterator.empty
+    } else {
+      // (ts, side, value): refs before events on tied timestamps, value as
+      // the deterministic tie-break (same rationale as updateSessions)
+      val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.side, e.value))
+      var cur = state.getOption
+      var maxTs = Long.MinValue
+      val out = Array.newBuilder[AsofEnriched]
+      evs.foreach { e =>
+        maxTs = math.max(maxTs, e.ts.getTime)
+        if (e.side == 0) {
+          if (cur.forall(c => e.ts.getTime >= c.refTsMs))
+            cur = Some(AsofState(e.ts.getTime, e.value))
+        } else {
+          out += AsofEnriched(key, e.ts, e.value, cur.map(_.refValue))
+        }
       }
+      cur.foreach { c =>
+        state.update(c)
+        if (stateTtlMs > 0)
+          state.setTimeoutTimestamp(math.max(maxTs, c.refTsMs) + stateTtlMs)
+      }
+      out.result().iterator
     }
-    cur.foreach(state.update)
-    out.result().iterator
   }
 
   /** Det grid scale for the session value sum (matches `Det.dsum` default). */

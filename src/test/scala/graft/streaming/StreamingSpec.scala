@@ -185,6 +185,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming as-of TTL evicts idle references once the watermark passes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = MemoryStream[(Long, Timestamp, Double)]
+    val refs = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingPipeline.asofEnrichStream(
+      events.toDF().toDF("key", "ts", "value"),
+      refs.toDF().toDF("key", "ts", "ref_value"),
+      delayThreshold = "1 second", stateTtlMs = 60000L)
+    refs.addData((1L, ts("2026-01-01 10:00:00"), 100.0))
+    events.addData((1L, ts("2026-01-01 10:00:30"), 1.0))
+    val q = out.writeStream.format("memory").queryName("asof_ttl_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sp.sql("SELECT ref_value FROM asof_ttl_out WHERE value = 1.0")
+        .head().getDouble(0) == 100.0)
+      // advance the watermark far past key 1's TTL (timeout at 10:01:30)…
+      events.addData((2L, ts("2026-01-01 11:00:00"), 2.0))
+      q.processAllAvailable()
+      // …so the NEXT trigger evicts key 1's reference (it has no new data)
+      events.addData((3L, ts("2026-01-01 11:00:10"), 3.0))
+      q.processAllAvailable()
+      // a later key-1 event finds no reference — enriched to null
+      events.addData((1L, ts("2026-01-01 11:02:00"), 4.0))
+      q.processAllAvailable()
+      assert(sp.sql("SELECT ref_value FROM asof_ttl_out WHERE value = 4.0")
+        .head().isNullAt(0), "evicted reference must enrich to null")
+    } finally q.stop()
+  }
+
   test("stateless streaming language-ID tags rows") {
     val sp = spark
     import sp.implicits._
