@@ -18,6 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Per-document OVERLAPPING window chunking — the other standard
+    * pre-training layout (long-document splitting with context overlap,
+    * vs. [[packChunks]]' cross-document concatenation): windows of
+    * `window` tokens starting every `stride` tokens (`window - stride`
+    * tokens of overlap), last window partial. Entirely ROW-LOCAL — the
+    * explode is bounded by per-document length and nothing shuffles — so
+    * it scales embarrassingly. Output: (id, chunk_id, n_tokens, chunk)
+    * with `chunk` the space-joined token window.
+    *
+    * Chunk count: 1 for n ≤ window, else 1 + ⌈(n − window)/stride⌉
+    * (every token is covered; no chunk starts at-or-past the end).
+    * Documents with zero tokens emit no rows.
+    */
+  def chunkOverlap(docs: DataFrame, idCol: String, tokensCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val n = size(col(tokensCol))
+    val nChunks = when(n <= 0, lit(0))
+      .otherwise(lit(1) + ceil((greatest(n - lit(window), lit(0)))
+        .cast("double") / lit(stride.toDouble)).cast("int"))
+    docs
+      .select(col(idCol).as("id"), col(tokensCol).as("toks"), nChunks.as("nc"))
+      .filter(col("nc") > 0)
+      .select(col("id"), col("toks"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+      .select(col("id"), col("chunk_id"),
+        slice(col("toks"), col("chunk_id") * lit(stride) + 1, lit(window)).as("w"))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        array_join(col("w"), " ").as("chunk"))
+  }
+
   /** Per-document packing assignment: shard, token interval
     * [start_tok, end_tok) in the shard's concatenated stream, and the
     * first/last chunk the document touches.

@@ -319,6 +319,36 @@ object PipelineQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Overlapping context-window chunking (the long-document pre-training
+    * split; `Packing.chunkOverlap`): 32-token windows every 24 tokens for
+    * the first 50 docs. Entirely row-local — only the final sort shuffles.
+    * Chunks compare by their md5₆₀ fingerprint (full text would bloat the
+    * hash-compare; the fingerprint pins content exactly).
+    */
+  val chunkOverlap: Q = Q.sql(
+    "p_chunk_overlap",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |  FROM documents WHERE doc_id < 50),
+      |n AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+      |c AS (SELECT doc_id, ts,
+      |             unnest(range(0, (1 + CASE WHEN n > 32
+      |               THEN ceil((n - 32) / 24.0) ELSE 0 END)::BIGINT)) AS chunk_id
+      |      FROM n),
+      |w AS (SELECT doc_id, chunk_id,
+      |             ts[(chunk_id*24 + 1)::INT : (chunk_id*24 + 32)::INT] AS w
+      |      FROM c)
+      |SELECT doc_id, chunk_id::BIGINT AS chunk_id, len(w)::BIGINT AS n_tokens,
+      |       ('0x' || substr(md5(array_to_string(w, ' ')), 1, 15))::BIGINT AS fp
+      |FROM w ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    val toks = docs(s, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), TextPipeline.tokens(col("text")).as("toks"))
+    Packing.chunkOverlap(toks, "doc_id", "toks", window = 32, stride = 24)
+      .select(col("id").as("doc_id"), col("chunk_id"), col("n_tokens"),
+        Det.md5Hash60(col("chunk")).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Sign-LSH bucket histogram — the ANN scale path's index diagnostic. */
   val annLshBuckets: Q = Q.sql(
     "p_ann_lsh_buckets",
@@ -1010,7 +1040,8 @@ object PipelineQueries {
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
-    winnowFingerprint, stratifiedSample, packSequences, decontaminate,
+    winnowFingerprint, stratifiedSample, packSequences, chunkOverlap,
+    decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
     dupClusters, rateSample)
 }

@@ -225,6 +225,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("chunkOverlap: full coverage, exact overlap, partial tail, short/empty docs") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (0L, (1 to 100).map(i => s"t$i")), // 100 tokens: 1 + ceil(68/24) = 4 chunks
+      (1L, (1 to 10).map(i => s"s$i")),  // shorter than the window: 1 chunk
+      (2L, Seq.empty[String])            // no tokens: no rows
+    ).toDF("doc_id", "toks")
+    val out = Packing.chunkOverlap(docs, "doc_id", "toks", window = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(2L))
+    assert(byDoc(1L).map(c => (c._2, c._3)).toSeq == Seq((0L, 10L)))
+    val d0 = byDoc(0L).sortBy(_._2)
+    assert(d0.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d0.map(_._3).toSeq == Seq(32L, 32L, 32L, 28L)) // partial tail
+    // chunk k starts at token k*24+1: consecutive chunks overlap by 8
+    d0.zipWithIndex.foreach { case ((_, k, _, chunk), _) =>
+      assert(chunk.startsWith(s"t${k * 24 + 1} "), s"chunk $k misaligned")
+    }
+    // every token appears in at least one chunk
+    val covered = d0.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"t$i").toSet)
+  }
+
   test("cosine top-k: orthonormal probes rank by construction") {
     val sp = spark; import sp.implicits._
     // vec 0 = e1; vec 1 ≈ e1 (cos ~0.995); vec 2 = e2 (cos 0); vec 3 = -e1
