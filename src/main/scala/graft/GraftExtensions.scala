@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{GramRunStats, VecCosine, VecDot, VecDotRewrite, WordGrams}
+import graft.functions.{GramRunStats, VecCosine, VecDot, VecDotRewrite, VecQuantizeInt8, WordGrams}
 
 /** Session extension registering the engine's native expressions on the SQL
   * surface, so `spark.sql("SELECT vec_dot(a, b) ...")` works anywhere the
@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "word_grams takes exactly 2 arguments")
         WordGrams(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_quantize_int8"),
+      new ExpressionInfo(classOf[VecQuantizeInt8].getName, "vec_quantize_int8"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "vec_quantize_int8 takes exactly 1 argument")
+        VecQuantizeInt8(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("gram_run_stats"),

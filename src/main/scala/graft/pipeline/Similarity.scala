@@ -60,20 +60,19 @@ object Similarity {
     * at rest. Output: (id, scale float, q array<tinyint>) with
     * `q[i] = floor(x[i]/scale + 0.5)`, scale = max|x|/127 (the Det
     * floor-grid rounding, so both engines of an oracle agree bit-exactly);
-    * an all-zero vector quantizes to zeros with scale 0.
+    * an all-zero vector quantizes to zeros with scale 0. Backed by the
+    * native codegen'd [[graft.functions.VecQuantizeInt8]] — the composed
+    * `transform`/`array_max` form runs every element through the
+    * interpreted lambda evaluator twice.
     */
   def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame =
-    embeddings
+                   vecCol: String = "embedding"): DataFrame = {
+    val qz = graft.functions.VecQuantizeInt8.vecQuantizeInt8(col(vecCol))
+    embeddings.select(col(idCol), qz.as("_qz"))
       .select(col(idCol),
-        transform(col(vecCol), x => x.cast("double")).as("_dv"))
-      .withColumn("_s",
-        array_max(transform(col("_dv"), x => abs(x))) / lit(127.0))
-      .select(col(idCol), col("_s").cast("float").as("scale"),
-        when(col("_s") === 0,
-          transform(col("_dv"), _ => lit(0).cast("tinyint")))
-          .otherwise(transform(col("_dv"),
-            x => floor(x / col("_s") + lit(0.5)).cast("tinyint"))).as("q"))
+        col("_qz").getField("scale").cast("float").as("scale"),
+        col("_qz").getField("q").as("q"))
+  }
 
   /** Brute-force cosine top-k over the int8-QUANTIZED vectors: the two
     * per-vector scales cancel out of the cosine, so the score is exact

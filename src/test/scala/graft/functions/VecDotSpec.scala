@@ -143,6 +143,41 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sparkContext.setLogLevel("ERROR")
     }
 
+  test("vec_quantize_int8 is bit-identical to the transform/array_max composition") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 200).map { i =>
+      val v =
+        if (i == 0) Array.fill(16)(0f)         // all-zero vector: scale 0
+        else if (i == 1) Array(1f)             // single element: q = 127
+        else Array.fill(16)(rng.nextFloat() * 20 - 10)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    // the interpreted composition this expression replaced
+    val dv = transform(col("v"), x => x.cast("double"))
+    val s = array_max(transform(dv, x => abs(x))) / lit(127.0)
+    val refQ = when(s === 0, transform(dv, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(dv, x => floor(x / s + lit(0.5)).cast("tinyint")))
+    val qz = VecQuantizeInt8.vecQuantizeInt8(col("v"))
+    val got = df.select(col("id"), qz.getField("scale").as("fs"), s.as("rs"),
+      qz.getField("q").as("fq"), refQ.as("rq")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"scale @id ${r.getLong(0)}")
+      assert(r.getSeq[Byte](3) == r.getSeq[Byte](4), s"q @id ${r.getLong(0)}")
+    }
+    // null array and null element both poison to NULL
+    val nulls = Seq((0L, null: Array[java.lang.Float]),
+      (1L, Array[java.lang.Float](1.0f, null))).toDF("id", "v")
+    val outs = nulls.select(VecQuantizeInt8.vecQuantizeInt8(col("v"))).collect()
+    assert(outs.forall(_.isNullAt(0)))
+    // SQL surface
+    Seq((1L, Array(0.5f, -1.0f))).toDF("id", "v").createOrReplaceTempView("vq_t")
+    val viaSql = sp.sql("SELECT vec_quantize_int8(v).q FROM vq_t").head().getSeq[Byte](0)
+    assert(viaSql == Seq[Byte](64, -127))
+  }
+
   test("optimizer rule rewrites the aggregate(zip_with(...)) idiom to vec_dot") {
     ensureExtensionsSession()
     val df = spark.range(50).select(
