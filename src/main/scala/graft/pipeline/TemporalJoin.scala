@@ -95,8 +95,12 @@ object TemporalJoin {
       explode(sequence(
         floor(unix_micros(col(startCol)) / bUs).cast("long"),
         // end is EXCLUSIVE: an interval ending exactly on a bucket
-        // boundary must not claim the next bucket
-        floor((unix_micros(col(endCol)) - 1) / bUs).cast("long"))))
+        // boundary must not claim the next bucket. Step is pinned to +1:
+        // without it Spark defaults to -1 when stop < start, so a corrupt
+        // interval with end <= start would silently explode one row per
+        // bucket DOWN its whole span; with step 1 it fails loudly instead
+        floor((unix_micros(col(endCol)) - 1) / bUs).cast("long"),
+        lit(1L))))
     ev.join(iv, Seq("_bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bucket")

@@ -297,10 +297,10 @@ object PipelineQueries {
       |m AS (SELECT vec_id, dv,
       |             list_max(list_transform(dv, x -> abs(x))) / 127.0 AS s
       |      FROM v),
-      |q AS (SELECT vec_id,
-      |             CASE WHEN s = 0 THEN list_transform(dv, x -> 0.0)
-      |                  ELSE list_transform(dv, x -> floor(x / s + 0.5)) END AS qv
-      |      FROM m),
+      |-- scale 0 = all-zero vector: no direction, cosine NaN — excluded on
+      |-- BOTH engines (Similarity.int8CosineTopK drops them the same way)
+      |q AS (SELECT vec_id, list_transform(dv, x -> floor(x / s + 0.5)) AS qv
+      |      FROM m WHERE s <> 0),
       |p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id % 100 = 0),
       |c AS (SELECT vec_id AS cand_id, qv AS cq FROM q),
       |sc AS (

@@ -119,7 +119,7 @@ object StreamingPipeline {
     * event-time timeout, so the store is bounded by RECENTLY ACTIVE keys
     * and the query runs forever under key churn — a later event for an
     * evicted key enriches to null, the documented price of forgetting.
-    * With the default `stateTtlMs = -1` nothing is ever evicted: exact
+    * With any `stateTtlMs <= 0` (the default is -1) nothing is ever evicted: exact
     * forever, but the store grows with every key EVER seen — only for
     * closed key domains.
     *
@@ -136,7 +136,9 @@ object StreamingPipeline {
   def asofEnrichStream(events: DataFrame, refUpdates: DataFrame,
                        delayThreshold: String = "",
                        stateTtlMs: Long = -1L): Dataset[AsofEnriched] = {
-    require(stateTtlMs < 0 || delayThreshold.nonEmpty,
+    // same predicate as the timeout selection below: any stateTtlMs <= 0
+    // (0 included) means "never evict", which needs no watermark
+    require(stateTtlMs <= 0 || delayThreshold.nonEmpty,
       "asofEnrichStream: a state TTL needs a watermark (delayThreshold) " +
         "to drive event-time timeouts")
     val sp = events.sparkSession

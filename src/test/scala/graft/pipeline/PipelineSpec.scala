@@ -273,6 +273,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qout == List(1L, 2L, 3L), s"quantized ranking diverged: $qout")
   }
 
+  test("int8 top-k excludes zero vectors from both probe and candidate sides") {
+    val sp = spark; import sp.implicits._
+    // vec 100 is all-zero: scale 0, no direction, cosine NaN — it must not
+    // appear as a candidate (NaN would sort ABOVE every real score) nor
+    // produce probe rows; both the Spark path and the DuckDB oracle drop it
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (100L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.int8CosineTopK(df, col("vec_id") % 100 === 0, k = 3)
+      .collect()
+    val probes = out.map(_.getLong(0)).toSet
+    val cands = out.map(_.getLong(2)).toSet
+    assert(probes == Set(0L), s"zero vector leaked as probe: $probes")
+    assert(!cands.contains(100L), s"zero vector leaked as candidate: $cands")
+    assert(out.map(_.getLong(2)).toList == List(1L, 2L))
+  }
+
   test("LSH buckets: identical vectors share buckets; topk finds the twin") {
     val sp = spark; import sp.implicits._
     val rng = new scala.util.Random(17)

@@ -84,6 +84,21 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 1 && got.head.getLong(0) == 1L)
   }
 
+  test("rangeJoinBucketed fails loudly on a corrupt interval with end <= start") {
+    val sp = spark; import sp.implicits._
+    val base = 1700000000L
+    val ev = Seq((1L, new java.sql.Timestamp(base * 1000L))).toDF("eid", "ts")
+    // end is far BEFORE start: with sequence's default -1 step this would
+    // silently explode one row per bucket down the whole span; the pinned
+    // +1 step makes it an error instead
+    val bad = Seq((0, new java.sql.Timestamp(base * 1000L),
+      new java.sql.Timestamp((base - 3600 * 1000) * 1000L)))
+      .toDF("wid", "ws", "we")
+    intercept[Throwable] {
+      TemporalJoin.rangeJoinBucketed(ev, bad, "ts", "ws", "we", 3600).collect()
+    }
+  }
+
   test("rangeJoinBucketed matches brute-force containment, end exclusive, overlaps kept") {
     val sp = spark; import sp.implicits._
     val base = 1700000000L
