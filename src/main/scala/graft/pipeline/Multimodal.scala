@@ -1,5 +1,9 @@
 package graft.pipeline
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,12 +11,19 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `BinaryType` columns with typed metadata, and per-partition batched
   * feature extraction — the Spark-side shape a real decode/embed stage
-  * needs (schema, partitioning, batch iteration). The decoder itself is a
-  * STUB (this environment has no image/audio libraries): a deterministic
-  * fake that reads "dimensions" from the payload header bytes and emits a
-  * byte-statistics feature vector. Swap `decodeStub` for a real codec
-  * binding; everything around it — batching, schema, null handling — is
-  * production plumbing and is tested.
+  * needs (schema, partitioning, batch iteration).
+  *
+  * The IMAGE path is REAL: payloads whose magic bytes identify a
+  * PNG/JPEG/GIF/BMP are decoded with the JDK's `javax.imageio` (no
+  * external dependency), and width/height/pixel statistics come from the
+  * actual decoded raster. `resize` likewise operates on real decoded
+  * pixels (deterministic nearest-neighbor) and re-encodes as PNG.
+  *
+  * AUDIO/VIDEO remain honest STUBS (the JDK ships no audio/video codecs):
+  * non-image payloads fall back to a clearly-labeled deterministic fake so
+  * the batching/schema plumbing still exercises end-to-end. Swap
+  * `decodeStub`/`frameSampleStub` for codec bindings; everything around
+  * them is production plumbing and is tested.
   */
 object Multimodal {
 
@@ -21,36 +32,150 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
     StructField("rolling_fp", LongType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   /** Attach a fake binary payload column (utf-8 bytes of the text) — stands
-    * in for an image/audio blob column read from parquet.
+    * in for an audio/video blob column read from parquet (exercises the
+    * non-image fallback path).
     */
   def withPayload(docs: DataFrame, textCol: String = "text",
                   outCol: String = "content"): DataFrame =
     docs.withColumn(outCol, encode(col(textCol), "UTF-8"))
 
-  /** ---- STUB ---- deterministic fake decoder. A real implementation would
-    * hand the byte buffer to an image/audio codec here; the fake derives
-    * "dimensions" from the first two bytes and a 4-bin byte histogram as the
-    * "embedding" so downstream stages have realistic shapes to consume.
+  /** Magic-byte sniff for the formats `javax.imageio` decodes out of the
+    * box. Deliberately narrow: anything else routes to the stub fallback.
     */
-  private[pipeline] def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+  private[pipeline] def isImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') ||
+      (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) || // JPEG SOI
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||
+      (bytes(0) == 'B' && bytes(1) == 'M'))
+
+  /** Deterministic grayscale PNG: width `16 + id % 17`, height
+    * `16 + id % 13`, sample `(31x + 17y + 7·id) mod 256`. Every quantity a
+    * decoder recovers from it (dimensions, raster samples) is closed-form
+    * arithmetic in `id` — which is what lets a SQL oracle verify the REAL
+    * encode→decode round-trip (`p_multimodal_decode`).
+    */
+  def synthesizePng(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 17).toInt
+    val h = 16 + (docId % 13).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((31L * x + 17L * y + 7L * docId) % 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", bos), "JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Attach a REAL image payload column: a deterministic PNG synthesized
+    * from the id column (see [[synthesizePng]]). Row-local, no shuffle.
+    */
+  def withImagePayload(docs: DataFrame, idCol: String = "doc_id",
+                       outCol: String = "content"): DataFrame = {
+    val mk = udf((id: Long) => synthesizePng(id))
+    docs.withColumn(outCol, mk(col(idCol).cast("long")))
+  }
+
+  /** REAL image decode via `javax.imageio`: dimensions and pixel stats
+    * come from the decoded raster (band 0; PNG gray round-trips samples
+    * exactly). Fails loudly on bytes that sniff as an image but don't
+    * decode — fabricating stats for a corrupt image would be worse than
+    * an error.
+    */
+  private[pipeline] def decodeImage(bytes: Array[Byte]): (Int, Int, Long, Long, Array[Double]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload sniffed as an image but failed to decode")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val hist = new Array[Double](4)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0)
+        sum += v
+        hist(v >> 6) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (w, h, sum, n, hist.map(_ / n))
+  }
+
+  /** ---- STUB ---- deterministic fake decoder for NON-IMAGE payloads
+    * (audio/video — no JDK codec exists). Derives "dimensions" from the
+    * first two bytes, "pixel" stats from the raw bytes, and a 4-bin byte
+    * histogram as the "embedding" so downstream stages have realistic
+    * shapes to consume.
+    */
+  private[pipeline] def decodeStub(bytes: Array[Byte]): (Int, Int, Long, Long, Array[Double]) = {
     val w = (if (bytes.nonEmpty) (bytes(0) & 0x7f) else 0) + 1
     val h = (if (bytes.length > 1) (bytes(1) & 0x7f) else 0) + 1
     val hist = new Array[Double](4)
+    var sum = 0L
     var i = 0
     while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >> 6) += 1.0
+      val v = bytes(i) & 0xff
+      sum += v
+      hist(v >> 6) += 1.0
       i += 1
     }
     val n = math.max(bytes.length, 1).toDouble
-    (w, h, hist.map(_ / n))
+    (w, h, sum, bytes.length.toLong, hist.map(_ / n))
   }
 
-  /** ---- STUB ---- "resize": a real implementation re-encodes the decoded
-    * image at (w, h); the fake deterministically truncates/zero-pads the
+  /** REAL image resize: decode, deterministic nearest-neighbor resample
+    * (`src = dst * srcDim / dstDim`, integer floor — no AWT rendering
+    * variability), re-encode as PNG. Gray stays gray (exact samples);
+    * other color models resample per-band the same way.
+    */
+  private[pipeline] def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload sniffed as an image but failed to decode")
+    val srcR = img.getRaster
+    val bands = srcR.getNumBands
+    val out =
+      if (bands == 1) new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      else new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val dstR = out.getRaster
+    val outBands = dstR.getNumBands
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.getHeight / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.getWidth / w).toInt
+        var b = 0
+        while (b < outBands) {
+          dstR.setSample(x, y, b, srcR.getSample(sx, sy, math.min(b, bands - 1)))
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(out, "png", bos), "JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** ---- STUB ---- non-image "resize": a real audio/video implementation
+    * would transcode; the fake deterministically truncates/zero-pads the
     * payload to w·h bytes so downstream size invariants are testable.
     */
   private[pipeline] def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -70,7 +195,8 @@ object Multimodal {
       .toSeq
 
   /** Resize stage over a payload column: per-partition batched, emits the
-    * resized payload plus its post-resize byte count.
+    * resized payload plus its post-resize byte count. Image payloads get
+    * the REAL nearest-neighbor resample; others the labeled stub.
     */
   def resize(spark: SparkSession, docsWithPayload: DataFrame, w: Int, h: Int,
              idCol: String = "doc_id", payloadCol: String = "content"): DataFrame = {
@@ -81,7 +207,7 @@ object Multimodal {
     val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
       .rdd.mapPartitions(_.map { r =>
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
-        val out = resizeStub(bytes, w, h)
+        val out = if (isImage(bytes)) resizeImage(bytes, w, h) else resizeStub(bytes, w, h)
         Row(r.getLong(0), out, out.length)
       })
     spark.createDataFrame(rdd, schema)
@@ -111,9 +237,9 @@ object Multimodal {
   /** Batched per-partition feature extraction over (doc_id, content) — the
     * Scala analogue of a `mapInPandas` decode stage: each partition's
     * iterator is consumed in fixed-size batches handed to `decodeBatch`
-    * (where a real codec would amortize model/handle setup per batch, not
-    * per row), constant memory, no driver involvement. Output schema is
-    * `featureSchema`.
+    * (where a codec amortizes handle setup per batch, not per row),
+    * constant memory, no driver involvement. Output schema is
+    * `featureSchema`; image payloads are decoded for REAL.
     */
   def extractFeatures(spark: SparkSession, docsWithPayload: DataFrame,
                       idCol: String = "doc_id", payloadCol: String = "content",
@@ -127,8 +253,8 @@ object Multimodal {
             if (bytes == null) Array.empty[Byte] else bytes
           }
           decodeBatch(payloads).zip(ids).zip(payloads).map {
-            case (((w, h, feats), id), safe) =>
-              Row(id, safe.length, w, h,
+            case (((w, h, pxSum, nPx, feats), id), safe) =>
+              Row(id, safe.length, w, h, pxSum, nPx,
                 TextPipeline.rollingHash(new String(safe, "UTF-8")), feats.toSeq)
           }
         }
@@ -136,10 +262,11 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** ---- STUB ---- batch decode entry point: a real implementation
-    * initializes the codec/model once here and decodes the whole batch.
+  /** Batch decode entry point: images decode via the REAL `javax.imageio`
+    * path; non-image payloads (audio/video stand-ins) fall back to the
+    * labeled stub.
     */
   private[pipeline] def decodeBatch(
-      payloads: Seq[Array[Byte]]): Seq[(Int, Int, Array[Double])] =
-    payloads.map(decodeStub)
+      payloads: Seq[Array[Byte]]): Seq[(Int, Int, Long, Long, Array[Double])] =
+    payloads.map(b => if (isImage(b)) decodeImage(b) else decodeStub(b))
 }

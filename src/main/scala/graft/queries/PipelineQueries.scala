@@ -418,18 +418,33 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Batched mapPartitions feature extraction (decode step stubbed — see
-    * Multimodal.decodeStub). Rows-only: the decoder is a fake; the plumbing
-    * (schema, batching, rolling fingerprint) is what's exercised.
+  /** REAL image decode, oracled end-to-end: each doc gets a deterministic
+    * grayscale PNG (`Multimodal.synthesizePng` — sample `(31x+17y+7·id) %
+    * 256`), the batched mapPartitions stage decodes it with the JDK's
+    * `javax.imageio`, and the oracle recomputes width/height/pixel-sum as
+    * pure arithmetic over a generated (x, y) grid. A hash match proves the
+    * actual PNG encode→decode round-trip recovers every raster sample —
+    * the decoder cannot fake it.
     */
-  val multimodalExtract: Q = Q.rowsOnly("p_multimodal_extract_stub") { (s, dir) =>
-    val feats = Multimodal.extractFeatures(s, Multimodal.withPayload(docs(s, dir)))
-    feats.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("n_bytes")).as("total_bytes"),
-      sum(col("width")).as("sum_width"),
-      sum(col("height")).as("sum_height"),
-      countDistinct(col("rolling_fp")).as("n_distinct_fp"))
+  val multimodalDecode: Q = Q.sql(
+    "p_multimodal_decode",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+      |g AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM d),
+      |px AS (
+      |  SELECT g.doc_id, g.w, g.h,
+      |         (31 * xs.x + 17 * ys.y + 7 * g.doc_id) % 256 AS v
+      |  FROM g,
+      |       LATERAL (SELECT unnest(range(g.w)) AS x) xs,
+      |       LATERAL (SELECT unnest(range(g.h)) AS y) ys)
+      |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+      |       sum(v)::BIGINT AS pixel_sum, count(*)::BIGINT AS n_px
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val withImg = Multimodal.withImagePayload(
+      docs(s, dir).filter(col("doc_id") < 120).select("doc_id"))
+    Multimodal.extractFeatures(s, withImg)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("pixel_sum"), col("n_px"))
+      .orderBy("doc_id")
   }
 
   /** LSH-bucketed approximate top-k, fully oracled: the md5-derived
@@ -1038,7 +1053,7 @@ object PipelineQueries {
     asofJoin, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
-    embeddingNearDup, multimodalMeta, multimodalExtract, annLshTopK,
+    embeddingNearDup, multimodalMeta, multimodalDecode, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, packSequences, chunkOverlap,
     decontaminate,

@@ -375,11 +375,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.schema == Multimodal.featureSchema)
     val rows = out.collect().sortBy(_.getLong(0))
     assert(rows(0).getInt(1) == 11) // n_bytes of "hello world"
-    assert(rows(0).getLong(4) == rows(1).getLong(4)) // same payload → same fp
-    assert(rows(0).getLong(4) != rows(2).getLong(4))
-    val feats = rows(0).getSeq[Double](5)
+    assert(rows(0).getLong(6) == rows(1).getLong(6)) // same payload → same fp
+    assert(rows(0).getLong(6) != rows(2).getLong(6))
+    val feats = rows(0).getSeq[Double](7)
     assert(feats.length == 4 && math.abs(feats.sum - 1.0) < 1e-9) // histogram sums to 1
-    assert(TextPipeline.rollingHash("hello world") == rows(0).getLong(4))
+    assert(TextPipeline.rollingHash("hello world") == rows(0).getLong(6))
+  }
+
+  test("multimodal image decode is real: PNG round-trip recovers exact raster stats") {
+    val sp = spark; import sp.implicits._
+    val ids = Seq(0L, 1L, 41L, 100L)
+    val df = Multimodal.withImagePayload(ids.toDF("doc_id"))
+    // the payload really is a PNG (magic bytes), not a fabricated header
+    val payload = df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(payload(0L).take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val out = Multimodal.extractFeatures(spark, df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val w = 16 + (id % 17).toInt
+      val h = 16 + (id % 13).toInt
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield (31L * x + 17L * y + 7L * id) % 256L).sum
+      val r = out(id)
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"doc $id dims")
+      assert(r.getLong(4) == sum, s"doc $id pixel_sum: got ${r.getLong(4)}, want $sum")
+      assert(r.getLong(5) == w.toLong * h, s"doc $id n_px")
+      assert(r.getInt(1) == payload(id).length) // n_bytes = encoded PNG size
+    }
+  }
+
+  test("multimodal image resize: real nearest-neighbor over decoded pixels") {
+    val sp = spark; import sp.implicits._
+    val id = 5L
+    val df = Multimodal.withImagePayload(Seq(id).toDF("doc_id"))
+    val resized = Multimodal.resize(spark, df, 8, 8).collect().head
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.getAs[Array[Byte]](1)))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    val sw = 16 + (id % 17).toInt
+    val sh = 16 + (id % 13).toInt
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (sx, sy) = (x * sw / 8, y * sh / 8)
+      assert(img.getRaster.getSample(x, y, 0) ==
+        ((31L * sx + 17L * sy + 7L * id) % 256L).toInt, s"pixel ($x,$y)")
+    }
   }
 
   test("dupClusters: matches brute-force components on random graphs; chains converge") {
