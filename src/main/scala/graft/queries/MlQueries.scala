@@ -300,6 +300,52 @@ object MlQueries {
     }
   }
 
+  /** F1/F5/F9 end-to-end HARD anchor: at σ → 0 the sorted-L1 penalty
+    * vanishes, so the real path machinery (standardize → solve → KKT →
+    * back-transform rescale) must land on plain OLS — and 2-feature OLS
+    * with intercept is a closed-form 2×2 normal-equation solve, fully
+    * expressible in SQL (mirrors the reference's own `lm()` oracle,
+    * tests/testthat/test-gaussian.R:1-17). Decimal-exact sums feed the
+    * oracle's solve; the solver runs at σ = 1e-14 with tightened ADMM
+    * tolerances, so both sides agree far below the 4-decimal rounding.
+    */
+  val slopeSigma0Gaussian: Q = Q.sql(
+    "m_slope_sigma0_gaussian",
+    s"""WITH a AS (
+       |  SELECT count(*)::DOUBLE AS n,
+       |         ${Det.dsumSql("l_quantity")} AS s1,
+       |         ${Det.dsumSql("l_discount", 9)} AS s2,
+       |         ${Det.dsumSql("l_extendedprice")} AS sy,
+       |         ${Det.dsumSql("l_quantity*l_quantity")} AS s11,
+       |         ${Det.dsumSql("l_quantity*l_discount", 9)} AS s12,
+       |         ${Det.dsumSql("l_discount*l_discount", 9)} AS s22,
+       |         ${Det.dsumSql("l_quantity*l_extendedprice", 3)} AS s1y,
+       |         ${Det.dsumSql("l_discount*l_extendedprice")} AS s2y
+       |  FROM lineitem),
+       |c AS (SELECT s11 - s1*s1/n AS a11, s12 - s1*s2/n AS a12,
+       |             s22 - s2*s2/n AS a22, s1y - s1*sy/n AS c1,
+       |             s2y - s2*sy/n AS c2,
+       |             s1/n AS m1, s2/n AS m2, sy/n AS my FROM a),
+       |b AS (SELECT (a22*c1 - a12*c2)/(a11*a22 - a12*a12) AS b1,
+       |             (a11*c2 - a12*c1)/(a11*a22 - a12*a12) AS b2,
+       |             m1, m2, my FROM c)
+       |SELECT * FROM (
+       |  SELECT 'intercept' AS term, round(my - b1*m1 - b2*m2, 4) AS beta FROM b
+       |  UNION ALL SELECT 'l_quantity', round(b1, 4) FROM b
+       |  UNION ALL SELECT 'l_discount', round(b2, 4) FROM b)
+       |ORDER BY term""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val model = SlopeEstimator.fit(li(s, dir), Seq("l_quantity", "l_discount"), label,
+      SlopeConfig(sigma = Array(1e-14),
+        solver = SolverConfig(tolAbs = 1e-13, tolRel = 1e-12,
+          tolRelGap = 1e-12, tolInfeas = 1e-12)))
+    val b = model.coef().head
+    Seq(("intercept", b(0, 0)), ("l_quantity", b(1, 0)), ("l_discount", b(2, 0)))
+      .toDF("term", "beta")
+      .select(col("term"), round(col("beta"), 4).as("beta"))
+      .orderBy("term")
+  }
+
   /** T1: repeated k-fold CV over the path (deterministic salted-hash
     * folds). Iterative fitting — rows-only; the fold/grid mechanics are
     * pinned by TrainSlopeSpec.
@@ -315,5 +361,5 @@ object MlQueries {
   val queries: Seq[Q] = Seq(
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
     aucWeighted, gradientUdaf, slopePathGaussian, slopePathBinomial,
-    slopePathMultinomial, slopePathPoisson, trainCv)
+    slopePathMultinomial, slopePathPoisson, slopeSigma0Gaussian, trainCv)
 }
