@@ -163,96 +163,133 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF --
 
+  /** Fixed-point grid for the IVF index: vectors quantize to
+    * `vq[i] = floor(x[i]·1e6 + 0.5)` longs before ANY index arithmetic.
+    * DECLARED SPEC, chosen for engine-independence: every dot/norm over
+    * gridded vectors is a sum of integer-valued terms whose partials stay
+    * far below 2⁵³, so the accumulation is EXACT in any order on any
+    * engine — the learned centroids and cluster assignments are
+    * bit-reproducible, which is what lets the END-TO-END index
+    * (`p_ann_ivf_topk`) carry a full DuckDB oracle instead of a rows-only
+    * check. Recall impact of 1e-6 quantization on unit-scale embeddings is
+    * nil; final candidate SCORING still uses the raw float vectors (the
+    * `p_cosine_topk` recipe).
+    */
+  val IvfGrid = 1e6
+
+  private[pipeline] def gridVec(xs: Array[Double]): Array[Long] =
+    xs.map { x =>
+      // keeps gridded dots exact in double: d·(10·1e6)² < 2⁵³ up to d≈90
+      require(math.abs(x) <= 10.0,
+        s"IVF grid assumes unit-scale embeddings, |$x| > 10")
+      math.floor(x * IvfGrid + 0.5).toLong
+    }
+
+  /** Exact gridded cosine: integer dot/norms (loud on overflow), one float
+    * division at the end — bit-identical to DuckDB evaluating
+    * `list_dot_product / (sqrt·sqrt)` over the same integer-valued lists.
+    */
+  private[pipeline] def cosGrid(a: Array[Long], b: Array[Long]): Double = {
+    var ab = 0L; var aa = 0L; var bb = 0L; var i = 0
+    while (i < a.length) {
+      ab = Math.addExact(ab, Math.multiplyExact(a(i), b(i)))
+      aa = Math.addExact(aa, Math.multiplyExact(a(i), a(i)))
+      bb = Math.addExact(bb, Math.multiplyExact(b(i), b(i)))
+      i += 1
+    }
+    ab.toDouble / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble))
+  }
+
+  private def argmaxCluster(v: Array[Long], cs: Array[Array[Long]]): Int = {
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val cos = cosGrid(v, cs(c))
+      if (cos > bestCos) { bestCos = cos; best = c } // strict > : ties keep lowest cid
+      c += 1
+    }
+    best
+  }
+
   /** IVF (inverted-file) centroids: deterministic spherical k-means over
-    * the embedding column. Init = the k lowest-id vectors normalized
-    * (declared spec — no RNG, reproducible on any cluster layout); each
-    * Lloyd iteration is ONE data pass accumulating per-cluster sums
-    * against broadcast centroids (assignment = max cosine ≡ max dot
-    * after normalization, ties to the lowest cluster id); new centroids are
-    * the normalized means, empty clusters keep their previous centroid.
+    * the GRIDDED embedding column (see [[IvfGrid]]). Init = the k
+    * lowest-id vectors (no RNG — reproducible on any cluster layout); each
+    * Lloyd iteration is ONE data pass accumulating per-cluster component
+    * sums against broadcast centroids (assignment = max exact gridded
+    * cosine, ties to the lowest cluster id); a new centroid is the
+    * component-wise mean re-gridded (`floor(sum/count + 0.5)`), and an
+    * empty cluster keeps its previous centroid.
     *
-    * Bitwise determinism: per-partition partial buffers are folded on the
-    * driver in PARTITION-ID order — a plain treeAggregate combines partials
-    * in task-completion order, and double addition is order-sensitive, so
-    * two identical runs would differ in the last ulps (observed in the
-    * spec). The partial set is P·k·(d+1) doubles — at depth-2 treeAggregate
-    * the driver already receives √P such buffers, so this changes the
-    * constant, not the shape; for P beyond ~10⁴ partitions add one
-    * fixed-pairing pre-combine level.
+    * All accumulation is exact longs, so ANY combine order gives the same
+    * bits — the pass is a plain `treeAggregate` (the previous double-sum
+    * version had to fold partials in partition-id order, and was still
+    * only run-deterministic, not layout-deterministic).
     *
-    * The centroid table is k×d doubles — driver-held, like the solver's β.
-    * At 100 TB the build costs `iters` full scans and the index state stays
-    * tiny; queries then touch only `nProbe` inverted lists.
+    * The centroid table is k×d longs — driver-held, like the solver's β.
+    * At 100 TB the build costs `iters` full scans and the index state
+    * stays tiny; queries then touch only `nProbe` inverted lists.
     */
   def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Array[Array[Double]] = {
-    def normalized(a: Array[Double]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * a(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0.0) a else a.map(_ / n)
-    }
-    val init: Array[Array[Double]] = embeddings
+                   vecCol: String = "embedding"): Array[Array[Long]] = {
+    val init: Array[Array[Long]] = embeddings
       .orderBy(col(idCol)).limit(k).select(vecCol).collect()
-      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
+      .map(r => gridVec(r.getSeq[Float](0).map(_.toDouble).toArray))
     require(init.nonEmpty, "ivfCentroids: empty input")
+    val kk = init.length
     val d = init.head.length
     val rows = graft.util.Tables.spread(embeddings.select(vecCol)).rdd
-      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
+      .map(r => gridVec(r.getSeq[Float](0).map(_.toDouble).toArray))
     var centroids = init
     for (_ <- 0 until iters) {
       val bc = rows.sparkContext.broadcast(centroids)
-      // per-partition buffer: [sums (k·d), counts (k)], folded in pid order
-      val partials = rows.mapPartitionsWithIndex { (pid, it) =>
-        val cs = bc.value
-        val buf = new Array[Double](k * d + k)
-        it.foreach { v =>
-          var best = 0; var bestDot = Double.NegativeInfinity
-          var c = 0
-          while (c < cs.length) {
-            var dot = 0.0; var i = 0
-            while (i < d) { dot += cs(c)(i) * v(i); i += 1 }
-            if (dot > bestDot) { bestDot = dot; best = c }
-            c += 1
-          }
+      // buffer layout: [component sums (kk·d) | member counts (kk)]
+      val agg = rows.treeAggregate(new Array[Long](kk * d + kk))(
+        (buf, v) => {
+          val best = argmaxCluster(v, bc.value)
           var i = 0
-          while (i < d) { buf(best * d + i) += v(i); i += 1 }
-          buf(k * d + best) += 1.0
-        }
-        Iterator.single(pid -> buf)
-      }.collect().sortBy(_._1)
-      val agg = new Array[Double](k * d + k)
-      partials.foreach { case (_, b) =>
-        var i = 0; while (i < agg.length) { agg(i) += b(i); i += 1 }
-      }
-      centroids = Array.tabulate(centroids.length) { c =>
-        if (agg(k * d + c) > 0.0)
-          normalized(Array.tabulate(d)(i => agg(c * d + i)))
-        else centroids(c)
-      }
+          while (i < d) {
+            buf(best * d + i) = Math.addExact(buf(best * d + i), v(i)); i += 1
+          }
+          buf(kk * d + best) += 1
+          buf
+        },
+        (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+          a
+        })
       bc.destroy()
+      val prev = centroids
+      centroids = Array.tabulate(kk) { c =>
+        val n = agg(kk * d + c)
+        if (n > 0)
+          Array.tabulate(d)(i => math.floor(agg(c * d + i).toDouble / n + 0.5).toLong)
+        else prev(c)
+      }
     }
     centroids
   }
 
-  /** Cluster assignment as a pure Catalyst expression: per-centroid dots
-    * against LITERAL centroid arrays (no UDF — stays in codegen), argmax
-    * via the comparable-struct `least` trick with ties to the lowest
-    * cluster id. Cosine is rounded to 9 decimals first so the argmax is
-    * engine-independent (same recipe as the oracled top-k queries).
+  /** Cluster assignment as a pure Catalyst expression: vectors grid to
+    * longs in-plan, exact gridded cosine against LITERAL centroid arrays
+    * (no UDF — the fold runs in codegen via [[graft.functions.VecCosine]],
+    * whose double accumulation is exact for these integer-valued inputs),
+    * argmax via the comparable-struct `least` trick with ties to the
+    * lowest cluster id. No rounding needed: every compared value is
+    * bit-identical across engines by construction.
     */
-  def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Double]],
+  def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Long]],
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val ev = col(vecCol)
+    val vq = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(IvfGrid) + lit(0.5)).cast("long"))
     val choices = centroids.zipWithIndex.map { case (c, i) =>
-      val cv = typedLit(c.toSeq)
-      // centroids are unit-norm, so cosine = dot / |ev|
-      struct((-round(dot(ev, cv) / norm(ev), 9)).as("negCos"), lit(i).as("cid"))
+      struct((-cosine(col("_vq"), typedLit(c.toSeq))).as("negCos"), lit(i).as("cid"))
     }
     val best = if (choices.length == 1) choices.head else least(choices: _*)
-    embeddings.select(col(idCol).as("vec_id"), best.getField("cid").as("cluster"))
+    embeddings.withColumn("_vq", vq)
+      .select(col(idCol).as("vec_id"), best.getField("cid").as("cluster"))
   }
 
   /** IVF approximate top-k: each probe scans only its `nProbe` nearest
@@ -284,13 +321,15 @@ object Similarity {
     require(probeRows.length <= maxProbes,
       s"ivfTopK: probePred selects more than maxProbes=$maxProbes rows; " +
         "narrow the predicate or raise maxProbes")
+    // nProbe nearest lists by the same exact gridded cosine the index was
+    // built with; (−cos, cid) sort ties to the lowest cid — both engines
+    // compare identical bits, so the probe→cluster fan-out is oracle-exact
     val probeClusters = probeRows.flatMap { case (pid, pv) =>
-      val norm = math.sqrt(pv.map(x => x * x).sum)
-      val byDot = centroids.zipWithIndex.map { case (c, i) =>
-        val dot = c.zip(pv).map { case (a, b) => a * b }.sum
-        (-dot / math.max(norm, Double.MinPositiveValue), i)
-      }.sorted.take(nProbe)
-      byDot.map { case (_, cid) => (pid, pv.toSeq, cid) }
+      val pq = gridVec(pv)
+      centroids.zipWithIndex
+        .map { case (c, i) => (-cosGrid(pq, c), i) }
+        .sorted.take(nProbe)
+        .map { case (_, cid) => (pid, pv.toSeq, cid) }
     }
     import spark.implicits._
     val probesDf = probeClusters.toSeq

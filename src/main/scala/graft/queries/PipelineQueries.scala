@@ -609,15 +609,71 @@ object PipelineQueries {
       .orderBy("cluster")
   }
 
-  /** End-to-end IVF ANN: deterministic spherical k-means index (k=16,
-    * 2 Lloyd passes), probes scan only their nProbe=4 nearest inverted
-    * lists. Rows-only: recall depends on the learned partition; the
-    * distance/argmax arithmetic is oracled by p_ann_ivf_assign and the
-    * exactness baseline by p_cosine_topk.
+  /** End-to-end IVF ANN, FULLY oracled: the oracle replays the entire
+    * index build — grid quantization, k=16 init from the lowest ids, two
+    * Lloyd passes with exact integer sums, final assignment, nProbe=4
+    * probe fan-out — in SQL, then ranks candidates with the exact-cosine
+    * recipe. Bit-equality holds because every index quantity is integer
+    * arithmetic under 2⁵³ (see [[Similarity.IvfGrid]]): the learned
+    * partition itself is engine-independent, not just the scoring.
     */
-  val annIvfTopK: Q = Q.rowsOnly("p_ann_ivf_topk") { (s, dir) =>
-    Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, 5)
-      .orderBy("probe_id", "rank")
+  val annIvfTopK: Q = {
+    val (k, iters, nProbe, topK) = (16, 2, 4, 5)
+    // exact gridded cosine over integer-valued DOUBLE lists
+    def gcos(v: String, c: String) =
+      s"list_dot_product($v, $c) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)))"
+    def lloydIter(t: Int): String =
+      s"""a$t AS (
+         |  SELECT v.vec_id, v.vq, c.cid, ${gcos("v.vq", "c.cq")} AS cos
+         |  FROM vq v, c${t - 1} c),
+         |b$t AS (SELECT vec_id, vq, cid,
+         |               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |        FROM a$t),
+         |s$t AS (SELECT cid, generate_subscripts(vq, 1) AS d, unnest(vq) AS x
+         |        FROM b$t WHERE rn = 1),
+         |m$t AS (SELECT cid, d, sum(x) AS s, count(*) AS n FROM s$t GROUP BY cid, d),
+         |u$t AS (SELECT cid, list(floor(s / n + 0.5) ORDER BY d) AS cq FROM m$t GROUP BY cid),
+         |c$t AS (SELECT p.cid, COALESCE(u.cq, p.cq) AS cq
+         |        FROM c${t - 1} p LEFT JOIN u$t u ON p.cid = u.cid)""".stripMargin
+    Q.sql(
+      "p_ann_ivf_topk",
+      s"""WITH vq AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0 + 0.5)) AS vq
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vq AS cq
+         |  FROM (SELECT vec_id, vq FROM vq ORDER BY vec_id LIMIT $k)),
+         |${(1 to iters).map(lloydIter).mkString(",\n")},
+         |fa AS (SELECT v.vec_id, c.cid, ${gcos("v.vq", "c.cq")} AS cos
+         |       FROM vq v, c$iters c),
+         |fb AS (SELECT vec_id, cid,
+         |              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |       FROM fa),
+         |cand AS (SELECT vec_id AS cand_id, cid FROM fb WHERE rn = 1),
+         |pb AS (SELECT vec_id AS probe_id, cid,
+         |              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |       FROM fa WHERE vec_id % 100 = 0),
+         |pc AS (SELECT probe_id, cid FROM pb WHERE rn <= $nProbe),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |sc AS (
+         |  SELECT pc.probe_id, cand.cand_id,
+         |         round(${gcos("pe.ev", "ce.ev")}, 9) AS cos
+         |  FROM pc JOIN cand USING (cid)
+         |    JOIN e pe ON pe.vec_id = pc.probe_id
+         |    JOIN e ce ON ce.vec_id = cand.cand_id
+         |  WHERE cand.cand_id <> pc.probe_id),
+         |r AS (SELECT probe_id, cand_id, cos,
+         |             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+         |      FROM sc)
+         |SELECT probe_id, rank::BIGINT AS rank, cand_id, cos FROM r WHERE rank <= $topK
+         |ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, topK,
+          k = k, iters = iters, nProbe = nProbe)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("cand_id"), col("cos"))
+        .orderBy("probe_id", "rank")
+    }
   }
 
   /** Gap-based sessionization of the event log (24 h gap): lag → new-session
