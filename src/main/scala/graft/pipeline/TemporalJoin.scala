@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   *   ONE shuffle on the key, no join explosion, no per-row probe — the
   *   scale-canonical form (a sort-merge band join would shuffle the same
   *   data AND pay a merge with backtracking; the window is forward-only).
+  *   With `tsBucketSeconds` set, a two-level (key, time-bucket) variant
+  *   bounds per-task input under pathologically hot keys.
   * - [[rangeJoinBucketed]]: events ⋈ intervals on containment. The naive
   *   plan is a broadcast nested loop (fine only while the interval side is
   *   tiny); this is the scale path — intervals EXPLODE into fixed-width
@@ -32,17 +34,28 @@ object TemporalJoin {
     * timestamp is undefined; this mirrors DuckDB ASOF, which has the same
     * contract. One hash shuffle on `keyCols`; the window never spans keys,
     * so parallelism is per-key at any scale.
+    *
+    * `tsBucketSeconds > 0` selects the HOT-KEY-SAFE two-level plan: the
+    * per-key window becomes a per-(key, time-bucket) window plus a
+    * carry-forward over per-bucket summaries, so a single key holding
+    * billions of rows parallelizes across its buckets instead of
+    * serializing through one task (the per-KEY state drops from all rows
+    * to one summary row per bucket). Results are identical; the default
+    * single-window plan avoids the extra summary join when keys are known
+    * to be bounded.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               tsCol: String, valueCols: Seq[String]): DataFrame = {
+               tsCol: String, valueCols: Seq[String],
+               tsBucketSeconds: Long = 0L): DataFrame = {
     val leftCols = left.columns.toSeq
     require(keyCols.nonEmpty,
       "asofJoin: empty keyCols would build a single-partition global window")
     require(valueCols.forall(right.columns.contains), "valueCols must exist in right")
     require(!valueCols.exists(leftCols.contains),
       "valueCols collide with left columns — rename before joining")
-    require(!(left.columns ++ right.columns).exists(Set("_side", "_vals")),
-      "asofJoin reserves the _side and _vals column names")
+    require(!(left.columns ++ right.columns)
+      .exists(Set("_side", "_vals", "_bucket", "_blast", "_carry")),
+      "asofJoin reserves the _side/_vals/_bucket/_blast/_carry column names")
     // the right row's values travel as ONE non-null STRUCT: `last` must
     // pick the latest right ROW, not the latest non-null value per column —
     // carrying columns separately would resurrect an older row's value
@@ -59,12 +72,47 @@ object TemporalJoin {
         if (keyCols.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(lit(0).as("_side"), col("_vals")): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
-      .select(leftCols.map(col) :+ col("_side") :+
-        last(col("_vals"), ignoreNulls = true).over(w).as("_vals"): _*)
+    val union = l.unionByName(r)
+    val carried =
+      if (tsBucketSeconds <= 0) {
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(tsCol).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        union.select(leftCols.map(col) :+ col("_side") :+
+          last(col("_vals"), ignoreNulls = true).over(w).as("_vals"): _*)
+      } else {
+        val bUs = tsBucketSeconds * 1000000L
+        val bucketed = union.withColumn("_bucket",
+          floor(unix_micros(col(tsCol)) / bUs).cast("long"))
+        val keyBucket = keyCols.map(col) :+ col("_bucket")
+        // level 1: as-of WITHIN each (key, bucket) — hot keys parallelize
+        // across their buckets here
+        val w1 = Window.partitionBy(keyBucket: _*)
+          .orderBy(col(tsCol).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = bucketed.select(leftCols.map(col) ++ Seq(col("_side"),
+          col("_bucket"),
+          last(col("_vals"), ignoreNulls = true).over(w1).as("_vals")): _*)
+        // level 2: ONE summary row per (key, bucket) — the latest right
+        // value in the bucket (max_by ignores rows whose ordering expr is
+        // null, i.e. left rows), carried forward from STRICTLY earlier
+        // buckets per key. The per-key window now runs over bucket
+        // summaries, not raw rows: its input is bounded by the time span /
+        // bucket width regardless of key heat.
+        val summaries = bucketed
+          .groupBy(keyBucket: _*)
+          .agg(max_by(col("_vals"),
+            when(col("_side") === 0, col(tsCol))).as("_blast"))
+        val wc = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = summaries
+          .select(keyBucket :+
+            last(col("_blast"), ignoreNulls = true).over(wc).as("_carry"): _*)
+        within.join(carry, keyCols :+ "_bucket")
+          .select(leftCols.map(col) ++ Seq(col("_side"),
+            coalesce(col("_vals"), col("_carry")).as("_vals")): _*)
+      }
     carried.filter(col("_side") === 1)
       .select(leftCols.map(col) ++
         valueCols.map(c => col("_vals").getField(c).as(c)): _*)

@@ -1073,6 +1073,36 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** The HOT-KEY-SAFE two-level as-of plan (per-(key, 12 h-bucket) windows
+    * + bucket-summary carry-forward), oracled against the exact same ASOF
+    * semantics: identical results to `p_asof_join`, but no single key can
+    * serialize one task — the shape that survives a key holding 10⁹ rows
+    * at 100× scale.
+    */
+  val asofJoinBucketed: Q = Q.sql(
+    "p_asof_join_bucketed",
+    """WITH r AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts, arg_max(value, event_id) AS last_purchase
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts::TIMESTAMP),
+      |l AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value AS click_value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT l.event_id, l.user_id, l.click_value, r.last_purchase
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("last_purchase"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("click_value"))
+    TemporalJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+        Seq("last_purchase"), tsBucketSeconds = 43200L)
+      .select("event_id", "user_id", "click_value", "last_purchase")
+      .orderBy("event_id")
+  }
+
   /** Range (containment) join: events against 20 OVERLAPPING 24 h windows
     * on a 12 h stride. The scale path never nested-loops:
     * [[graft.pipeline.TemporalJoin.rangeJoinBucketed]] explodes each
@@ -1106,7 +1136,7 @@ object PipelineQueries {
   }
 
   val queries: Seq[Q] = Seq(
-    asofJoin, rangeJoin, tfidfTopK,
+    asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
     embeddingNearDup, multimodalMeta, multimodalDecode, annLshTopK,

@@ -69,6 +69,37 @@ class TemporalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asofJoin two-level bucketed plan matches the single-window plan under a hot key") {
+    val sp = spark; import sp.implicits._
+    val rng = new scala.util.Random(57)
+    // key 0 is pathologically hot (90% of rows); keys 1-4 normal. Bucket
+    // width 1000s over a ~100000s span → the hot key spreads over ~100
+    // (key, bucket) window partitions instead of one.
+    val leftRows = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) (i % 4) + 1L else 0L
+      (i.toLong, k, new java.sql.Timestamp(1700000000000L + rng.nextInt(100000) * 1000L))
+    }
+    val rightRows = (0 until 150).map { i =>
+      val k = if (i % 5 == 0) (i % 4) + 1L else 0L
+      (k, new java.sql.Timestamp(1700000000000L + rng.nextInt(100000) * 1000L), i * 2.5)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, ts)
+    val left = leftRows.toDF("id", "k", "ts")
+    val right = rightRows.toDF("k", "ts", "v")
+
+    def res(bucket: Long) =
+      TemporalJoin.asofJoin(left, right, Seq("k"), "ts", Seq("v"), bucket)
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+
+    val plain = res(0L)
+    val bucketed = res(1000L)
+    assert(plain == bucketed)
+    // empty buckets between right updates still carry the value forward
+    val lGap = Seq((1L, 9L, new java.sql.Timestamp(90000000L))).toDF("id", "k", "ts")
+    val rGap = Seq((9L, new java.sql.Timestamp(1000L), 7.5)).toDF("k", "ts", "v")
+    assert(TemporalJoin.asofJoin(lGap, rGap, Seq("k"), "ts", Seq("v"), 10L)
+      .head().getDouble(3) == 7.5)
+  }
+
   test("rangeJoinBucketed keeps matches for sub-second interval ends on bucket boundaries") {
     val sp = spark; import sp.implicits._
     val base = 1700000000L // seconds; bucket width 3600 aligned
