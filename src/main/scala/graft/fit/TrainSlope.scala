@@ -28,6 +28,17 @@ import graft.slope._
   */
 object TrainSlope {
 
+  /** Deterministic fold id: 60-bit md5 of "id:rep" mod `number` — the Det
+    * recipe, so fold membership is reproducible on ANY engine (the DuckDB
+    * oracle `t1_cv_fixed_beta` checks it), any cluster layout and any
+    * Spark version. (The previous murmur3 `hash()` was layout-stable but
+    * Spark-internal — no other engine could replay the assignment.)
+    */
+  def foldExpr(idCol: String, rep: Int, number: Int): org.apache.spark.sql.Column =
+    pmod(graft.util.Det.md5Hash60(
+      concat(col(idCol).cast("string"), lit(":"), lit(rep.toString))),
+      lit(number.toLong))
+
   final case class CellScore(q: Double, sigmaIndex: Int, sigma: Double,
                              fold: Int, rep: Int, measure: String, value: Double)
 
@@ -102,10 +113,10 @@ object TrainSlope {
     val stringLabel = family == Binomial || family == Multinomial
     val labelExpr =
       if (stringLabel) col(labelCol).cast("string") else col(labelCol).cast("double")
-    // deterministic salted-hash fold ids (murmur3 of (id, rep)) computed
-    // ENGINE-side so local and distributed paths assign identical folds
+    // deterministic salted-hash fold ids computed ENGINE-side so local and
+    // distributed paths assign identical folds
     val foldExprs = (0 until repeats).map(rep =>
-      pmod(hash(col(idCol), lit(rep)), lit(number)).cast("double"))
+      foldExpr(idCol, rep, number).cast("double"))
     val pruned = df.select(
       labelExpr +: (featureCols.map(c => col(c).cast("double")) ++ foldExprs): _*)
 
@@ -191,8 +202,8 @@ object TrainSlope {
           // `assemble` reorders by grid position.
           sc.setLocalProperty("spark.scheduler.pool", s"cv-$rep-$fold-$q")
           try {
-            // deterministic salted-hash fold id (murmur3 of (id, rep))
-            val foldCol = pmod(hash(col(idCol), lit(rep)), lit(number))
+            // deterministic salted-hash fold id (shared with trainLocal)
+            val foldCol = foldExpr(idCol, rep, number)
             val train = cached.filter(foldCol =!= fold)
             val test = cached.filter(foldCol === fold)
             val m = SlopeEstimator.fit(train, featureCols, labelCol,

@@ -346,6 +346,67 @@ object MlQueries {
       .orderBy("term")
   }
 
+  /** T1 mechanics HARD anchor: the CV machinery with the path fit swapped
+    * for a FIXED β — fold assignment (the REAL `TrainSlope.foldExpr` md5
+    * recipe), per-fold held-out scoring (mse/mae, decimal-exact), and the
+    * mean/se/95% t-CI aggregation are then all SQL-expressible, so the one
+    * CV piece no ScalaTest can cross-check against another engine — who
+    * lands in which fold — gets a DuckDB row.
+    */
+  val cvFixedBeta: Q = {
+    val (number, rep) = (3, 0)
+    val (b0, b1, b2, b3) = (1000.0, 25.0, -2000.0, 1500.0)
+    val tq = new org.apache.commons.math3.distribution.TDistribution(
+      null, (number - 1).toDouble).inverseCumulativeProbability(0.975)
+    Q.sql(
+      "t1_cv_fixed_beta",
+      s"""WITH e AS (
+         |  SELECT l_orderkey * 10 + l_linenumber AS id,
+         |         ($b0 + $b1*l_quantity + $b2*l_discount + $b3*l_tax) - l_extendedprice AS err
+         |  FROM lineitem),
+         |f AS (SELECT ('0x' || substr(md5(id::VARCHAR || ':$rep'), 1, 15))::BIGINT % $number AS fold,
+         |             err
+         |      FROM e),
+         |s AS (SELECT fold,
+         |             round(${Det.dsumSql("err*err", 4)} / count(*)::DOUBLE, 6) AS mse,
+         |             round(${Det.dsumSql("abs(err)", 2)} / count(*)::DOUBLE, 6) AS mae
+         |      FROM f GROUP BY fold),
+         |u AS (SELECT 'mse' AS measure, mse AS value FROM s
+         |      UNION ALL SELECT 'mae', mae FROM s),
+         |a AS (SELECT measure, count(*)::DOUBLE AS n, avg(value) AS mean,
+         |             stddev_samp(value) AS sd
+         |      FROM u GROUP BY measure)
+         |SELECT measure, round(mean, 4) AS mean,
+         |       round(sd / sqrt(n), 4) AS se,
+         |       round(mean - $tq * sd / sqrt(n), 4) AS lo,
+         |       round(mean + $tq * sd / sqrt(n), 4) AS hi
+         |FROM a ORDER BY measure""".stripMargin) { (s, dir) =>
+      val e = Tables.spread(li(s, dir).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        ((lit(b0) + lit(b1) * col("l_quantity") + lit(b2) * col("l_discount")
+          + lit(b3) * col("l_tax")) - col("l_extendedprice")).as("err")))
+      val perFold = e
+        .select(TrainSlope.foldExpr("id", rep, number).as("fold"), col("err"))
+        .groupBy("fold").agg(
+          round(Det.dsum(col("err") * col("err"), 4)
+            / count(lit(1)).cast("double"), 6).as("mse"),
+          round(Det.dsum(abs(col("err")), 2)
+            / count(lit(1)).cast("double"), 6).as("mae"))
+      perFold
+        .selectExpr("stack(2, 'mse', mse, 'mae', mae) as (measure, value)")
+        .groupBy("measure").agg(
+          count(lit(1)).cast("double").as("n"),
+          avg(col("value")).as("mean"),
+          stddev_samp(col("value")).as("sd"))
+        .select(col("measure"),
+          round(col("mean"), 4).as("mean"),
+          round(col("sd") / sqrt(col("n")), 4).as("se"),
+          round(col("mean") - lit(tq) * col("sd") / sqrt(col("n")), 4).as("lo"),
+          round(col("mean") + lit(tq) * col("sd") / sqrt(col("n")), 4).as("hi"))
+        .orderBy("measure")
+    }
+  }
+
   /** T1: repeated k-fold CV over the path (deterministic salted-hash
     * folds). Iterative fitting — rows-only; the fold/grid mechanics are
     * pinned by TrainSlopeSpec.
@@ -361,5 +422,6 @@ object MlQueries {
   val queries: Seq[Q] = Seq(
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
     aucWeighted, gradientUdaf, slopePathGaussian, slopePathBinomial,
-    slopePathMultinomial, slopePathPoisson, slopeSigma0Gaussian, trainCv)
+    slopePathMultinomial, slopePathPoisson, slopeSigma0Gaussian, cvFixedBeta,
+    trainCv)
 }
