@@ -348,9 +348,65 @@ object Similarity {
       .select("probe_id", "rank", "cand_id", "cos")
   }
 
+  // ---------------------------------------------------------- SemDeDup --
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540; the reference has no embedding surface — this is
+    * brief-extension territory): shard the corpus into semantic clusters
+    * by broadcast-centroid argmax (row-local `least` over literal centroid
+    * structs — no join, no shuffle to assign), generate candidate pairs
+    * only WITHIN a cluster (equi-join on the cluster id — never
+    * all-pairs; the paper's k-means sharding), verify with the rounded
+    * exact cosine, and keep the lowest-id member of every near-identical
+    * neighborhood: a vector is dropped iff some lower-id same-cluster
+    * vector sits at cosine >= threshold from it. Greedy keep-lowest is
+    * deterministic and join-expressible — no iterative component
+    * resolution on the hot path (`Dedup.dupClusters` composes on top when
+    * the full grouping is wanted).
+    *
+    * Zero-norm vectors have no direction (cosine NaN): excluded up front
+    * from assignment, pairing and output, mirroring [[int8CosineTopK]].
+    *
+    * At scale: assignment is one map-only pass; the pair stage shuffles
+    * each vector once on its cluster id, and cluster sizes bound the
+    * quadratic term exactly as bucket sizes do in [[cosineNearDupPairs]]
+    * (skewed clusters re-split by AQE; the centroid count trades cluster
+    * size against recall, like the paper's k). The assignment frame fans
+    * out three ways (both pair sides + the verdict join), so it is
+    * persisted for the pair stage and the tiny drop set is materialized
+    * eagerly; the returned frame replays only the map-only assignment.
+    *
+    * Output: (vec_id, cluster, kept) for every nonzero-norm vector.
+    */
+  def semanticDedup(embeddings: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup: no centroids")
+    val nz = embeddings
+      .filter(dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("ev"))
+    val choices = centroids.map { case (cid, cv) =>
+      struct((-round(cosine(col("ev"), typedLit(cv)), 9)).as("negCos"),
+        lit(cid).as("cid"))
+    }
+    val best = if (choices.length == 1) choices.head else least(choices: _*)
+    val assigned = nz.withColumn("cluster", best.getField("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cluster").as("c_a"), col("vec_id").as("v1"),
+      col("ev").as("e1"))
+    val b = assigned.select(col("cluster").as("c_b"), col("vec_id").as("v2"),
+      col("ev").as("e2"))
+    val drops = a.join(b, col("c_a") === col("c_b") && col("v1") < col("v2"))
+      .filter(round(cosine(col("e1"), col("e2")), 9) >= threshold)
+      .select(col("v2").as("vec_id")).distinct()
+      .localCheckpoint() // eager: tiny, and forces the pair stage now
+    assigned.unpersist(blocking = false)
+    assigned.join(drops.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("_drop").isNull.as("kept"))
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to same-bucket
-    * candidates (the IVF-style scale path; recall traded for a bucket-local
-    * join instead of a corpus scan per probe).
+    * candidates (see [[lshBucket]]).
     */
   def lshTopK(embeddings: DataFrame, probePred: Column, k: Int,
               nPlanes: Int = 8): DataFrame = {

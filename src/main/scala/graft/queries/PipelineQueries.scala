@@ -406,6 +406,53 @@ object PipelineQueries {
         .orderBy("v1", "v2")
   }
 
+  /** SemDeDup over the embeddings table: literal centroids = the 8
+    * lowest-id nonzero-norm vectors (the p_ann_ivf_assign recipe, so the
+    * oracle can name them by id), threshold 0.4 — the corpus's planted
+    * near-dup level (see p_embedding_near_dup). Per-cluster totals keep
+    * the output small while pinning every keep/drop verdict: one flipped
+    * verdict moves a unit between a cluster's n_kept and its complement.
+    */
+  val semanticDedupQ: Q = Q.sql(
+    "p_semantic_dedup",
+    """WITH nz AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |c AS (SELECT vec_id AS cid, ev AS cv FROM nz WHERE vec_id < 8),
+      |s AS (SELECT n.vec_id, c.cid,
+      |             round(list_dot_product(n.ev, c.cv) /
+      |                   (sqrt(list_dot_product(n.ev, n.ev)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos
+      |      FROM nz n, c),
+      |r AS (SELECT vec_id, cid,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |      FROM s),
+      |asg AS (SELECT n.vec_id, r.cid AS cluster, n.ev
+      |        FROM nz n JOIN r ON n.vec_id = r.vec_id AND r.rn = 1),
+      |drops AS (
+      |  SELECT DISTINCT hi.vec_id
+      |  FROM asg lo JOIN asg hi
+      |    ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+      |  WHERE round(list_dot_product(lo.ev, hi.ev) /
+      |              (sqrt(list_dot_product(lo.ev, lo.ev)) * sqrt(list_dot_product(hi.ev, hi.ev))), 9) >= 0.4)
+      |SELECT asg.cluster, count(*)::BIGINT AS n_vecs,
+      |       sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      |FROM asg LEFT JOIN drops d ON asg.vec_id = d.vec_id
+      |GROUP BY asg.cluster ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    // bounded driver pull: 8 centroid rows, the ivfTopK probe-collect shape
+    val cents = e
+      .filter(Similarity.dot(col("embedding"), col("embedding")) > 0.0 &&
+        col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq
+    Similarity.semanticDedup(e, cents, 0.4)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("cluster")
+  }
+
   /** Binary-payload metadata (multimodal column plumbing, oracled part). */
   val multimodalMeta: Q = Q.sql(
     "p_multimodal_meta",
@@ -1139,7 +1186,7 @@ object PipelineQueries {
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
-    embeddingNearDup, multimodalMeta, multimodalDecode, annLshTopK,
+    embeddingNearDup, semanticDedupQ, multimodalMeta, multimodalDecode, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, packSequences, chunkOverlap,
     decontaminate,

@@ -382,6 +382,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextPipeline.rollingHash("hello world") == rows(0).getLong(6))
   }
 
+  test("semantic dedup: cluster-local keep-lowest verdicts, tie-break to lowest cid, zero vectors excluded") {
+    val sp = spark; import sp.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),      // centroid A, kept
+      (1L, Array(0f, 1f, 0f, 0f), 0),      // centroid B, kept
+      (2L, Array(0.995f, 0.0999f, 0f, 0f), 0), // near id0 in cluster A -> dropped
+      (3L, Array(0.1f, 0.995f, 0f, 0f), 0),    // near id1 in cluster B -> dropped
+      (4L, Array(0.75f, 0.75f, 0f, 0f), 0),    // equidistant: tie -> cluster A; far from id0 -> kept
+      (5L, Array(0f, 0f, 0f, 0f), 0),      // zero norm -> excluded entirely
+      (6L, Array(-1f, 0.1f, 0f, 0f), 0)    // cluster B, far from everything -> kept
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0, 0.0))
+
+    val out = Similarity.semanticDedup(vecs, cents, 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+
+    assert(!out.contains(5L), "zero vector must be excluded")
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 6L))
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)), "near-identical higher id in cluster A is dropped")
+    assert(out(3L) == ((1L, false)), "near-identical higher id in cluster B is dropped")
+    assert(out(4L) == ((0L, true)), "exact cosine tie assigns to the LOWEST cid")
+    assert(out(6L) == ((1L, true)))
+  }
+
   test("multimodal image decode is real: PNG round-trip recovers exact raster stats") {
     val sp = spark; import sp.implicits._
     val ids = Seq(0L, 1L, 41L, 100L)
