@@ -348,6 +348,104 @@ object Similarity {
       .select("probe_id", "rank", "cand_id", "cos")
   }
 
+  // ------------------------------------------------ Product quantization --
+
+  /** Grid-quantized copy of the embedding column (the [[IvfGrid]] spec):
+    * all PQ arithmetic runs over these integer-valued longs, so distances
+    * are exact in any engine and any accumulation order.
+    */
+  private def pqGrid(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * lit(IvfGrid) + lit(0.5)).cast("long"))
+
+  /** Explode a gridded vector into its m subvectors: one row per
+    * (subspace s, slice). `dim` must be divisible by m.
+    */
+  private def pqSubspaces(gq: Column, m: Int, dim: Int): Column = {
+    val ds = dim / m
+    explode(array((0 until m).map { s =>
+      struct(lit(s).as("s"), slice(gq, s * ds + 1, ds).as("sv"))
+    }: _*))
+  }
+
+  /** PQ codebook from the k lowest-id vectors (the literal-centroid recipe
+    * of `p_ann_ivf_assign`, so an oracle can reconstruct it by id): one row
+    * per (subspace s, code), where `code` is the source vector's id and
+    * `cw` its gridded subvector. k·m rows — broadcast-sized by
+    * construction.
+    */
+  def pqCodebook(embeddings: DataFrame, k: Int, m: Int, dim: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    embeddings.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("code"), pqGrid(col(vecCol)).as("gq"))
+      .select(col("code"), pqSubspaces(col("gq"), m, dim).as("e"))
+      .select(col("code"), col("e.s").as("s"), col("e.sv").as("cw"))
+  }
+
+  /** Product-quantization encoding (Jégou et al., "Product quantization
+    * for nearest neighbor search", IEEE TPAMI 2011): each vector's m
+    * subvectors map to their nearest codeword by exact gridded squared-L2
+    * (ties to the lowest code id). Returns the long format (vec_id, s,
+    * code) — m small ints per vector, the 8×-compressed at-rest
+    * representation ADC scoring consumes directly.
+    *
+    * Shape: one scan, codebook broadcast, argmin as a map-side-combinable
+    * `min` over (d2, code) structs — the `p_ann_ivf_assign` recipe per
+    * subspace. d2 terms are integer-valued doubles < 2⁵³ (grid bound ±1e7
+    * per component), so every distance is exact.
+    */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame, m: Int, dim: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = embeddings
+      .select(col(idCol).as("vec_id"), pqGrid(col(vecCol)).as("gq"))
+      .select(col("vec_id"), pqSubspaces(col("gq"), m, dim).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+    val d2 = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw")) +
+      dot(col("cw"), col("cw"))
+    sub.join(broadcast(codebook), Seq("s"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(d2.as("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.code").as("code"))
+  }
+
+  /** PQ top-k with asymmetric distance computation (ADC): probes stay
+    * unquantized; per (probe, subspace, code) the exact gridded d² makes a
+    * lookup table, and a candidate's approximate distance is the sum of
+    * its m codes' LUT entries. All-join formulation — the LUT is a
+    * DataFrame keyed (s, code), so scoring is one broadcast equi-join
+    * against the encoded corpus plus a map-side-combinable sum: no
+    * driver-side LUT literals, no per-probe plan.
+    *
+    * At 100 TB: candidates live as m bytes each (the encode output),
+    * the LUT is |probes|·m·k rows (broadcast), and the scored stream is
+    * map-side-reduced from m rows to 1 per (probe, candidate) before the
+    * shuffle. Ranking partitions by probe like [[cosineTopK]].
+    */
+  def pqTopK(embeddings: DataFrame, codebook: DataFrame, probePred: Column,
+             topK: Int, m: Int, dim: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val enc = pqEncode(embeddings, codebook, m, dim, idCol, vecCol)
+    val probeSub = embeddings.filter(probePred)
+      .select(col(idCol).as("probe_id"), pqGrid(col(vecCol)).as("gq"))
+      .select(col("probe_id"), pqSubspaces(col("gq"), m, dim).as("e"))
+      .select(col("probe_id"), col("e.s").as("s"), col("e.sv").as("pv"))
+    val pd2 = dot(col("pv"), col("pv")) - lit(2.0) * dot(col("pv"), col("cw")) +
+      dot(col("cw"), col("cw"))
+    val lut = probeSub.join(codebook, Seq("s"))
+      .select(col("probe_id"), col("s"), col("code"), pd2.as("pd2"))
+    val scored = enc.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pd2")).cast("long").as("d2"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("cand_id"), col("d2"))
+  }
+
   // ---------------------------------------------------------- SemDeDup --
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

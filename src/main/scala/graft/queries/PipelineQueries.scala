@@ -453,6 +453,61 @@ object PipelineQueries {
       .orderBy("cluster")
   }
 
+  /** PQ-ADC ANN, fully oracled: codebook = subvectors of the 16 lowest-id
+    * vectors (m=8 subspaces × 8 dims over the 1e6 grid — every distance is
+    * exact integer arithmetic), encode = per-subspace argmin d², ADC = LUT
+    * join + summed codes. The oracle replays codebook, encode, LUT and
+    * ranking; bit-equality holds because nothing ever leaves the integer
+    * grid until the final BIGINT distance.
+    */
+  val annPqTopK: Q = {
+    val (k, m, dim, topK) = (16, 8, 64, 5)
+    def d2(v: String, c: String) =
+      s"list_dot_product($v, $v) - 2*list_dot_product($v, $c) + list_dot_product($c, $c)"
+    Q.sql(
+      "p_ann_pq_topk",
+      s"""WITH vq AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0 + 0.5)) AS q
+         |  FROM embeddings),
+         |ss AS (SELECT unnest(range($m)) AS s),
+         |cb AS (
+         |  SELECT c.vec_id AS code, ss.s, list_slice(c.q, ss.s*${dim / m} + 1, ss.s*${dim / m} + ${dim / m}) AS cw
+         |  FROM vq c, ss WHERE c.vec_id < $k),
+         |sub AS (
+         |  SELECT v.vec_id, ss.s, list_slice(v.q, ss.s*${dim / m} + 1, ss.s*${dim / m} + ${dim / m}) AS sv
+         |  FROM vq v, ss),
+         |ed AS (
+         |  SELECT sub.vec_id, sub.s, cb.code, ${d2("sub.sv", "cb.cw")} AS d2
+         |  FROM sub JOIN cb ON sub.s = cb.s),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |    FROM ed) WHERE rn = 1),
+         |lut AS (
+         |  SELECT p.vec_id AS probe_id, p.s, cb.code, ${d2("p.sv", "cb.cw")} AS pd2
+         |  FROM sub p JOIN cb ON p.s = cb.s
+         |  WHERE p.vec_id % 100 = 0),
+         |sc AS (
+         |  SELECT l.probe_id, e.vec_id AS cand_id, sum(l.pd2)::BIGINT AS d2
+         |  FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code
+         |  GROUP BY l.probe_id, e.vec_id),
+         |rk AS (
+         |  SELECT probe_id, cand_id, d2,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY d2, cand_id) AS rank
+         |  FROM sc WHERE cand_id <> probe_id)
+         |SELECT probe_id, rank::BIGINT AS rank, cand_id, d2
+         |FROM rk WHERE rank <= $topK ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val cb = Similarity.pqCodebook(e, k, m, dim)
+      Similarity.pqTopK(e, cb, col("vec_id") % 100 === 0, topK, m, dim)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("cand_id"), col("d2"))
+        .orderBy("probe_id", "rank")
+    }
+  }
+
   /** Binary-payload metadata (multimodal column plumbing, oracled part). */
   val multimodalMeta: Q = Q.sql(
     "p_multimodal_meta",
@@ -1186,7 +1241,7 @@ object PipelineQueries {
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
-    embeddingNearDup, semanticDedupQ, multimodalMeta, multimodalDecode, annLshTopK,
+    embeddingNearDup, semanticDedupQ, annPqTopK, multimodalMeta, multimodalDecode, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, packSequences, chunkOverlap,
     decontaminate,

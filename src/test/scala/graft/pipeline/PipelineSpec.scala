@@ -408,6 +408,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == ((1L, true)))
   }
 
+  test("PQ: encode picks nearest codeword per subspace; ADC ranks a planted twin first at distance zero") {
+    val sp = spark; import sp.implicits._
+    // dim=8, m=2 subspaces of 4; codebook from the 4 lowest ids
+    val base = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, /* */ 0f, 1f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f, 0f, /* */ 0f, 0f, 1f, 0f), 0),
+      (2L, Array(0f, 0f, 1f, 0f, /* */ 0f, 0f, 0f, 1f), 0),
+      (3L, Array(0f, 0f, 0f, 1f, /* */ 1f, 0f, 0f, 0f), 0),
+      // 10: exact copy of 2 — its ADC distance THROUGH 2's codes is zero
+      (10L, Array(0f, 0f, 1f, 0f, /* */ 0f, 0f, 0f, 1f), 0),
+      // 11: first half of 0, second half of 1 — codes must mix (0, 1)
+      (11L, Array(1f, 0f, 0f, 0f, /* */ 0f, 0f, 1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqCodebook(base, k = 4, m = 2, dim = 8)
+
+    val enc = Similarity.pqEncode(base, cb, m = 2, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(enc((10L, 0)) == 2L && enc((10L, 1)) == 2L, "twin encodes to 2's codes")
+    assert(enc((11L, 0)) == 0L && enc((11L, 1)) == 1L, "mixed vector mixes codebooks")
+
+    val top = Similarity.pqTopK(base, cb, col("vec_id") === 10, topK = 2, m = 2, dim = 8)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(top(1)._1 == 2L, "planted twin ranks first")
+    assert(top(1)._2 == 0L, "composed-of-codewords vector has zero quantization error")
+  }
+
   test("multimodal image decode is real: PNG round-trip recovers exact raster stats") {
     val sp = spark; import sp.implicits._
     val ids = Seq(0L, 1L, 41L, 100L)
