@@ -28,6 +28,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def force(name: String): Double = {
+      // isolate queries from each other: eagerly-materialized pipelines
+      // (localCheckpoint / persist inside dedup, CC, semantic dedup) leave
+      // blocks in the block manager for as long as their DataFrames are
+      // reachable — across 60+ queries the accumulation fills storage
+      // memory and a later cache-heavy query pays eviction churn instead
+      // of its own cost (measured 2.4 s → 18.9 s on p_dup_clusters, full
+      // suite vs isolated). Each query re-materializes inside its own
+      // timed run, so dropping leftovers changes nothing semantically.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
       // settle the heap between queries: the iterative-fit queries collect
       // sizeable driver arrays, and their garbage otherwise lands on
       // whichever query runs next (measured 2.5s → 11s swings)

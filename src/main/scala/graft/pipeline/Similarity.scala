@@ -499,7 +499,9 @@ object Similarity {
       .select(col("v2").as("vec_id")).distinct()
       .localCheckpoint() // eager: tiny, and forces the pair stage now
     assigned.unpersist(blocking = false)
-    assigned.join(drops.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+    // the checkpointed drop set carries no stats, so the static plan would
+    // sort-merge; it is |dups|-sized by construction — broadcast it
+    assigned.join(broadcast(drops.withColumn("_drop", lit(true))), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("_drop").isNull.as("kept"))
   }
 

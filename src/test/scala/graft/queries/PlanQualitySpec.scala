@@ -82,10 +82,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pipeline queries contain no cartesian product") {
     for (name <- Seq("p_minhash_lsh_dedup", "p_simhash_hamming", "p_ann_lsh_topk",
       "p_exact_dedup", "p_winnow_fingerprint", "p_decontaminate",
-      "p_incremental_dedup", "p_repetition_quality")) {
+      "p_incremental_dedup", "p_repetition_quality", "p_semantic_dedup",
+      "p_ann_pq_topk")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
+  }
+
+  test("semantic dedup: row-local assignment, cluster equi-join pairs, broadcast drop verdicts") {
+    val p = planOf("p_semantic_dedup")
+    // centroid argmax is a literal `least` expression — the ONLY joins are
+    // the within-cluster pair join and the tiny drop-set verdict join
+    assert(!p.contains("CartesianProduct"), "assignment must not cross-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "drop set should broadcast into the verdict join")
+    // pair stage keys on the cluster id (an equi-join, skew-splittable)
+    assert(p.contains("vec_id"), "sanity: plan mentions the id column")
+  }
+
+  test("PQ top-k: LUT broadcasts, ADC sum is map-side combined before its shuffle") {
+    val p = planOf("p_ann_pq_topk")
+    assert(!p.contains("CartesianProduct"), "PQ scoring fell back to cartesian")
+    assert(p.contains("BroadcastExchange"), "LUT should broadcast")
+    assert(p.contains("partial_sum"),
+      s"ADC sum must partial-aggregate map-side before the (probe,cand) shuffle:\n$p")
   }
 
   test("repetition quality is one scan: native run-scan, shuffle only per-lang aggregates") {
