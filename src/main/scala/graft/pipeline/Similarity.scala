@@ -411,6 +411,99 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("best.code").as("code"))
   }
 
+  /** Learned PQ codebooks: per-subspace Lloyd iterations over the gridded
+    * subvectors, all m subspaces trained in ONE `treeAggregate` pass per
+    * iteration (buffer = m·k·(ds+1) longs — e.g. 1 152 at m=8, k=16,
+    * ds=8 — driver-held like the IVF centroid table). Init = the k
+    * lowest-id vectors' subvectors ([[pqCodebook]]'s recipe); assignment
+    * = argmin exact gridded squared-L2 with ties to the lowest code;
+    * update = component mean re-gridded; an empty code keeps its previous
+    * codeword. All accumulation is exact longs, so the learned codebooks
+    * are bit-identical under any partitioning (asserted in PipelineSpec).
+    *
+    * Returns codebooks(s)(c) = gridded codeword; feed [[pqCodebookDf]]
+    * into [[pqEncode]]/[[pqTopK]].
+    */
+  def pqTrain(embeddings: DataFrame, k: Int, m: Int, dim: Int, iters: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val ds = dim / m
+    val init: Array[Array[Long]] = embeddings
+      .orderBy(col(idCol)).limit(k).select(vecCol).collect()
+      .map(r => gridVec(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(init.nonEmpty, "pqTrain: empty input")
+    val kk = init.length
+    // codebooks(s)(c)(d0)
+    var cb: Array[Array[Array[Long]]] =
+      Array.tabulate(m, kk)((s, c) => init(c).slice(s * ds, s * ds + ds))
+    val rows = graft.util.Tables.spread(embeddings.select(vecCol)).rdd
+      .map(r => gridVec(r.getSeq[Float](0).map(_.toDouble).toArray))
+
+    def argminCode(v: Array[Long], off: Int, cws: Array[Array[Long]]): Int = {
+      var best = 0; var bestD = Long.MaxValue
+      var c = 0
+      while (c < cws.length) {
+        var d = 0L; var i = 0
+        val cw = cws(c)
+        while (i < cw.length) {
+          val diff = v(off + i) - cw(i)
+          d = Math.addExact(d, Math.multiplyExact(diff, diff)); i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict <: ties keep lowest code
+        c += 1
+      }
+      best
+    }
+
+    for (_ <- 0 until iters) {
+      val bc = rows.sparkContext.broadcast(cb)
+      // buffer layout per subspace s: [sums (kk·ds) | counts (kk)]
+      val span = kk * ds + kk
+      val agg = rows.treeAggregate(new Array[Long](m * span))(
+        (buf, v) => {
+          var s = 0
+          while (s < m) {
+            val best = argminCode(v, s * ds, bc.value(s))
+            val base = s * span + best * ds
+            var i = 0
+            while (i < ds) {
+              buf(base + i) = Math.addExact(buf(base + i), v(s * ds + i)); i += 1
+            }
+            buf(s * span + kk * ds + best) += 1
+            s += 1
+          }
+          buf
+        },
+        (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+          a
+        })
+      bc.destroy()
+      cb = Array.tabulate(m, kk) { (s, c) =>
+        val n = agg(s * span + kk * ds + c)
+        if (n == 0L) cb(s)(c) // empty code: keep previous codeword
+        else Array.tabulate(ds) { i =>
+          math.floor(agg(s * span + c * ds + i).toDouble / n + 0.5).toLong
+        }
+      }
+    }
+    cb
+  }
+
+  /** Trained codebooks as the (code, s, cw) DataFrame [[pqEncode]] and
+    * [[pqTopK]] consume (codes are 0..k−1 here, not vector ids).
+    */
+  def pqCodebookDf(spark: org.apache.spark.sql.SparkSession,
+                   cb: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      s <- cb.indices; c <- cb(s).indices
+    } yield (c.toLong, s, cb(s)(c).toSeq)
+    rows.toDF("code", "s", "cw")
+  }
+
   /** PQ top-k with asymmetric distance computation (ADC): probes stay
     * unquantized; per (probe, subspace, code) the exact gridded d² makes a
     * lookup table, and a candidate's approximate distance is the sum of

@@ -434,6 +434,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top(1)._2 == 0L, "composed-of-codewords vector has zero quantization error")
   }
 
+  test("PQ training: partition-layout-invariant codebooks that recover planted subvector clusters") {
+    val sp = spark; import sp.implicits._
+    val bases = Array(
+      Array(2f, 0f, 0f, 0f, 0f, 2f, 0f, 0f),
+      Array(0f, 2f, 0f, 0f, 0f, 0f, 2f, 0f),
+      Array(0f, 0f, 2f, 0f, 0f, 0f, 0f, 2f),
+      Array(0f, 0f, 0f, 2f, 2f, 0f, 0f, 0f))
+    // 60 vectors = 4 planted clusters with deterministic sub-0.01 jitter;
+    // ids 0..3 are one member of each cluster, so init sees all clusters
+    val vecs = (0 until 60).map { i =>
+      val b = bases(i % 4)
+      (i.toLong, b.indices.map(d => b(d) + ((i * 7 + d) % 5) * 0.002f).toArray, 0)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+
+    val cb1 = Similarity.pqTrain(df.repartition(1), k = 4, m = 2, dim = 8)
+    val cb7 = Similarity.pqTrain(df.repartition(7), k = 4, m = 2, dim = 8)
+    def nested(cb: Array[Array[Array[Long]]]) = cb.map(_.map(_.toSeq).toSeq).toSeq
+    assert(nested(cb1) == nested(cb7), "training must not depend on partition layout")
+
+    val enc = Similarity.pqEncode(df, Similarity.pqCodebookDf(spark, cb1), m = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // every member of a planted cluster must share its cluster's code in
+    // every subspace (codes themselves are arbitrary labels)
+    for (s <- 0 until 2; cl <- 0 until 4) {
+      val codes = (0 until 60).filter(_ % 4 == cl).map(i => enc((i.toLong, s))).distinct
+      assert(codes.size == 1, s"cluster $cl split across codes in subspace $s: $codes")
+    }
+    // distinct clusters get distinct codes (all 4 codewords used)
+    for (s <- 0 until 2) {
+      val reps = (0 until 4).map(cl => enc((cl.toLong, s))).distinct
+      assert(reps.size == 4, s"codebook collapsed in subspace $s")
+    }
+  }
+
   test("multimodal image decode is real: PNG round-trip recovers exact raster stats") {
     val sp = spark; import sp.implicits._
     val ids = Seq(0L, 1L, 41L, 100L)
