@@ -508,6 +508,70 @@ object PipelineQueries {
     }
   }
 
+  /** LEARNED PQ codebooks, fully oracled: one distributed Lloyd iteration
+    * ([[Similarity.pqTrain]] — init from the k lowest-id vectors' gridded
+    * subvectors, exact-integer argmin assignment with ties to the lowest
+    * code, mean re-grid update, empty codes keep their init codeword). The
+    * oracle replays the identical iteration relationally: assign via
+    * row_number over exact d², update via floor(sum/count + 0.5). Because
+    * both engines stay on the 1e6 integer grid until the single double
+    * division (whose operands are bit-identical), the learned codebooks
+    * hash-match — an end-to-end correctness gate for distributed k-means
+    * training, not just encoding.
+    */
+  val annPqTrained: Q = {
+    val (k, m, dim) = (16, 8, 64)
+    def d2(v: String, c: String) =
+      s"list_dot_product($v, $v) - 2*list_dot_product($v, $c) + list_dot_product($c, $c)"
+    Q.sql(
+      "p_ann_pq_trained",
+      s"""WITH vq AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0 + 0.5)) AS q
+         |  FROM embeddings),
+         |ss AS (SELECT unnest(range($m)) AS s),
+         |cb AS (
+         |  SELECT c.vec_id AS code, ss.s, list_slice(c.q, ss.s*${dim / m} + 1, ss.s*${dim / m} + ${dim / m}) AS cw
+         |  FROM vq c, ss WHERE c.vec_id < $k),
+         |sub AS (
+         |  SELECT v.vec_id, ss.s, list_slice(v.q, ss.s*${dim / m} + 1, ss.s*${dim / m} + ${dim / m}) AS sv
+         |  FROM vq v, ss),
+         |ed AS (
+         |  SELECT sub.vec_id, sub.s, cb.code, ${d2("sub.sv", "cb.cw")} AS d2
+         |  FROM sub JOIN cb ON sub.s = cb.s),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |    FROM ed) WHERE rn = 1),
+         |asg AS (
+         |  SELECT e.s, e.code, sub.sv
+         |  FROM enc e JOIN sub ON sub.vec_id = e.vec_id AND sub.s = e.s),
+         |dims AS (
+         |  SELECT s, code, generate_subscripts(sv, 1) - 1 AS dim, unnest(sv) AS x
+         |  FROM asg),
+         |upd AS (
+         |  SELECT s, code, dim,
+         |         CAST(floor(sum(x) / count(*) + 0.5) AS BIGINT) AS cw
+         |  FROM dims GROUP BY s, code, dim),
+         |base AS (
+         |  SELECT s, code, generate_subscripts(cw, 1) - 1 AS dim, unnest(cw) AS cw0
+         |  FROM cb)
+         |SELECT base.s::BIGINT AS s, base.code::BIGINT AS code,
+         |       base.dim::BIGINT AS dim,
+         |       COALESCE(upd.cw, base.cw0::BIGINT) AS cw
+         |FROM base LEFT JOIN upd
+         |  ON base.s = upd.s AND base.code = upd.code AND base.dim = upd.dim
+         |ORDER BY s, code, dim""".stripMargin) { (s, dir) =>
+      val cb = Similarity.pqTrain(emb(s, dir), k, m, dim, iters = 1)
+      Similarity.pqCodebookDf(s, cb)
+        .select(col("s").cast("long").as("s"), col("code"),
+          posexplode(col("cw")).as(Seq("dim", "cw")))
+        .select(col("s"), col("code"), col("dim").cast("long").as("dim"), col("cw"))
+        .orderBy("s", "code", "dim")
+    }
+  }
+
   /** Binary-payload metadata (multimodal column plumbing, oracled part). */
   val multimodalMeta: Q = Q.sql(
     "p_multimodal_meta",
@@ -1241,7 +1305,7 @@ object PipelineQueries {
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
-    embeddingNearDup, semanticDedupQ, annPqTopK, multimodalMeta, multimodalDecode, annLshTopK,
+    embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, multimodalMeta, multimodalDecode, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, packSequences, chunkOverlap,
     decontaminate,
