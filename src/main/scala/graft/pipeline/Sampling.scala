@@ -67,4 +67,50 @@ object Sampling {
     }
     df.withColumn("split", split)
   }
+
+  /** Deterministic global training-order shuffle: an epoch-salted hash is
+    * the shuffle key, and `shard = key mod nShards` gives every row a
+    * stable output-file assignment. Purely row-local (no shuffle here);
+    * the ORDER itself is materialized downstream by a range-partitioned
+    * sort on `shuffle_key` (plain `orderBy` — Spark samples split points,
+    * so no global window and no single-task sort at any scale), or by
+    * writing `partitionBy(shard)` + sorting within files. A different
+    * epoch salt is an independent permutation of the same corpus.
+    */
+  def trainOrder(df: DataFrame, idCol: String, epochSalt: String,
+                 nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn("shuffle_key", rowHash(col(idCol), epochSalt))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+  }
+
+  /** Token-budget mixture: each source's share of a global token budget is
+    * `⌊budget · w / Σw⌋` (exact integer arithmetic), and docs fill their
+    * source's quota in salted-hash order — a doc is kept iff the running
+    * token total BEFORE it is still under quota, so every source keeps at
+    * least one doc when its quota is positive and overshoot is bounded by
+    * one doc. Shapes: the per-source weight/quota table is a distinct-agg
+    * over the (tiny) source dimension, broadcast back; the running sum is
+    * a window PARTITIONED BY source (never unpartitioned), ordered by the
+    * salted hash with id tie-break — deterministic across engines,
+    * partitionings and re-executions.
+    */
+  def tokenBudgetMixture(df: DataFrame, sourceCol: String, tokenCol: Column,
+                         weightCol: Column, budgetTokens: Long,
+                         salt: String, idCol: String): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be non-negative, got $budgetTokens")
+    val src = df.select(col(sourceCol)).distinct()
+      .withColumn("w", weightCol.cast("long"))
+    val tot = src.agg(sum(col("w")).as("tw"))
+    val quotas = src.crossJoin(broadcast(tot))
+      .withColumn("quota_tokens", expr(s"($budgetTokens * w) div tw"))
+      .select(col(sourceCol), col("quota_tokens"))
+    val wnd = Window.partitionBy(sourceCol)
+      .orderBy(rowHash(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tokens", tokenCol.cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("tokens")).over(wnd), lit(0L)))
+      .join(broadcast(quotas), sourceCol)
+      .withColumn("kept", col("cum_before") < col("quota_tokens"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.util.{Det, Tables}
 import graft.pipeline._
 
@@ -1207,6 +1208,73 @@ object PipelineQueries {
     }
   }
 
+  /** Deterministic global training-order shuffle: the epoch-salted hash is
+    * the shuffle key, `shard = key mod 8` the stable writer assignment.
+    * The query surfaces the head of epoch-0's order; the rank window runs
+    * AFTER the take-ordered limit, so its input is 30 rows by construction
+    * (the full-scale order itself is a range-partitioned sort, never a
+    * global window — see [[graft.pipeline.Sampling.trainOrder]]).
+    */
+  val trainOrder: Q = {
+    val (salt, nShards, n) = ("epoch0", 8, 30)
+    val h = Det.md5Hash60Sql(s"'$salt-' || doc_id::VARCHAR")
+    Q.sql(
+      "p_train_order",
+      s"""WITH o AS (
+         |  SELECT doc_id, $h AS shuffle_key, $h % $nShards AS shard
+         |  FROM documents),
+         |r AS (SELECT doc_id, shuffle_key, shard,
+         |             row_number() OVER (ORDER BY shuffle_key, doc_id) AS rank
+         |      FROM o)
+         |SELECT rank::BIGINT AS rank, doc_id, shuffle_key, shard
+         |FROM r WHERE rank <= $n ORDER BY rank""".stripMargin) { (s, dir) =>
+      val head = Sampling.trainOrder(docs(s, dir), "doc_id", salt, nShards)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"))
+        .orderBy("shuffle_key", "doc_id").limit(n)
+      head.withColumn("rank",
+          row_number().over(Window.orderBy("shuffle_key", "doc_id")).cast("long"))
+        .select(col("rank"), col("doc_id"), col("shuffle_key"), col("shard"))
+        .orderBy("rank")
+    }
+  }
+
+  /** Token-budget mixture sampling: per-source quotas ⌊budget·w/Σw⌋ filled
+    * in salted-hash order (the weight ramp `(srcIdx mod 4)+1` exercises
+    * unequal shares). All arithmetic is exact integers; the per-source
+    * running sum is a partitioned window; the quota table broadcasts.
+    */
+  val mixtureBudget: Q = {
+    val (salt, budget) = ("mix0", 60000L)
+    val wSql = "(CAST(substr(source, 4) AS INT) % 4 + 1)"
+    val h = Det.md5Hash60Sql(s"'$salt-' || doc_id::VARCHAR")
+    Q.sql(
+      "p_mixture_budget",
+      s"""WITH w AS (
+         |  SELECT source, CAST($wSql AS BIGINT) AS w
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |tw AS (SELECT sum(w) AS tw FROM w),
+         |q AS (SELECT source, ($budget * w) // tw AS quota_tokens FROM w, tw),
+         |o AS (
+         |  SELECT doc_id, source, n_chars,
+         |         COALESCE(sum(n_chars) OVER (PARTITION BY source
+         |           ORDER BY $h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM documents)
+         |SELECT o.source, max(q.quota_tokens)::BIGINT AS quota_tokens,
+         |       sum(CASE WHEN o.cb < q.quota_tokens THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |       sum(CASE WHEN o.cb < q.quota_tokens THEN o.n_chars ELSE 0 END)::BIGINT AS kept_tokens
+         |FROM o JOIN q ON o.source = q.source
+         |GROUP BY o.source ORDER BY o.source""".stripMargin) { (s, dir) =>
+      Sampling.tokenBudgetMixture(docs(s, dir), "source", col("n_chars"),
+          expr("CAST(substring(source, 4) AS INT) % 4 + 1"), budget, salt, "doc_id")
+        .groupBy("source")
+        .agg(max(col("quota_tokens")).as("quota_tokens"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("tokens")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }
+  }
+
   /** As-of join (DuckDB/kdb ASOF): every click event picks the user's
     * latest purchase value at-or-before its timestamp. Spark lacks the
     * operator; [[graft.pipeline.TemporalJoin.asofJoin]] composes it as a
@@ -1307,7 +1375,8 @@ object PipelineQueries {
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
     embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, multimodalMeta, multimodalDecode, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
-    winnowFingerprint, stratifiedSample, packSequences, chunkOverlap,
+    winnowFingerprint, stratifiedSample, trainOrder, mixtureBudget,
+    packSequences, chunkOverlap,
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
     dupClusters, rateSample)

@@ -536,4 +536,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotDist == expect)
   }
+
+  test("trainOrder: epoch salts are independent permutations with stable shards") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 200L).toDF("doc_id")
+    def order(salt: String): Seq[Long] =
+      Sampling.trainOrder(df, "doc_id", salt, 8)
+        .orderBy("shuffle_key", "doc_id").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    val e0 = order("epoch0"); val e1 = order("epoch1")
+    assert(e0.sorted == (0L until 200L), "a shuffle must be a permutation")
+    assert(e1.sorted == (0L until 200L))
+    assert(e0 != e1, "different epochs must give different orders")
+    assert(e0 == order("epoch0"), "same epoch must reproduce the same order")
+    val shards = Sampling.trainOrder(df, "doc_id", "epoch0", 8)
+      .select("shard").distinct().collect().map(_.getLong(0)).toSet
+    assert(shards.subsetOf((0L until 8L).toSet) && shards.size > 1)
+  }
+
+  test("tokenBudgetMixture: quotas are exact integer shares, overshoot bounded by one doc") {
+    val sp = spark; import sp.implicits._
+    // two sources, weight ramp 1:3, budget 400 → quotas 100 and 300
+    val df = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b", 17L + i % 7)
+    }.toDF("doc_id", "source", "n_tok")
+    val out = Sampling.tokenBudgetMixture(df, "source", col("n_tok"),
+      when(col("source") === "a", 1).otherwise(3), 400L, "s0", "doc_id")
+    val bySource = out.groupBy("source")
+      .agg(max("quota_tokens").as("q"),
+        sum(when(col("kept"), col("tokens")).otherwise(0L)).as("kt"),
+        max(when(col("kept"), col("tokens"))).as("maxDoc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(bySource("a")._1 == 100L && bySource("b")._1 == 300L)
+    for ((_, (q, kt, maxDoc)) <- bySource) {
+      assert(kt > 0, "positive quota keeps at least one doc")
+      assert(kt < q + maxDoc, s"overshoot must be bounded by one doc: $kt vs $q")
+    }
+    // verdicts are partition-layout-invariant
+    val kept1 = out.filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val kept7 = Sampling.tokenBudgetMixture(df.repartition(7), "source", col("n_tok"),
+        when(col("source") === "a", 1).otherwise(3), 400L, "s0", "doc_id")
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept7)
+  }
 }
