@@ -1208,6 +1208,67 @@ object PipelineQueries {
     }
   }
 
+  /** PII scrub over the full corpus: deterministic synthetic PII (emails /
+    * dotted-quad IPs / phone numbers derived from doc_id — the word-soup
+    * fixture contains none naturally) is appended to each doc, then
+    * [[graft.pipeline.Pii]] counts and redacts it. The oracle replays the
+    * augmentation and redaction in RE2; `bit_xor` of the 60-bit hash of
+    * every redacted doc pins the redacted BYTES corpus-wide, not just the
+    * counts. Row-local map work — fuses into whole-stage codegen, nothing
+    * shuffles but the final per-lang aggregate.
+    */
+  val piiScrub: Q = {
+    val augSql =
+      """text
+        | || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+        | || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR ELSE '' END
+        | || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ELSE '' END""".stripMargin.replace("\n", "")
+    Q.sql(
+      "p_pii_scrub",
+      s"""WITH aug AS (
+         |  SELECT lang, doc_id, $augSql AS t FROM documents),
+         |r AS (
+         |  SELECT lang,
+         |         len(regexp_extract_all(t, '${Pii.EmailRe}')) AS ne,
+         |         len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS ni,
+         |         len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS np,
+         |         regexp_replace(regexp_replace(regexp_replace(t,
+         |           '${Pii.EmailRe}', '[EMAIL]', 'g'),
+         |           '${Pii.Ipv4Re}', '[IP]', 'g'),
+         |           '${Pii.PhoneRe}', '[PHONE]', 'g') AS red
+         |  FROM aug)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(ne)::BIGINT AS n_emails, sum(ni)::BIGINT AS n_ips,
+         |       sum(np)::BIGINT AS n_phones,
+         |       sum(length(red))::BIGINT AS sum_red_len,
+         |       bit_xor(${Det.md5Hash60Sql("red")}) AS xor_red_hash
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val aug = docsSpread(s, dir).withColumn("t", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0."),
+          (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      aug.select(col("lang"),
+          Pii.emailCount(col("t")).cast("long").as("ne"),
+          Pii.ipv4Count(col("t")).cast("long").as("ni"),
+          Pii.phoneCount(col("t")).cast("long").as("np"),
+          length(Pii.redact(col("t"))).cast("long").as("rl"),
+          Det.md5Hash60(Pii.redact(col("t"))).as("rh"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ne").as("n_emails"),
+          sum("ni").as("n_ips"), sum("np").as("n_phones"),
+          sum("rl").as("sum_red_len"),
+          expr("bit_xor(rh)").as("xor_red_hash"))
+        .orderBy("lang")
+    }
+  }
+
   /** Deterministic global training-order shuffle: the epoch-salted hash is
     * the shuffle key, `shard = key mod 8` the stable writer assignment.
     * The query surfaces the head of epoch-0's order; the rank window runs
@@ -1375,7 +1436,7 @@ object PipelineQueries {
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
     embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, multimodalMeta, multimodalDecode, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
-    winnowFingerprint, stratifiedSample, trainOrder, mixtureBudget,
+    winnowFingerprint, stratifiedSample, trainOrder, mixtureBudget, piiScrub,
     packSequences, chunkOverlap,
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,

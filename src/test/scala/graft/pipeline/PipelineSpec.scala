@@ -537,6 +537,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotDist == expect)
   }
 
+  test("PII scrub: exact counts and redacted text for handcrafted cases") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0L, "mail a.b-c_9@sub.example.org now"),
+      (1L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (2L, "call +1-555-123-4567 or +44-020-7946-0958"),
+      (3L, "email me at 10.1.2.3@ips.net ok"), // email whose domain LOOKS like an IP
+      (4L, "no pii here, just words and 3.14 pie")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        Pii.emailCount(col("text")).as("ne"), Pii.ipv4Count(col("text")).as("ni"),
+        Pii.phoneCount(col("text")).as("np"), Pii.redact(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(0L) == ((1, 0, 0, "mail [EMAIL] now")))
+    assert(out(1L) == ((0, 2, 0, "host [IP] and [IP] up")))
+    assert(out(2L) == ((0, 0, 2, "call [PHONE] or [PHONE]")))
+    // email consumed first, so its dotted-quad domain is NOT double-redacted
+    assert(out(3L)._4 == "email me at [EMAIL] ok")
+    assert(out(4L) == ((0, 0, 0, "no pii here, just words and 3.14 pie")))
+  }
+
   test("trainOrder: epoch salts are independent permutations with stable shards") {
     val sp = spark; import sp.implicits._
     val df = (0L until 200L).toDF("doc_id")
