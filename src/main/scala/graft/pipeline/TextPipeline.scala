@@ -59,6 +59,28 @@ object TextPipeline {
       "punct_ratio" -> (punctCount(text).cast("double") / greatest(nChars, lit(1.0))))
   }
 
+  /** Model-based quality scoring (the fasttext-classifier-filter shape):
+    * the linear predictor z = β·(1, n_tokens, stopword_ratio, punct_ratio,
+    * mean_token_len) of a FIXED logistic model over the heuristic text
+    * features. Kept in LINEAR space on purpose: `keep ⇔ z ≥ logit(τ)` is
+    * exact double arithmetic (products and left-associated adds are
+    * bit-identical across engines), so filter verdicts never hinge on a
+    * transcendental's last ulp — compute `sigmoid(z)` only as a display
+    * score. Row-local, UDF-free, codegen-fused; training the β itself is
+    * the job of the SLOPE estimator (`fit/SlopeEstimator`), whose binomial
+    * family produces exactly this shape of model.
+    */
+  def classifierScore(text: Column, beta: Array[Double]): Column = {
+    require(beta.length == 5, s"beta must be (b0, bTok, bStop, bPunct, bMtl)")
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val stopR = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctR = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val mtl = nChars / greatest(nTok, lit(1.0))
+    lit(beta(0)) + lit(beta(1)) * nTok + lit(beta(2)) * stopR +
+      lit(beta(3)) * punctR + lit(beta(4)) * mtl
+  }
+
   /** Per-language function-word patterns for the n-gram/stopword language-ID
     * heuristic. ASCII-only patterns so the same regex runs in Spark (Java
     * regex) and any RE2-based oracle.

@@ -1208,6 +1208,44 @@ object PipelineQueries {
     }
   }
 
+  /** Model-based quality filtering: a fixed logistic β over the heuristic
+    * text features, thresholded in LINEAR space (`z ≥ 0` ⇔ score ≥ 0.5) so
+    * keep verdicts are exact double arithmetic; the sigmoid sum is a
+    * display aggregate on the Det grid. The oracle replays the identical
+    * left-associated linear predictor. This is the P12 heuristic filter
+    * upgraded to the classifier shape every production corpus pipeline
+    * runs, and the β slot is exactly what the binomial SLOPE fit emits.
+    */
+  val modelQualityFilter: Q = {
+    val beta = "(-2.0) + 0.01*nt + 8.0*(ns/greatest(nt,1.0)) + " +
+      "(-20.0)*(np/greatest(nc,1.0)) + (-0.1)*(nc/greatest(nt,1.0))"
+    Q.sql(
+      "p_model_quality_filter",
+      s"""WITH f AS (
+         |  SELECT lang,
+         |         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS nt,
+         |         length(text)::DOUBLE AS nc,
+         |         len(regexp_extract_all(lower(text), '${TextPipeline.stopwordPattern}'))::DOUBLE AS ns,
+         |         len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS np
+         |  FROM documents),
+         |z AS (SELECT lang, $beta AS z FROM f)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |       ${Det.dsumSql("z", 9)} AS sum_z,
+         |       ${Det.dsumSql("1.0/(1.0 + exp(-z))", 9)} AS sum_score
+         |FROM z GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docsSpread(s, dir)
+        .withColumn("z", TextPipeline.classifierScore(col("text"),
+          Array(-2.0, 0.01, 8.0, -20.0, -0.1)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("z") >= 0.0, 1L).otherwise(0L)).as("n_kept"),
+          Det.dsum(col("z"), 9).as("sum_z"),
+          Det.dsum(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9).as("sum_score"))
+        .orderBy("lang")
+    }
+  }
+
   /** PII scrub over the full corpus: deterministic synthetic PII (emails /
     * dotted-quad IPs / phone numbers derived from doc_id — the word-soup
     * fixture contains none naturally) is appended to each doc, then
@@ -1437,6 +1475,7 @@ object PipelineQueries {
     embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, multimodalMeta, multimodalDecode, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, trainOrder, mixtureBudget, piiScrub,
+    modelQualityFilter,
     packSequences, chunkOverlap,
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,

@@ -537,6 +537,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotDist == expect)
   }
 
+  test("classifierScore: linear predictor matches hand computation; threshold is sigmoid-consistent") {
+    val sp = spark; import sp.implicits._
+    val text = "the cat sat. the end."
+    val beta = Array(-2.0, 0.01, 8.0, -20.0, -0.1)
+    val z = Seq(Tuple1(text)).toDF("text")
+      .select(TextPipeline.classifierScore(col("text"), beta)).head().getDouble(0)
+    // tokens: the cat sat the end (5); chars 21; stopwords 2; punct 2
+    val expect = -2.0 + 0.01 * 5 + 8.0 * (2.0 / 5) + -20.0 * (2.0 / 21) + -0.1 * (21.0 / 5)
+    assert(z == expect, s"$z vs $expect")
+    // z >= 0 iff sigmoid(z) >= 0.5 — the linear-space keep verdict
+    assert((z >= 0.0) == (1.0 / (1.0 + math.exp(-z)) >= 0.5))
+  }
+
   test("PII scrub: exact counts and redacted text for handcrafted cases") {
     val sp = spark; import sp.implicits._
     val df = Seq(
