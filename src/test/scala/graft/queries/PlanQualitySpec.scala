@@ -260,4 +260,37 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(scans <= 1, s"$name scans lineitem $scans times")
     }
   }
+
+  test("PII scrub and model quality filter are row-local maps + one aggregate shuffle") {
+    for (name <- Seq("p_pii_scrub", "p_model_quality_filter")) {
+      val p = planOf(name)
+      assert(!p.contains("Join"), s"$name must not join")
+      val exchanges = p.split("\n").count(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange") && !l.contains("reused") &&
+        !l.contains("RoundRobinPartitioning")) // the gated local-mode spread
+      // one hash exchange for the per-lang aggregate, one single-partition
+      // exchange for the final orderBy of 5 rows — nothing else
+      assert(exchanges <= 2, s"$name shuffles $exchanges times:\n$p")
+      assert(p.contains("partial"), s"$name aggregate must map-side combine")
+    }
+  }
+
+  test("mixture budget: quota table broadcasts, running sum partitions by source") {
+    val p = planOf("p_mixture_budget")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"quota dimension table must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "only the 1-row total-weight join may nest")
+    // the per-source window must be partitioned (no global window)
+    assert(p.contains("PartitionBy") || p.contains("hashpartitioning(source"),
+      s"running sum must partition by source:\n${p.take(3000)}")
+  }
+
+  test("train order head is take-ordered, not a global sort-and-window over the corpus") {
+    val p = planOf("p_train_order")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      s"head-N must use take-ordered:\n$p")
+    assert(!p.contains("Join"), "train order must not join")
+  }
 }
