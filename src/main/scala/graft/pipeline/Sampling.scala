@@ -36,10 +36,8 @@ object Sampling {
     * keep all of wiki). Purely row-local — `keep = hash mod 1000 <
     * rate_permille` — so no shuffle, no count pass, and a row's verdict
     * never changes when the corpus grows or the job re-executes; integer
-    * thresholds keep the verdict engine-exact. Rates > 1000 would mean
-    * upsampling (emit ⌊r/1000⌋ copies + one with the remainder rate) —
-    * deliberately out of scope here; pair with `stratifiedSample` for
-    * exact quotas instead.
+    * thresholds keep the verdict engine-exact. Rates > 1000 (upsampling)
+    * are handled by [[rateUpsample]], which emits copies.
     */
   def rateSample(df: DataFrame, strataCol: Column, ratesPermille: Map[String, Int],
                  defaultPermille: Int, salt: String, idCol: String): DataFrame = {
@@ -49,6 +47,33 @@ object Sampling {
       case ((s, r), acc) => when(strataCol === s, lit(r)).otherwise(acc)
     }
     df.withColumn("keep", rowHash(col(idCol), salt) % 1000 < rate)
+  }
+
+  /** Rate resampling with UPSAMPLING: a stratum rate of r‰ emits ⌊r/1000⌋
+    * full copies of every row plus one more when `hash mod 1000 <
+    * r mod 1000` — real mixtures epoch high-quality sources (wiki at
+    * 3000‰) while downsampling crawl (200‰), and E[copies] = r/1000
+    * exactly. Purely row-local: the copy count is decided from the salted
+    * hash and the explode emits `copy ∈ [0, n)` in-place, so no shuffle,
+    * no count pass, and verdicts are stable under growth/re-execution.
+    * The `sequence` step is pinned to +1 and rows with zero copies are
+    * filtered BEFORE the explode — `sequence(0, -1)` would otherwise
+    * default to step -1 and emit two phantom copies.
+    */
+  def rateUpsample(df: DataFrame, strataCol: Column, ratesPermille: Map[String, Int],
+                   defaultPermille: Int, salt: String, idCol: String): DataFrame = {
+    require((defaultPermille +: ratesPermille.values.toSeq).forall(_ >= 0),
+      "rates must be non-negative")
+    require(!df.columns.contains("copy") && !df.columns.contains("n_copies"),
+      "rateUpsample reserves the copy/n_copies column names")
+    val rate = ratesPermille.toSeq.sortBy(_._1).foldRight(lit(defaultPermille): Column) {
+      case ((s, r), acc) => when(strataCol === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("n_copies",
+        floor(rate.cast("long") / 1000L).cast("long") +
+          when(rowHash(col(idCol), salt) % 1000 < rate % 1000, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1L, lit(1L))))
   }
 
   /** Deterministic train/validation/test assignment: bucket = hash mod
@@ -93,23 +118,84 @@ object Sampling {
     * over the (tiny) source dimension, broadcast back; the running sum is
     * a window PARTITIONED BY source (never unpartitioned), ordered by the
     * salted hash with id tie-break — deterministic across engines,
-    * partitionings and re-executions.
+    * partitionings and re-executions. Weights must be positive — enforced
+    * with `assert_true` inside the quota projection so a zero/NULL weight
+    * expression fails LOUDLY in Spark (DuckDB's `// 0` already raises)
+    * instead of silently dropping the source via NULL quotas.
+    *
+    * `hashBuckets > 1` selects the HOT-SOURCE-SAFE two-level plan. Source
+    * cardinality in a real mixture is tiny (5–20) and skew is extreme by
+    * construction — one crawl source routinely holds >80 % of the corpus —
+    * so the single per-source window serializes the dominant source's
+    * entire row set through ONE task's sort. The remedy is the
+    * [[TemporalJoin.asofJoin]] carry trick one level up: rows bucket by the
+    * HIGH bits of the salted ordering hash (order-preserving, so
+    * within-bucket order + bucket order = the global per-source order),
+    * the running sum is computed per (source, bucket), a tiny
+    * (source, bucket)-totals table is prefix-summed per source — its
+    * window input is bounded by `hashBuckets`, not row count — and
+    * broadcast back: `cum_before = bucket_offset + within_bucket_sum`.
+    * Results are bit-identical to the single-window plan; per-task input
+    * drops from "the dominant source" to "1/hashBuckets of it".
     */
   def tokenBudgetMixture(df: DataFrame, sourceCol: String, tokenCol: Column,
                          weightCol: Column, budgetTokens: Long,
-                         salt: String, idCol: String): DataFrame = {
+                         salt: String, idCol: String,
+                         hashBuckets: Int = 0): DataFrame = {
     require(budgetTokens >= 0, s"budget must be non-negative, got $budgetTokens")
+    require(hashBuckets >= 0 && hashBuckets <= (1 << 30),
+      s"hashBuckets must be in [0, 2^30], got $hashBuckets")
+    require(!df.columns.exists(Set("_h", "_bucket", "_bucket_offset", "_bucket_tokens")),
+      "tokenBudgetMixture reserves the _h/_bucket/_bucket_offset/_bucket_tokens names")
     val src = df.select(col(sourceCol)).distinct()
       .withColumn("w", weightCol.cast("long"))
     val tot = src.agg(sum(col("w")).as("tw"))
     val quotas = src.crossJoin(broadcast(tot))
-      .withColumn("quota_tokens", expr(s"($budgetTokens * w) div tw"))
+      .withColumn("quota_tokens",
+        when(assert_true(col("w") > 0,
+          lit(s"tokenBudgetMixture: weights must be positive")).isNull,
+          expr(s"($budgetTokens * w) div tw")))
       .select(col(sourceCol), col("quota_tokens"))
-    val wnd = Window.partitionBy(sourceCol)
-      .orderBy(rowHash(col(idCol), salt), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("tokens", tokenCol.cast("long"))
-      .withColumn("cum_before", coalesce(sum(col("tokens")).over(wnd), lit(0L)))
+    val withCum =
+      if (hashBuckets <= 1) {
+        val wnd = Window.partitionBy(sourceCol)
+          .orderBy(rowHash(col(idCol), salt), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("tokens", tokenCol.cast("long"))
+          .withColumn("cum_before", coalesce(sum(col("tokens")).over(wnd), lit(0L)))
+      } else {
+        // order-preserving range bucketing on the 60-bit hash: with
+        // divisor = ⌈2^60 / n⌉, `h div divisor` ∈ [0, n) and is monotone
+        // in h — exact integer arithmetic (h > 2^53 would lose bits as a
+        // double, so no floating division anywhere)
+        val divisor = ((1L << 60) + hashBuckets - 1) / hashBuckets
+        val bucketed = df.withColumn("tokens", tokenCol.cast("long"))
+          .withColumn("_h", rowHash(col(idCol), salt))
+          .withColumn("_bucket", expr(s"_h div ${divisor}L"))
+        // level 1: running sum WITHIN each (source, hash-bucket) — the
+        // dominant source parallelizes across its buckets here
+        val w1 = Window.partitionBy(col(sourceCol), col("_bucket"))
+          .orderBy(col("_h"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val within = bucketed.withColumn("_within_before",
+          coalesce(sum(col("tokens")).over(w1), lit(0L)))
+        // level 2: ONE total row per (source, bucket), prefix-summed over
+        // STRICTLY earlier buckets per source — this window's input is
+        // ≤ hashBuckets rows per source regardless of corpus size — then
+        // broadcast back for a row-local add
+        val offsets = bucketed
+          .groupBy(col(sourceCol), col("_bucket"))
+          .agg(sum(col("tokens")).as("_bucket_tokens"))
+          .withColumn("_bucket_offset",
+            coalesce(sum(col("_bucket_tokens")).over(
+              Window.partitionBy(sourceCol).orderBy(col("_bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col(sourceCol), col("_bucket"), col("_bucket_offset"))
+        within.join(broadcast(offsets), Seq(sourceCol, "_bucket"))
+          .withColumn("cum_before", col("_bucket_offset") + col("_within_before"))
+          .drop("_h", "_bucket", "_within_before", "_bucket_offset")
+      }
+    withCum
       .join(broadcast(quotas), sourceCol)
       .withColumn("kept", col("cum_before") < col("quota_tokens"))
   }

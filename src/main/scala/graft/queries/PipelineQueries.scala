@@ -1342,12 +1342,14 @@ object PipelineQueries {
     * unequal shares). All arithmetic is exact integers; the per-source
     * running sum is a partitioned window; the quota table broadcasts.
     */
-  val mixtureBudget: Q = {
+  private def mixtureBudgetQ(name: String, hashBuckets: Int): Q = {
     val (salt, budget) = ("mix0", 60000L)
     val wSql = "(CAST(substr(source, 4) AS INT) % 4 + 1)"
     val h = Det.md5Hash60Sql(s"'$salt-' || doc_id::VARCHAR")
+    // ONE oracle SQL for both plans: the single-window form IS the spec,
+    // and the bucketed plan must reproduce it bit-for-bit
     Q.sql(
-      "p_mixture_budget",
+      name,
       s"""WITH w AS (
          |  SELECT source, CAST($wSql AS BIGINT) AS w
          |  FROM (SELECT DISTINCT source FROM documents)),
@@ -1365,7 +1367,8 @@ object PipelineQueries {
          |FROM o JOIN q ON o.source = q.source
          |GROUP BY o.source ORDER BY o.source""".stripMargin) { (s, dir) =>
       Sampling.tokenBudgetMixture(docs(s, dir), "source", col("n_chars"),
-          expr("CAST(substring(source, 4) AS INT) % 4 + 1"), budget, salt, "doc_id")
+          expr("CAST(substring(source, 4) AS INT) % 4 + 1"), budget, salt, "doc_id",
+          hashBuckets = hashBuckets)
         .groupBy("source")
         .agg(max(col("quota_tokens")).as("quota_tokens"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -1373,6 +1376,19 @@ object PipelineQueries {
         .orderBy("source")
     }
   }
+
+  val mixtureBudget: Q = mixtureBudgetQ("p_mixture_budget", hashBuckets = 0)
+
+  /** The HOT-SOURCE-SAFE two-level token-budget plan (per-(source,
+    * hash-bucket) running sums + a broadcast prefix-summed bucket-offset
+    * table — the asofJoin carry trick one level up), oracled against the
+    * exact same single-window SQL: identical results, but a crawl source
+    * holding >80 % of the corpus parallelizes across its 16 buckets
+    * instead of serializing one task's window sort — the shape that
+    * survives 100 TB mixtures.
+    */
+  val mixtureBudgetBucketed: Q =
+    mixtureBudgetQ("p_mixture_budget_bucketed", hashBuckets = 16)
 
   /** As-of join (DuckDB/kdb ASOF): every click event picks the user's
     * latest purchase value at-or-before its timestamp. Spark lacks the
@@ -1474,7 +1490,8 @@ object PipelineQueries {
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
     embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, multimodalMeta, multimodalDecode, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
-    winnowFingerprint, stratifiedSample, trainOrder, mixtureBudget, piiScrub,
+    winnowFingerprint, stratifiedSample, trainOrder, mixtureBudget,
+    mixtureBudgetBucketed, piiScrub,
     modelQualityFilter,
     packSequences, chunkOverlap,
     decontaminate,

@@ -615,4 +615,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept1 == kept7)
   }
+
+  test("tokenBudgetMixture bucketed: identical verdicts under extreme source skew, bounded per-bucket input") {
+    val sp = spark; import sp.implicits._
+    // one crawl source holds 95 % of the corpus — the realistic mixture
+    // skew that serializes the single-window plan through one task
+    val df = (0L until 400L).map { i =>
+      (i, if (i % 20 == 0) "wiki" else "crawl", 11L + i % 5)
+    }.toDF("doc_id", "source", "n_tok")
+    val w = when(col("source") === "wiki", 3).otherwise(1)
+    def kept(buckets: Int, parts: Int) =
+      Sampling.tokenBudgetMixture(df.repartition(parts), "source", col("n_tok"),
+          w, 1500L, "sk0", "doc_id", hashBuckets = buckets)
+        .filter(col("kept")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val single = kept(0, 1)
+    assert(single == kept(16, 1), "bucketed must reproduce single-window verdicts")
+    assert(single == kept(16, 7), "bucketed verdicts are partition-layout-invariant")
+    assert(single == kept(3, 5), "any bucket count reproduces the spec")
+    // the scale guarantee: the dominant source's rows spread across many
+    // buckets, and no bucket holds a serializing share of its source
+    val divisor = ((1L << 60) + 16 - 1) / 16
+    val buckets = df.filter(col("source") === "crawl")
+      .withColumn("h", Sampling.rowHash(col("doc_id"), "sk0"))
+      .withColumn("b", expr(s"h div ${divisor}L"))
+      .groupBy("b").count().collect().map(r => r.getLong(1))
+    assert(buckets.length >= 8,
+      s"380 hot-source rows must spread across many hash-buckets, got ${buckets.length}")
+    assert(buckets.max < 380 * 3 / 10,
+      s"no bucket may hold a serializing share: max ${buckets.max} of 380")
+  }
+
+  test("tokenBudgetMixture: non-positive weights fail loudly") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("doc_id", "source", "n_tok")
+    val ex = intercept[Exception] {
+      Sampling.tokenBudgetMixture(df, "source", col("n_tok"),
+        when(col("source") === "a", 1).otherwise(0), 100L, "s0", "doc_id")
+        .collect()
+    }
+    assert(ex.getMessage.contains("weights must be positive") ||
+      Option(ex.getCause).exists(_.getMessage.contains("weights must be positive")))
+  }
 }

@@ -287,6 +287,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"running sum must partition by source:\n${p.take(3000)}")
   }
 
+  test("mixture budget bucketed: hot-source window partitions by (source, hash-bucket)") {
+    val p = planOf("p_mixture_budget_bucketed")
+    // the CORPUS running sum must partition by (source, _bucket) — this is
+    // the shape that keeps a >80 %-of-corpus source off a single task; the
+    // per-source window over bucket SUMMARIES (≤16 rows/source) is fine
+    assert(p.contains("_bucket"),
+      s"two-level plan must bucket the ordering hash:\n${p.take(3000)}")
+    assert(p.split("\n").exists(l => l.contains("hashpartitioning(source") &&
+      l.contains("_bucket")),
+      s"corpus window must partition by (source, _bucket):\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bucket-offset and quota tables must broadcast:\n$p")
+  }
+
   test("train order head is take-ordered, not a global sort-and-window over the corpus") {
     val p = planOf("p_train_order")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
