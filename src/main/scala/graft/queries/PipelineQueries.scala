@@ -1208,6 +1208,37 @@ object PipelineQueries {
     }
   }
 
+  /** Mixture UPSAMPLING audit: rates above 1000‰ epoch a source (en at
+    * 2500‰ → 2 full copies + a 500‰ chance of a third), below downsample
+    * (zh 125‰), default passthrough. The emitted-copy count is row-local
+    * arithmetic on the salted hash, so the oracle reproduces rows, distinct
+    * docs and the max copy index without materializing the explode.
+    */
+  val rateUpsampleQ: Q = {
+    val (salt, rates, dflt) = ("mix-up-v1", Map("en" -> 2500, "zh" -> 125), 1000)
+    val rateSql = s"CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'zh' THEN 125 ELSE $dflt END"
+    val h = Det.md5Hash60Sql(s"'$salt-' || doc_id::VARCHAR")
+    Q.sql(
+      "p_rate_upsample",
+      s"""WITH c AS (
+         |  SELECT lang,
+         |         ($rateSql) // 1000 +
+         |         CASE WHEN $h % 1000 < ($rateSql) % 1000 THEN 1 ELSE 0 END AS nc
+         |  FROM documents)
+         |SELECT lang,
+         |       sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+         |       sum(nc)::BIGINT AS n_rows,
+         |       max(CASE WHEN nc > 0 THEN nc - 1 END)::BIGINT AS max_copy
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Sampling.rateUpsample(docs(s, dir), col("lang"), rates, dflt, salt, "doc_id")
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          max(col("copy")).as("max_copy"))
+        .orderBy("lang")
+    }
+  }
+
   /** Model-based quality filtering: a fixed logistic β over the heuristic
     * text features, thresholded in LINEAR space (`z ≥ 0` ⇔ score ≥ 0.5) so
     * keep verdicts are exact double arithmetic; the sigmoid sum is a
@@ -1496,5 +1527,5 @@ object PipelineQueries {
     packSequences, chunkOverlap,
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
-    dupClusters, rateSample)
+    dupClusters, rateSample, rateUpsampleQ)
 }

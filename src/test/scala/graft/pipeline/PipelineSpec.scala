@@ -646,6 +646,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no bucket may hold a serializing share: max ${buckets.max} of 380")
   }
 
+  test("rateUpsample: rates above 1000 emit copies, expectation r/1000, stable and row-local") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "hi" else "lo"))
+      .toDF("doc_id", "src")
+    val rates = Map("hi" -> 2500, "lo" -> 200)
+    val out = Sampling.rateUpsample(df, col("src"), rates, 1000, "u0", "doc_id")
+    val byDoc = out.groupBy("doc_id", "src").agg(count(lit(1)).as("n"),
+        max("copy").as("mx"), min("copy").as("mn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // hi docs get 2 or 3 copies; lo docs appear at most once
+    assert(byDoc.filter(_._2 == "hi").forall(d => d._3 == 2 || d._3 == 3))
+    assert(byDoc.filter(_._2 == "lo").forall(_._3 == 1))
+    // copy indices are a dense [0, n) range per doc
+    assert(byDoc.forall(d => d._5 == 0 && d._4 == d._3 - 1))
+    // expectation: 500 hi docs ≈ 1250 rows, 500 lo ≈ 100 rows (hash-exact,
+    // so just sanity-band them); verdicts invariant under repartition
+    val nHi = byDoc.filter(_._2 == "hi").map(_._3).sum
+    val nLo = byDoc.count(_._2 == "lo")
+    assert(nHi > 1150 && nHi < 1350, s"hi rows $nHi")
+    assert(nLo > 60 && nLo < 140, s"lo docs $nLo")
+    val again = Sampling.rateUpsample(df.repartition(7), col("src"), rates, 1000, "u0", "doc_id")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.map(d => d._1 -> d._3).toMap == again)
+  }
+
   test("tokenBudgetMixture: non-positive weights fail loudly") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("doc_id", "source", "n_tok")
