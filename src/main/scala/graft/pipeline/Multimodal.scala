@@ -3,6 +3,7 @@ package graft.pipeline
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,8 +20,14 @@ import org.apache.spark.sql.types._
   * actual decoded raster. `resize` likewise operates on real decoded
   * pixels (deterministic nearest-neighbor) and re-encodes as PNG.
   *
-  * AUDIO/VIDEO remain honest STUBS (the JDK ships no audio/video codecs):
-  * non-image payloads fall back to a clearly-labeled deterministic fake so
+  * The AUDIO path is REAL too: WAV and AIFF PCM payloads decode with the
+  * JDK's `javax.sound.sampled.AudioSystem` (pure JDK, no external codec) —
+  * sample rate, channel count and every PCM sample come from the actual
+  * container parse, and [[extractAudioFeatures]] emits exact-integer
+  * sample statistics an arithmetic SQL oracle verifies end-to-end.
+  *
+  * VIDEO remains an honest STUB (the JDK ships no video codec): non-image,
+  * non-audio payloads fall back to a clearly-labeled deterministic fake so
   * the batching/schema plumbing still exercises end-to-end. Swap
   * `decodeStub`/`frameSampleStub` for codec bindings; everything around
   * them is production plumbing and is tested.
@@ -36,6 +43,17 @@ object Multimodal {
     StructField("n_px", LongType, nullable = false),
     StructField("rolling_fp", LongType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("container", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_sum", LongType, nullable = false),
+    StructField("sample_sq_sum", LongType, nullable = false)))
 
   /** Attach a fake binary payload column (utf-8 bytes of the text) — stands
     * in for an audio/video blob column read from parquet (exercises the
@@ -117,8 +135,112 @@ object Multimodal {
     (w, h, sum, n, hist.map(_ / n))
   }
 
-  /** ---- STUB ---- deterministic fake decoder for NON-IMAGE payloads
-    * (audio/video — no JDK codec exists). Derives "dimensions" from the
+  /** Magic-byte sniff for the audio containers `AudioSystem` parses out of
+    * the box: RIFF/WAVE and FORM/AIFF.
+    */
+  private[pipeline] def isAudio(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && (
+      (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') ||
+      (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M' &&
+        bytes(8) == 'A' && bytes(9) == 'I' && bytes(10) == 'F' && bytes(11) == 'F'))
+
+  /** Deterministic mono PCM-16 clip: sample rate `8000 + 200·(id mod 7)`,
+    * `256 + (id mod 64)·8` samples, sample `((31i + 7·id) mod 4096) −
+    * 2048`; odd ids encode as AIFF (big-endian), even as WAV
+    * (little-endian). Every quantity a decoder recovers (rate, count,
+    * sample values) is closed-form arithmetic in `id` — which is what lets
+    * a SQL oracle verify the REAL encode→decode round-trip
+    * (`p_multimodal_audio`), exactly like [[synthesizePng]] does for
+    * images.
+    */
+  def synthesizeAudio(docId: Long): Array[Byte] = {
+    val aiff = docId % 2 == 1
+    val sampleRate = 8000 + 200 * (docId % 7).toInt
+    val n = 256 + (docId % 64).toInt * 8
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((31L * i + 7L * docId) % 4096L) - 2048L).toShort
+      if (aiff) { data(2 * i) = (s >> 8).toByte; data(2 * i + 1) = s.toByte }
+      else { data(2 * i) = s.toByte; data(2 * i + 1) = (s >> 8).toByte }
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, aiff)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    val typ = if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE
+    require(AudioSystem.write(ais, typ, bos) > 0, "JDK audio writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Attach a REAL audio payload column (see [[synthesizeAudio]]).
+    * Row-local, no shuffle.
+    */
+  def withAudioPayload(docs: DataFrame, idCol: String = "doc_id",
+                       outCol: String = "content"): DataFrame = {
+    val mk = udf((id: Long) => synthesizeAudio(id))
+    docs.withColumn(outCol, mk(col(idCol).cast("long")))
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: container, sample rate,
+    * channels and every PCM sample come from the actual parse. Restricted
+    * to signed PCM ≤16-bit (what the JDK emits and real WAV corpora hold);
+    * fails loudly on anything else — fabricating a sample rate for an
+    * undecodable payload is worse than an error.
+    */
+  private[pipeline] def decodeAudio(bytes: Array[Byte]): (String, Int, Int, Int, Long, Long, Long) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+        s"only signed PCM audio is supported, got ${fmt.getEncoding}")
+      val bits = fmt.getSampleSizeInBits
+      require(bits == 8 || bits == 16, s"unsupported sample size: $bits")
+      val raw = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val nSamples = raw.length.toLong / bytesPerSample
+      var (sum, sq) = (0L, 0L)
+      var i = 0
+      while (i < raw.length) {
+        val s: Long =
+          if (bits == 8) raw(i).toLong
+          else if (fmt.isBigEndian) ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort.toLong
+          else ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort.toLong
+        sum += s
+        sq += s * s
+        i += bytesPerSample
+      }
+      val container = if (bytes(0) == 'F') "aiff" else "wav"
+      (container, fmt.getSampleRate.round, fmt.getChannels, bits, nSamples, sum, sq)
+    } finally ais.close()
+  }
+
+  /** Batched per-partition audio feature extraction over (doc_id,
+    * content): the audio analogue of [[extractFeatures]], REAL end-to-end
+    * for WAV/AIFF. Fails loudly on payloads that don't sniff as audio —
+    * route mixed-modality columns by magic bytes upstream.
+    */
+  def extractAudioFeatures(spark: SparkSession, docsWithPayload: DataFrame,
+                           idCol: String = "doc_id", payloadCol: String = "content",
+                           batchSize: Int = 64): DataFrame = {
+    val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
+            require(isAudio(bytes),
+              s"payload for id ${r.getLong(0)} is not WAV/AIFF audio")
+            val (c, sr, ch, bits, n, sum, sq) = decodeAudio(bytes)
+            Row(r.getLong(0), bytes.length, c, sr, ch, bits, n, sum, sq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
+  /** ---- STUB ---- deterministic fake decoder for NON-IMAGE, NON-AUDIO
+    * payloads (video — no JDK codec exists). Derives "dimensions" from the
     * first two bytes, "pixel" stats from the raw bytes, and a 4-bin byte
     * histogram as the "embedding" so downstream stages have realistic
     * shapes to consume.
@@ -263,10 +385,18 @@ object Multimodal {
   }
 
   /** Batch decode entry point: images decode via the REAL `javax.imageio`
-    * path; non-image payloads (audio/video stand-ins) fall back to the
-    * labeled stub.
+    * path; audio payloads are refused (this stage's schema is pixel-shaped
+    * — use [[extractAudioFeatures]], which decodes them for real); other
+    * payloads (video stand-ins) fall back to the labeled stub.
     */
   private[pipeline] def decodeBatch(
       payloads: Seq[Array[Byte]]): Seq[(Int, Int, Long, Long, Array[Double])] =
-    payloads.map(b => if (isImage(b)) decodeImage(b) else decodeStub(b))
+    payloads.map { b =>
+      if (isImage(b)) decodeImage(b)
+      else {
+        require(!isAudio(b),
+          "audio payload in the image feature stage — use extractAudioFeatures")
+        decodeStub(b)
+      }
+    }
 }

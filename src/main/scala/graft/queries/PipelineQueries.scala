@@ -614,6 +614,40 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode, oracled end-to-end: each doc gets a deterministic
+    * mono PCM-16 clip (`Multimodal.synthesizeAudio` — sample
+    * `((31i+7·id) % 4096) − 2048`, rate `8000+200·(id%7)`, odd ids AIFF /
+    * even WAV), the batched stage decodes it with the JDK's
+    * `javax.sound.sampled`, and the oracle recomputes container, rate,
+    * sample count and exact sample sums as pure arithmetic over a
+    * generated sample index. A hash match proves the real WAV/AIFF
+    * encode→decode round-trip recovers every PCM sample — the decoder
+    * cannot fake it.
+    */
+  val multimodalAudio: Q = Q.sql(
+    "p_multimodal_audio",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+      |g AS (SELECT doc_id,
+      |             CASE WHEN doc_id % 2 = 1 THEN 'aiff' ELSE 'wav' END AS container,
+      |             8000 + 200 * (doc_id % 7) AS sr,
+      |             256 + (doc_id % 64) * 8 AS n
+      |      FROM d),
+      |s AS (SELECT g.doc_id, g.container, g.sr, g.n,
+      |             (31 * i.i + 7 * g.doc_id) % 4096 - 2048 AS v
+      |      FROM g, LATERAL (SELECT unnest(range(g.n)) AS i) i)
+      |SELECT doc_id, container, sr::BIGINT AS sample_rate,
+      |       n::BIGINT AS n_samples, sum(v)::BIGINT AS sample_sum,
+      |       sum(v * v)::BIGINT AS sample_sq_sum
+      |FROM s GROUP BY doc_id, container, sr, n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val withAudio = Multimodal.withAudioPayload(
+      docs(s, dir).filter(col("doc_id") < 120).select("doc_id"))
+    Multimodal.extractAudioFeatures(s, withAudio)
+      .select(col("doc_id"), col("container"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("sample_sum"), col("sample_sq_sum"))
+      .orderBy("doc_id")
+  }
+
   /** LSH-bucketed approximate top-k, fully oracled: the md5-derived
     * hyperplanes, the 9-decimal cosine rounding and the (cos desc, cand_id)
     * tie-break make the whole approximate result engine-independent — the
@@ -1519,7 +1553,7 @@ object PipelineQueries {
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
-    embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, multimodalMeta, multimodalDecode, annLshTopK,
+    embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, multimodalMeta, multimodalDecode, multimodalAudio, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, trainOrder, mixtureBudget,
     mixtureBudgetBucketed, piiScrub,

@@ -491,6 +491,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multimodal audio decode is real: WAV/AIFF round-trip recovers exact PCM stats") {
+    val sp = spark; import sp.implicits._
+    val ids = Seq(0L, 1L, 6L, 63L, 101L) // both containers, rate/length extremes
+    val df = Multimodal.withAudioPayload(ids.toDF("doc_id"))
+    val payload = df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // real containers, not fabricated headers: RIFF/WAVE for even ids,
+    // FORM/AIFF for odd
+    assert(new String(payload(0L).take(4), "US-ASCII") == "RIFF")
+    assert(new String(payload(0L).slice(8, 12), "US-ASCII") == "WAVE")
+    assert(new String(payload(1L).take(4), "US-ASCII") == "FORM")
+    assert(new String(payload(1L).slice(8, 12), "US-ASCII") == "AIFF")
+    val out = Multimodal.extractAudioFeatures(spark, df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val n = 256 + (id % 64).toInt * 8
+      val samples = (0 until n).map(i => (31L * i + 7L * id) % 4096L - 2048L)
+      val r = out(id)
+      assert(r.getString(2) == (if (id % 2 == 1) "aiff" else "wav"), s"doc $id container")
+      assert(r.getInt(3) == 8000 + 200 * (id % 7).toInt, s"doc $id sample_rate")
+      assert(r.getInt(4) == 1 && r.getInt(5) == 16, s"doc $id channels/bits")
+      assert(r.getLong(6) == n.toLong, s"doc $id n_samples")
+      assert(r.getLong(7) == samples.sum, s"doc $id sample_sum")
+      assert(r.getLong(8) == samples.map(s => s * s).sum, s"doc $id sample_sq_sum")
+      assert(r.getInt(1) == payload(id).length)
+    }
+    // the pixel-shaped feature stage refuses audio instead of fabricating
+    val ex = intercept[Exception] {
+      Multimodal.extractFeatures(spark, df).collect()
+    }
+    assert(ex.getMessage.contains("extractAudioFeatures") ||
+      Option(ex.getCause).exists(_.getMessage.contains("extractAudioFeatures")))
+  }
+
   test("multimodal image resize: real nearest-neighbor over decoded pixels") {
     val sp = spark; import sp.implicits._
     val id = 5L
