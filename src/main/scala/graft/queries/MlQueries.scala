@@ -346,6 +346,78 @@ object MlQueries {
       .orderBy("term")
   }
 
+  /** F1/F17 PATH-LOOP hard anchor (not just the σ→0 endpoint): constant-λ
+    * SLOPE is the lasso, and on an orthonormalized design the lasso is
+    * coordinatewise soft-thresholding of the feature–response correlations
+    * — closed form at EVERY σ, so a 4-step user-σ path (warm starts, KKT,
+    * screening, rescale all engaged per step) gets a hard DuckDB row per
+    * coefficient per step. The design is synthesized arithmetic: x1/x2 are
+    * ±1 patterns over i mod 4 / mod 2 (exactly centered, exactly
+    * orthogonal, centered sum-of-squares exactly n), y is a deterministic
+    * modular ramp plus 3·x1 − 1.5·x2. User λ is standardized by n
+    * (reference src/regularizationPath.h:52-55), so the engine's threshold
+    * is σ·n; the exact-binary σ grid spans the sparsity regimes: both
+    * coefficients zeroed (σn=60), one (30), none (11.25, 0.469). Engine
+    * path: standardize (l2) → per-σ strong-rule screen → ADMM solve → KKT
+    * → warm start next σ → rescale; oracle: β̃_j = S(x̃_j·ỹ, σ·n) / ‖x_j‖.
+    * All rounded values sit ≥2e-6 from a 4-decimal boundary vs solver
+    * tolerance ~1e-12.
+    */
+  val slopePathLassoOrtho: Q = {
+    val nRows = 240
+    val sigmas = Array(0.25, 0.125, 0.046875, 0.001953125)
+    val stepSql = sigmas.zipWithIndex
+      .map { case (s, i) => s"($i, ${s}::DOUBLE)" }.mkString(", ")
+    Q.sql(
+      "m_slope_path_lasso_ortho",
+      s"""WITH base AS (
+         |  SELECT CASE WHEN i % 4 < 2 THEN 1.0 ELSE -1.0 END AS x1,
+         |         CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END AS x2,
+         |         ((7*i) % 23 - 11)*0.25
+         |           + 3.0*(CASE WHEN i % 4 < 2 THEN 1.0 ELSE -1.0 END)
+         |           - 1.5*(CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END) AS y
+         |  FROM range($nRows) t(i)),
+         |a AS (SELECT ${Det.dsumSql("x1*y", 2)} AS s1y,
+         |             ${Det.dsumSql("x2*y", 2)} AS s2y,
+         |             ${Det.dsumSql("y", 2)} / $nRows.0 AS my
+         |      FROM base),
+         |c AS (SELECT s1y/sqrt($nRows.0) AS c1, s2y/sqrt($nRows.0) AS c2, my FROM a),
+         |s(step, thr) AS (SELECT step, sigma * $nRows.0
+         |                 FROM (VALUES $stepSql) v(step, sigma)),
+         |b AS (SELECT step,
+         |        (CASE WHEN abs(c1) <= thr THEN 0.0
+         |              WHEN c1 > 0 THEN c1 - thr ELSE c1 + thr END)
+         |          / sqrt($nRows.0) AS b1,
+         |        (CASE WHEN abs(c2) <= thr THEN 0.0
+         |              WHEN c2 > 0 THEN c2 - thr ELSE c2 + thr END)
+         |          / sqrt($nRows.0) AS b2,
+         |        my FROM s, c)
+         |SELECT * FROM (
+         |  SELECT step::INT AS step, 'intercept' AS term, round(my, 4) AS beta FROM b
+         |  UNION ALL SELECT step::INT, 'x1', round(b1, 4) FROM b
+         |  UNION ALL SELECT step::INT, 'x2', round(b2, 4) FROM b)
+         |ORDER BY step, term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val x1 = when(pmod(col("id"), lit(4)) < 2, lit(1.0)).otherwise(lit(-1.0))
+      val x2 = when(pmod(col("id"), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+      val y = (pmod(col("id") * 7, lit(23)) - 11).cast("double") * lit(0.25) +
+        lit(3.0) * x1 - lit(1.5) * x2
+      val model = SlopeEstimator.fit(
+        s.range(nRows).select(x1.as("x1"), x2.as("x2"), y.as("y")),
+        Seq("x1", "x2"), "y",
+        SlopeConfig(sigma = sigmas, lambdaType = "user",
+          userLambda = Array(1.0, 1.0),
+          solver = SolverConfig(tolAbs = 1e-13, tolRel = 1e-12,
+            tolRelGap = 1e-12, tolInfeas = 1e-12)))
+      val rows = model.coef().zipWithIndex.flatMap { case (b, k) =>
+        Seq((k, "intercept", b(0, 0)), (k, "x1", b(1, 0)), (k, "x2", b(2, 0)))
+      }
+      rows.toDF("step", "term", "beta")
+        .select(col("step"), col("term"), round(col("beta"), 4).as("beta"))
+        .orderBy("step", "term")
+    }
+  }
+
   /** T1 mechanics HARD anchor: the CV machinery with the path fit swapped
     * for a FIXED β — fold assignment (the REAL `TrainSlope.foldExpr` md5
     * recipe), per-fold held-out scoring (mse/mae, decimal-exact), and the
@@ -422,6 +494,6 @@ object MlQueries {
   val queries: Seq[Q] = Seq(
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
     aucWeighted, gradientUdaf, slopePathGaussian, slopePathBinomial,
-    slopePathMultinomial, slopePathPoisson, slopeSigma0Gaussian, cvFixedBeta,
-    trainCv)
+    slopePathMultinomial, slopePathPoisson, slopeSigma0Gaussian,
+    slopePathLassoOrtho, cvFixedBeta, trainCv)
 }
