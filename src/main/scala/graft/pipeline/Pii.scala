@@ -33,6 +33,14 @@ object Pii {
   /** International-prefix phone shape +C[C]-NNN-NNN[N]-NNNN. */
   val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
 
+  /** Counts are RAW per-pattern matches on the UNREDACTED text — they are
+    * detection metrics, not "tokens [[redact]] will emit". The two differ
+    * when patterns overlap: a dotted quad inside an email domain
+    * (`10.1.2.3@ips.net`) counts toward `n_ips` but is consumed as
+    * `[EMAIL]` by redaction (emails replace first). Count on the
+    * email-redacted text instead if "IPs actually scrubbed as [IP]" is the
+    * semantic you need.
+    */
   def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
   def ipv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
   def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))

@@ -352,10 +352,20 @@ object Similarity {
 
   /** Grid-quantized copy of the embedding column (the [[IvfGrid]] spec):
     * all PQ arithmetic runs over these integer-valued longs, so distances
-    * are exact in any engine and any accumulation order.
+    * are exact in any engine and any accumulation order. Enforces the same
+    * |x| ≤ 10 bound as the driver-side [[gridVec]] (loudly, via
+    * `assert_true`): the ADC sums stay in LongType here, but an engine
+    * accumulating in DOUBLE (or a future caller crossing 2⁵³) would
+    * silently diverge between Spark's truncating and DuckDB's rounding
+    * long casts. Within the bound, a squared component diff is ≤ 4·10¹⁴,
+    * so a per-subspace sum stays under 2⁵³ for ds ≤ 22 dims even in
+    * double; unit-scale embeddings (|x| ≤ 1) are safe to ds ≈ 2200.
     */
   private def pqGrid(vecCol: Column): Column =
-    transform(vecCol, x => floor(x.cast("double") * lit(IvfGrid) + lit(0.5)).cast("long"))
+    transform(vecCol, x =>
+      when(assert_true(abs(x.cast("double")) <= lit(10.0),
+        lit("PQ grid assumes unit-scale embeddings (|x| <= 10)")).isNull,
+        floor(x.cast("double") * lit(IvfGrid) + lit(0.5)).cast("long")))
 
   /** Explode a gridded vector into its m subvectors: one row per
     * (subspace s, slice). `dim` must be divisible by m.

@@ -460,6 +460,15 @@ object PipelineQueries {
     * join + summed codes. The oracle replays codebook, encode, LUT and
     * ranking; bit-equality holds because nothing ever leaves the integer
     * grid until the final BIGINT distance.
+    *
+    * DENSE-ID FIXTURE ASSUMPTION (here, `p_ann_pq_trained`, and
+    * `p_semantic_dedup`'s 8 centroids): the Spark side selects the k
+    * lowest ids via `orderBy(vec_id).limit(k)` while the oracle writes
+    * `vec_id < k` — equivalent ONLY because the embeddings fixture has
+    * dense ids 0..n−1 (guaranteed by TESTDATA.md's generator). If a
+    * future fixture drops ids in [0, k), the two silently diverge; keep
+    * the literal-id recipe because it is what lets the oracle
+    * reconstruct the codebook at all.
     */
   val annPqTopK: Q = {
     val (k, m, dim, topK) = (16, 8, 64, 5)

@@ -59,6 +59,15 @@ object ScaleRehearsal {
     arr.toSeq
   }
 
+  /** Per-replica substitution cipher over ASCII LETTERS ONLY: bijective on
+    * [a-zA-Z], so intra-replica shingle/dup structure is preserved exactly
+    * while cross-replica letter-gram overlap collapses to chance. CAVEAT:
+    * documents containing no ASCII letters (pure digits/punctuation/
+    * whitespace) are byte-identical across replicas and would inherit
+    * cross-replica exact-dup structure — fine for this word-soup corpus
+    * (every doc has letters), but remap digits too before pointing the
+    * generator at a corpus where that doesn't hold.
+    */
   def documentsReplica(df: DataFrame, r: Int): DataFrame = {
     val shifted = df.withColumn("doc_id", col("doc_id") + lit(r * IdStride))
     if (r == 0) shifted

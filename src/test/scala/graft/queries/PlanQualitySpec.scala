@@ -301,6 +301,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucket-offset and quota tables must broadcast:\n$p")
   }
 
+  test("rate sampling (down and up) is row-local: no join, no window over the corpus") {
+    for (name <- Seq("p_rate_sample", "p_rate_upsample")) {
+      val p = planOf(name)
+      assert(!p.contains("Join"), s"$name must not join")
+      assert(!p.contains("Window"), s"$name must not window")
+      assert(p.contains("partial"), s"$name aggregate must map-side combine")
+    }
+  }
+
   test("train order head is take-ordered, not a global sort-and-window over the corpus") {
     val p = planOf("p_train_order")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
