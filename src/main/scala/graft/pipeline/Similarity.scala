@@ -549,6 +549,93 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("vec_id").as("cand_id"), col("d2"))
   }
 
+  /** IVF-PQ: the FAISS flagship index shape (Jégou et al. 2011, §IV —
+    * "IVFADC"), composed from the exact-integer pieces already here.
+    * Vectors coarse-assign to their nearest of `kLists` centroids by exact
+    * gridded squared-L2 (row-local `least` over literal centroid structs —
+    * no shuffle), and product quantization runs on the RESIDUAL
+    * `gq − centroid` (integer subtraction on the grid, so still exact):
+    * the residual codebook is the `kCodes` lowest-id vectors' residuals
+    * (the literal-id recipe every PQ oracle here uses), encode is
+    * per-subspace argmin d², and a probe scores ONLY the `nProbe` lists
+    * nearest to it — its per-list residual LUT equi-joins the encoded
+    * corpus on (cluster, s, code), so unprobed lists never enter the plan.
+    *
+    * At 100 TB: assignment + encode are one scan each (map-side work, the
+    * codebook broadcasts); the index at rest is m bytes + a cluster id per
+    * vector; a query touches |probes|·nProbe lists via one broadcast
+    * equi-join, map-side-combining m rows per (probe, cand) before the
+    * shuffle. Distances stay exact integers end-to-end (unit-scale
+    * embeddings: residual components ≤ 2·10⁶ + 1, squared ≤ 4.4·10¹²,
+    * comfortably inside 2⁵³ for any realistic ds·m).
+    */
+  def ivfPqTopK(embeddings: DataFrame, probePred: Column, topK: Int,
+                kLists: Int, nProbe: Int, kCodes: Int, m: Int, dim: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(nProbe >= 1 && nProbe <= kLists, s"nProbe $nProbe out of [1, $kLists]")
+    // coarse centroid table: kLists×dim longs, driver-held like ivfTopK's
+    val centroids: Array[Array[Long]] = embeddings
+      .orderBy(col(idCol)).limit(kLists).select(vecCol).collect()
+      .map(r => gridVec(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(centroids.length == kLists, s"fewer than $kLists vectors")
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    def d2To(c: Array[Long]) = {
+      val cl = typedLit(c.toSeq)
+      dot(col("gq"), col("gq")) - lit(2.0) * dot(col("gq"), cl) + dot(cl, cl)
+    }
+    val assignChoices = centroids.zipWithIndex.map { case (c, i) =>
+      struct(d2To(c).as("d2"), lit(i).as("cid"))
+    }
+    val bestCluster =
+      (if (assignChoices.length == 1) assignChoices.head
+       else least(assignChoices: _*)).getField("cid")
+    // (vec_id, cluster, rq): gridded residual vs the assigned centroid —
+    // row-local, one scan, nothing shuffles
+    val residuals = embeddings
+      .select(col(idCol).as("vec_id"), pqGrid(col(vecCol)).as("gq"))
+      .withColumn("cluster", bestCluster)
+      .withColumn("rq", zip_with(col("gq"),
+        element_at(centLit, col("cluster") + 1), (a, b) => a - b))
+      .select(col("vec_id"), col("cluster"), col("rq"))
+    val codebook = residuals.orderBy(col("vec_id")).limit(kCodes)
+      .select(col("vec_id").as("code"), pqSubspaces(col("rq"), m, dim).as("e"))
+      .select(col("code"), col("e.s").as("s"), col("e.sv").as("cw"))
+    val subD2 = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw")) +
+      dot(col("cw"), col("cw"))
+    val enc = residuals
+      .select(col("vec_id"), col("cluster"), pqSubspaces(col("rq"), m, dim).as("e"))
+      .select(col("vec_id"), col("cluster"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .join(broadcast(codebook), Seq("s"))
+      .groupBy("vec_id", "cluster", "s")
+      .agg(min(struct(subD2.as("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("cluster"), col("s"), col("best.code").as("code"))
+    // probes: nProbe nearest lists by the SAME exact d², ties to the
+    // lowest cid (array_sort on (d2, cid) structs); per-list residual LUT
+    val probes = embeddings.filter(probePred)
+      .select(col(idCol).as("probe_id"), pqGrid(col(vecCol)).as("gq"))
+      .withColumn("cluster",
+        explode(slice(array_sort(array(assignChoices: _*)), 1, nProbe)
+          .getField("cid")))
+      .withColumn("rq", zip_with(col("gq"),
+        element_at(centLit, col("cluster") + 1), (a, b) => a - b))
+    val lut = probes
+      .select(col("probe_id"), col("cluster"), pqSubspaces(col("rq"), m, dim).as("e"))
+      .select(col("probe_id"), col("cluster"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("probe_id"), col("cluster"), col("s"), col("code"),
+        subD2.as("pd2"))
+    val scored = enc.join(broadcast(lut), Seq("cluster", "s", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("pd2")).cast("long").as("d2"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("cand_id"), col("d2"))
+  }
+
   // ---------------------------------------------------------- SemDeDup --
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

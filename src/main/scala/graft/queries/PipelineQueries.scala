@@ -518,6 +518,82 @@ object PipelineQueries {
     }
   }
 
+  /** IVF-PQ (FAISS "IVFADC"), fully oracled end-to-end: coarse-assign to
+    * the nearest of 8 literal centroids by exact gridded d², product-
+    * quantize the RESIDUAL (integer subtraction on the 1e6 grid), and
+    * score each probe only against its 2 nearest lists via the per-list
+    * residual LUT. The oracle replays assignment, residuals, codebook,
+    * encode, probe lists, LUT and ranking in exploded-dimension form —
+    * every distance is an exact BIGINT in both engines, so the entire
+    * index (not just its pieces) hash-matches.
+    */
+  val annIvfPqTopK: Q = {
+    val (kLists, nProbe, kCodes, m, dim, topK) = (8, 2, 16, 8, 64, 5)
+    val ds = dim / m
+    Q.sql(
+      "p_ann_ivfpq_topk",
+      s"""WITH vq AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0 + 0.5)) AS q
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, q AS cq FROM vq WHERE vec_id < $kLists),
+         |ad AS (
+         |  SELECT v.vec_id, c.cid,
+         |         list_dot_product(v.q, v.q) - 2*list_dot_product(v.q, c.cq)
+         |           + list_dot_product(c.cq, c.cq) AS d2
+         |  FROM vq v, cent c),
+         |asn AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |dims AS (SELECT unnest(range(1, ${dim + 1})) AS i),
+         |res AS (
+         |  SELECT v.vec_id, a.cluster, d.i, (d.i - 1) // $ds AS s,
+         |         v.q[d.i] - c.cq[d.i] AS rv
+         |  FROM vq v JOIN asn a USING (vec_id) JOIN cent c ON a.cluster = c.cid, dims d),
+         |cb AS (SELECT vec_id AS code, s, i, rv AS cw FROM res WHERE vec_id < $kCodes),
+         |ed AS (
+         |  SELECT r.vec_id, r.s, c.code, sum((r.rv - c.cw) * (r.rv - c.cw)) AS d2
+         |  FROM res r JOIN cb c ON r.s = c.s AND r.i = c.i
+         |  GROUP BY r.vec_id, r.s, c.code),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |    FROM ed) WHERE rn = 1),
+         |pcl AS (
+         |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM ad WHERE vec_id % 100 = 0) WHERE rn <= $nProbe),
+         |pres AS (
+         |  SELECT p.probe_id, p.cluster, d.i, (d.i - 1) // $ds AS s,
+         |         v.q[d.i] - c.cq[d.i] AS rv
+         |  FROM pcl p JOIN vq v ON v.vec_id = p.probe_id
+         |  JOIN cent c ON p.cluster = c.cid, dims d),
+         |lut AS (
+         |  SELECT pr.probe_id, pr.cluster, pr.s, c.code,
+         |         sum((pr.rv - c.cw) * (pr.rv - c.cw)) AS pd2
+         |  FROM pres pr JOIN cb c ON pr.s = c.s AND pr.i = c.i
+         |  GROUP BY pr.probe_id, pr.cluster, pr.s, c.code),
+         |sc AS (
+         |  SELECT l.probe_id, e.vec_id AS cand_id, sum(l.pd2)::BIGINT AS d2
+         |  FROM enc e JOIN asn a USING (vec_id)
+         |  JOIN lut l ON a.cluster = l.cluster AND e.s = l.s AND e.code = l.code
+         |  GROUP BY l.probe_id, e.vec_id),
+         |rk AS (
+         |  SELECT probe_id, cand_id, d2,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY d2, cand_id) AS rank
+         |  FROM sc WHERE cand_id <> probe_id)
+         |SELECT probe_id, rank::BIGINT AS rank, cand_id, d2
+         |FROM rk WHERE rank <= $topK ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir), col("vec_id") % 100 === 0, topK,
+          kLists, nProbe, kCodes, m, dim)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("cand_id"), col("d2"))
+        .orderBy("probe_id", "rank")
+    }
+  }
+
   /** LEARNED PQ codebooks, fully oracled: one distributed Lloyd iteration
     * ([[Similarity.pqTrain]] — init from the k lowest-id vectors' gridded
     * subvectors, exact-integer argmin assignment with ties to the lowest
@@ -1562,7 +1638,7 @@ object PipelineQueries {
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
-    embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, multimodalMeta, multimodalDecode, multimodalAudio, annLshTopK,
+    embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, annIvfPqTopK, multimodalMeta, multimodalDecode, multimodalAudio, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, trainOrder, mixtureBudget,
     mixtureBudgetBucketed, piiScrub,

@@ -434,6 +434,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top(1)._2 == 0L, "composed-of-codewords vector has zero quantization error")
   }
 
+  test("IVF-PQ: planted twin found through its list at zero distance; unprobed lists never scored; layout-invariant") {
+    val sp = spark; import sp.implicits._
+    // two well-separated coarse regions around +e1 and +e3 (dim 8); ids
+    // 0..1 are the literal coarse centroids (kLists=2)
+    def v(base: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](8)
+      a(base) = 10f
+      a((base + 2) % 8) = 0.1f * (j % 4)
+      a
+    }
+    val rows = (0 until 24).map { i =>
+      val region = i % 2 // even ids near e0, odd near e2
+      (i.toLong, v(region * 2, i / 2), 0)
+    } :+ (100L, v(0, 3), 0) // twin of the vector with j=3 pattern in region 0
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val top = Similarity.ivfPqTopK(df, col("vec_id") === 100, topK = 3,
+      kLists = 2, nProbe = 1, kCodes = 8, m = 2, dim = 8)
+    val got = top.collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "probe must score its own list")
+    // rank-1 candidate sits at ADC distance 0 (the twin's pattern exists
+    // among the codebook residuals), and every candidate is from region 0
+    // (odd-id region-1 vectors are in the unprobed list)
+    assert(got.head._3 == 0L, s"twin pattern must score 0, got ${got.head}")
+    assert(got.forall(_._2 % 2 == 0), s"candidates must come from the probed list only: ${got.toSeq}")
+    // partition-layout invariance (grid arithmetic is exact)
+    val again = Similarity.ivfPqTopK(df.repartition(7), col("vec_id") === 100,
+      topK = 3, kLists = 2, nProbe = 1, kCodes = 8, m = 2, dim = 8)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("PQ training: partition-layout-invariant codebooks that recover planted subvector clusters") {
     val sp = spark; import sp.implicits._
     val bases = Array(

@@ -108,6 +108,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC sum must partial-aggregate map-side before the (probe,cand) shuffle:\n$p")
   }
 
+  test("IVF-PQ top-k: row-local assignment, broadcast codebook+LUT, map-side ADC combine") {
+    val p = planOf("p_ann_ivfpq_topk")
+    assert(!p.contains("CartesianProduct"), "IVF-PQ fell back to cartesian")
+    assert(p.contains("BroadcastExchange"), "codebook/LUT should broadcast")
+    assert(p.contains("partial_sum"),
+      s"ADC sum must partial-aggregate map-side before the (probe,cand) shuffle:\n$p")
+    // coarse assignment is a literal least() expression, not a join against
+    // a centroid table — the only SortMergeJoin-eligible keys are tiny
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-scale sort-merge join belongs in this plan:\n$p")
+  }
+
   test("repetition quality is one scan: native run-scan, shuffle only per-lang aggregates") {
     val p = planOf("p_repetition_quality")
     assert(p.contains("gram_run_stats"), s"native expression missing:\n$p")
