@@ -81,6 +81,59 @@ object TextPipeline {
       lit(beta(3)) * punctR + lit(beta(4)) * mtl
   }
 
+  /** Corpus vocabulary: the topV most frequent tokens with their corpus
+    * term frequencies, ties broken by token text — the broadcast side of
+    * [[corpusFreqProfile]]. One explode + one map-side-combinable count;
+    * the top-V cut is a TakeOrdered (driver-bounded by V, like the solver's
+    * coefficient pulls). At 100 TB this is the standard vocab-build pass
+    * every LM data pipeline runs once and caches.
+    */
+  def corpusVocab(docs: DataFrame, textCol: Column, topV: Int): DataFrame = {
+    require(topV > 0, s"topV must be positive, got $topV")
+    docs.select(explode(tokens(textCol)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(topV)
+  }
+
+  /** Corpus-frequency quality profile (the CCNet idea — score documents by
+    * how typical their vocabulary is for the corpus — WITHOUT the LM:
+    * log-prob scoring would hinge on transcendental ulps across engines,
+    * so the statistic is the exact mean corpus term-frequency instead).
+    * Per doc: token count, in-vocab token count, and the sum of the
+    * corpus frequencies of its in-vocab tokens — all exact integers, so
+    * keep verdicts are integer cross-multiplications:
+    * `in-vocab ratio ≥ r‰  ⇔  n_invocab·1000 ≥ r·n_tok` and
+    * `mean in-vocab tf ≥ f  ⇔  sum_tf ≥ f·n_invocab`. A doc of corpus-rare
+    * (or OOV-heavy) junk fails either gate; display means are single
+    * rounded divisions (the Det recipe).
+    *
+    * Shape: explode tokens → ONE broadcast join against the vocab → per-doc
+    * aggregate (map-side combinable). `carryCols` ride through the
+    * aggregate's grouping key (id is unique, so they are constant per
+    * group) instead of a second corpus-scale join back on the id. Output:
+    * (idCol, carryCols…, n_tok, n_invocab, sum_tf, kept).
+    */
+  def corpusFreqProfile(docs: DataFrame, textCol: Column, vocab: DataFrame,
+                        minInVocabPermille: Int, minMeanTf: Long,
+                        idCol: String, carryCols: Seq[String] = Nil): DataFrame = {
+    require(minInVocabPermille >= 0 && minInVocabPermille <= 1000,
+      s"permille out of range: $minInVocabPermille")
+    require(!docs.columns.exists(Set("tok", "tf", "n_tok", "n_invocab", "sum_tf", "kept")),
+      "corpusFreqProfile reserves tok/tf/n_tok/n_invocab/sum_tf/kept")
+    val keys = idCol +: carryCols
+    docs
+      .select(keys.map(col) :+ explode_outer(tokens(textCol)).as("tok"): _*)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(keys.map(col): _*)
+      .agg(count(col("tok")).as("n_tok"),
+        count(col("tf")).as("n_invocab"),
+        coalesce(sum(col("tf")), lit(0L)).as("sum_tf"))
+      .withColumn("kept",
+        col("n_invocab") * 1000 >= lit(minInVocabPermille) * col("n_tok") &&
+          col("sum_tf") >= lit(minMeanTf) * col("n_invocab") &&
+          col("n_tok") > 0)
+  }
+
   /** Per-language function-word patterns for the n-gram/stopword language-ID
     * heuristic. ASCII-only patterns so the same regex runs in Spark (Java
     * regex) and any RE2-based oracle.

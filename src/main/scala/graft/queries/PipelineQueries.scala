@@ -1327,6 +1327,53 @@ object PipelineQueries {
     }
   }
 
+  /** Corpus-frequency quality filter (the CCNet idea with exact-integer
+    * verdicts instead of LM log-probs): vocab = the 20 most frequent corpus
+    * tokens (ties by token), each doc keeps iff ≥650‰ of its tokens are
+    * in-vocab AND their mean corpus tf is ≥915 — both gates are integer
+    * cross-multiplications, so the keep set is engine-exact with no float
+    * anywhere. Per-lang audit of counts and exact sums.
+    */
+  val corpusFreqQuality: Q = {
+    val (topV, rPermille, minTf) = (20, 650, 915L)
+    Q.sql(
+      "p_corpus_freq_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |  FROM documents),
+         |v AS (SELECT tok, count(*) AS tf FROM t
+         |      GROUP BY tok ORDER BY count(*) DESC, tok LIMIT $topV),
+         |tv AS (SELECT t.doc_id, t.tok, v.tf FROM t LEFT JOIN v USING (tok)),
+         |p AS (
+         |  SELECT d.doc_id, d.lang, count(tv.tok) AS n_tok,
+         |         count(tv.tf) AS n_invocab, coalesce(sum(tv.tf), 0) AS sum_tf
+         |  FROM documents d LEFT JOIN tv ON d.doc_id = tv.doc_id
+         |  GROUP BY d.doc_id, d.lang),
+         |k AS (
+         |  SELECT lang, n_tok, n_invocab, sum_tf,
+         |         (n_invocab * 1000 >= $rPermille * n_tok
+         |          AND sum_tf >= $minTf * n_invocab AND n_tok > 0) AS kept
+         |  FROM p)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |       sum(n_tok)::BIGINT AS sum_tok,
+         |       sum(n_invocab)::BIGINT AS sum_invocab,
+         |       sum(sum_tf)::BIGINT AS total_tf
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val vocab = TextPipeline.corpusVocab(d, col("text"), topV)
+      TextPipeline.corpusFreqProfile(d, col("text"), vocab, rPermille, minTf,
+          "doc_id", carryCols = Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("n_invocab")).as("sum_invocab"),
+          sum(col("sum_tf")).as("total_tf"))
+        .orderBy("lang")
+    }
+  }
+
   /** Mixture UPSAMPLING audit: rates above 1000‰ epoch a source (en at
     * 2500‰ → 2 full copies + a 500‰ chance of a third), below downsample
     * (zh 125‰), default passthrough. The emitted-copy count is row-local
@@ -1646,5 +1693,5 @@ object PipelineQueries {
     packSequences, chunkOverlap,
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
-    dupClusters, rateSample, rateUpsampleQ)
+    dupClusters, rateSample, rateUpsampleQ, corpusFreqQuality)
 }

@@ -710,6 +710,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no bucket may hold a serializing share: max ${buckets.max} of 380")
   }
 
+  test("corpusFreqProfile: exact integer gates, OOV and empty docs handled, carry columns ride the aggregate") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (0L, "alpha alpha beta beta beta", "x"), // all in-vocab, common tokens
+      (1L, "alpha zz yy ww vv uu", "x"),       // 1 of 6 in vocab -> dropped by ratio
+      (2L, "qq rr ss", "y"),                   // fully OOV
+      (3L, "", "y"),                           // no tokens at all
+      (4L, "beta beta alpha", "y")
+    ).toDF("doc_id", "text", "grp")
+    val vocab = TextPipeline.corpusVocab(docs, col("text"), topV = 2)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("beta" -> 5L, "alpha" -> 4L), s"vocab: $v")
+    val prof = TextPipeline.corpusFreqProfile(docs, col("text"), vocab,
+        minInVocabPermille = 600, minMeanTf = 4L, "doc_id", carryCols = Seq("grp"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(prof.size == 5, "every doc keeps a row, even token-less ones")
+    assert(prof(0L) == (("x", 5L, 5L, 23L, true)))  // 2*4 + 3*5 = 23, mean 4.6 >= 4
+    assert(prof(1L)._5 == false, "OOV-heavy doc dropped by the ratio gate")
+    assert(prof(2L) == (("y", 3L, 0L, 0L, false)))
+    assert(prof(3L) == (("y", 0L, 0L, 0L, false)), "token-less doc present and dropped")
+    assert(prof(4L)._5 == true)
+  }
+
   test("rateUpsample: rates above 1000 emit copies, expectation r/1000, stable and row-local") {
     val sp = spark; import sp.implicits._
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "hi" else "lo"))
