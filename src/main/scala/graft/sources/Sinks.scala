@@ -47,4 +47,14 @@ object Sinks {
   def writeJsonLines(df: DataFrame, path: String,
                      mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** Hive-partitioned ORC write — the other columnar lake format a corpus
+    * arrives in (Spark's native ORC reader supports the same predicate
+    * pushdown + partition pruning as parquet; asserted in SourcesSpec).
+    * Same partitioning guidance as [[writeParquetPartitioned]].
+    */
+  def writeOrcPartitioned(df: DataFrame, path: String,
+                          partitionCols: Seq[String],
+                          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).orc(path)
 }

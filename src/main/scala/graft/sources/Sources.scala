@@ -69,6 +69,17 @@ object Sources {
       .json(path)
   }
 
+  /** Read ORC with an explicit schema pin (same no-inference rationale as
+    * [[readJsonLines]]; ORC carries its own schema, so the pin is a
+    * CONTRACT — drift between the files and the expected schema fails at
+    * analysis instead of silently retyping downstream arithmetic). Spark's
+    * native ORC scan pushes predicates and prunes partitions exactly like
+    * parquet (asserted in SourcesSpec).
+    */
+  def readOrc(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** `model.matrix(~ .)`-style treatment coding for one string column:
     * distinct levels sort lexicographically, the FIRST becomes the
     * reference level (dropped), and each remaining level yields a 0/1

@@ -125,6 +125,27 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.metrics.contains("numFiles"))
   }
 
+  test("ORC sink/source: partition pruning and predicate pushdown reach the ORC scan") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "en", 10), (2L, "de", 20), (3L, "en", 30), (4L, "fr", 40))
+      .toDF("doc_id", "lang", "n")
+    val out = dir.resolve("docs_orc").toString
+    Sinks.writeOrcPartitioned(docs, out, Seq("lang"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+    val back = Sources.readOrc(spark, out, schema)
+      .filter($"lang" === "en" && $"n" > 15)
+    assert(back.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val scan = back.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      s"lang must prune at the directory level: ${scan.partitionFilters}")
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("GreaterThan(n,15)")),
+      s"n > 15 must push into the ORC reader: ${scan.metadata.get("PushedFilters")}")
+  }
+
   test("bucketed sink: fact-to-fact join on the bucket key plans with zero exchanges") {
     val sp = spark; import sp.implicits._
     val a = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "va")
