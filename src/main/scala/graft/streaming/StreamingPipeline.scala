@@ -86,6 +86,28 @@ object StreamingPipeline {
   def langIdStream(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("pred_lang", TextPipeline.langId(col(textCol)))
 
+  /** Streaming rate-based mixture sampling — the BATCH operator applied
+    * verbatim: `Sampling.rateSample`'s verdict is a row-local salted-hash
+    * comparison with no state, so the same call works on an unbounded
+    * stream and gives the SAME verdict a batch run over the same rows
+    * gives (asserted in StreamingSpec). This is the payoff of designing
+    * the sampling layer deterministic + row-local: mixture policy applies
+    * at ingest time with zero reprocessing drift.
+    */
+  def rateSampleStream(docs: DataFrame, strataCol: String,
+                       ratesPermille: Map[String, Int], defaultPermille: Int,
+                       salt: String, idCol: String): DataFrame =
+    graft.pipeline.Sampling.rateSample(docs, col(strataCol), ratesPermille,
+      defaultPermille, salt, idCol)
+
+  /** Streaming PII scrub — stateless projection of the batch redact/count
+    * columns (`graft.pipeline.Pii`), for scrubbing at ingest before
+    * anything lands in the lake.
+    */
+  def piiScrubStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("n_emails", graft.pipeline.Pii.emailCount(col(textCol)))
+      .withColumn("redacted", graft.pipeline.Pii.redact(col(textCol)))
+
   /** Gap-based user sessionization with CUSTOM state
     * (`flatMapGroupsWithState`, the engine's stateful-streaming extension
     * point): events of a user belong to one session while consecutive gaps

@@ -217,6 +217,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming rate sample gives the batch verdicts; streaming PII scrub redacts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = (0L until 50L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.rateSampleStream(
+      input.toDF().toDF("doc_id", "lang"), "lang",
+      Map("en" -> 1000, "zh" -> 200), 500, "s-mix", "doc_id")
+    val q = out.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(20): _*) // second micro-batch: verdicts stable
+      q.processAllAvailable()
+      val got = sp.sql("SELECT doc_id, keep FROM rate_out")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val batch = graft.pipeline.Sampling.rateSample(rows.toDF("doc_id", "lang"),
+          org.apache.spark.sql.functions.col("lang"),
+          Map("en" -> 1000, "zh" -> 200), 500, "s-mix", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == batch, "stream and batch must agree row-for-row")
+      assert(got.count(_._2) < 50 && got.count(_._2) > 25, "en kept, zh mostly dropped")
+    } finally q.stop()
+
+    val pin = MemoryStream[String]
+    val pq = StreamingPipeline.piiScrubStream(pin.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("pii_out").outputMode("append").start()
+    try {
+      pin.addData("mail bob@x.io from 10.1.2.3 now")
+      pq.processAllAvailable()
+      val r = sp.sql("SELECT n_emails, redacted FROM pii_out").collect().head
+      assert(r.getInt(0) == 1 && r.getString(1) == "mail [EMAIL] from [IP] now")
+    } finally pq.stop()
+  }
+
   test("stateless streaming language-ID tags rows") {
     val sp = spark
     import sp.implicits._
