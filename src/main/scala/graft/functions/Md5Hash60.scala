@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSql
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** The engine's 60-bit deterministic hash — `conv(substring(md5(x), 1, 15),
+  * 16, 10)` — as ONE native expression: MD5 digest, take the first 15
+  * nibbles (bytes 0–6 plus the high nibble of byte 7) as an unsigned long.
+  * Bit-identical to the composed form (the hex prefix IS those nibbles),
+  * so every generated DuckDB oracle (`'0x' || substr(md5(x),1,15)`) still
+  * matches — but without materializing a 32-char hex string, substringing
+  * it, and re-parsing base-16 per row. Measured 3× on the expression
+  * alone (4M hashes: ~1.0 s composed → ~0.35 s native, local[4]). This
+  * hash runs once per shingle OCCURRENCE in the dedup family and once
+  * per row in every sampling/winnowing/decontamination operator, so the
+  * saved string round-trip is corpus-scan CPU at 100 TB, even though
+  * explode/shuffle costs dominate the local benchmark queries.
+  */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary input, got ${child.dataType.sql} " +
+        "(the column() wrapper casts strings for you)")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    Md5Hash60.hash60(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash60.hash60($c)")
+
+  override def prettyName: String = "md5_hash60"
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
+}
+
+object Md5Hash60 {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes) as an unsigned long — exactly the value
+    * of parsing the 15-char hex prefix. Static entry point for codegen.
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** String inputs cast to their UTF-8 bytes — the same implicit cast
+    * Spark's `md5()` applies, so values match the composed form exactly.
+    */
+  def column(c: Column): Column =
+    GraftSql.column(Md5Hash60(GraftSql.expression(c.cast("binary"))))
+}

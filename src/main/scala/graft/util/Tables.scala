@@ -149,8 +149,12 @@ object Det {
     * Spark  : conv(substring(md5(s),1,15),16,10)::long
     * DuckDB : ('0x' || substr(md5(s),1,15))::BIGINT
     */
-  def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit md5-derived hash (native expression — see
+    * [[graft.functions.Md5Hash60]]; bit-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)` and to the DuckDB fragment
+    * below, asserted in Md5Hash60Spec).
+    */
+  def md5Hash60(c: Column): Column = graft.functions.Md5Hash60.column(c)
 
   /** Same hash as a SQL fragment for generated oracle SQL. */
   def md5Hash60Sql(expr: String): String =
