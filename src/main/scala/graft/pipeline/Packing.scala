@@ -51,6 +51,41 @@ object Packing {
         array_join(col("w"), " ").as("chunk"))
   }
 
+  /** Length-bucketed batch assignment — the inference/finetune analogue of
+    * [[packChunks]]: instead of concatenating, docs of SIMILAR length
+    * batch together so per-batch padding (`batchSize · max_len − Σ len`)
+    * stays small. A doc's bucket is `⌊len / bucketWidth⌋`; within each
+    * (bucket, shard) docs order by the salted hash (id tie-break) and
+    * every `batchSize` consecutive docs form one batch. Sharding is the
+    * same anti-serialization trick as packing: batches only need UNIFORM
+    * LENGTHS, not global contiguity, so a dominant bucket (most corpora
+    * are unimodal in length!) splits across `nShards` independent
+    * windows instead of sorting through one task. Deterministic across
+    * engines, partitionings and re-executions.
+    *
+    * Output: one row per doc — (idCol, len, bucket, shard, batch_no,
+    * pos_in_batch). Per-batch padding stats are one groupBy away (the
+    * `p_length_batching` query audits exactly that).
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, lenCol: org.apache.spark.sql.Column,
+                    bucketWidth: Int, batchSize: Int, nShards: Int,
+                    salt: String): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && nShards > 0,
+      s"need positive dials, got width=$bucketWidth batch=$batchSize shards=$nShards")
+    require(!docs.columns.exists(Set("len", "bucket", "shard", "batch_no", "pos_in_batch")),
+      "lengthBatches reserves len/bucket/shard/batch_no/pos_in_batch")
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(Sampling.rowHash(col(idCol), salt), col(idCol))
+    docs
+      .withColumn("len", lenCol.cast("long"))
+      .withColumn("bucket", expr(s"len div $bucketWidth"))
+      .withColumn("shard", Sampling.rowHash(col(idCol), salt + "-shard") % nShards)
+      .withColumn("_rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch_no", expr(s"_rn div $batchSize"))
+      .withColumn("pos_in_batch", col("_rn") % batchSize)
+      .drop("_rn")
+  }
+
   /** Per-document packing assignment: shard, token interval
     * [start_tok, end_tok) in the shard's concatenated stream, and the
     * first/last chunk the document touches.

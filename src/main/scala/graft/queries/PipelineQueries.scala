@@ -1327,6 +1327,53 @@ object PipelineQueries {
     }
   }
 
+  /** Length-bucketed batch assignment audit: docs of similar length batch
+    * together (bucket = ⌊n_chars/100⌋, 4 shards, batches of 8 in salted-
+    * hash order) and the per-bucket padding waste `Σ(n·max_len − Σlen)` is
+    * exact integer arithmetic — the padding-efficiency number every
+    * inference/finetune dataloader optimizes. Sharding splits a dominant
+    * length bucket across independent windows (most corpora are unimodal
+    * in length), the anti-serialization trick of packing/mixture.
+    */
+  val lengthBatching: Q = {
+    val (width, batch, shards, salt) = (100, 8, 4, "lb0")
+    val hOrd = Det.md5Hash60Sql(s"'$salt-' || doc_id::VARCHAR")
+    val hShard = Det.md5Hash60Sql(s"'$salt-shard-' || doc_id::VARCHAR")
+    Q.sql(
+      "p_length_batching",
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars::BIGINT AS len,
+         |         n_chars::BIGINT // $width AS bucket,
+         |         $hShard % $shards AS shard
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, len, bucket, shard,
+         |         (row_number() OVER (PARTITION BY bucket, shard
+         |            ORDER BY $hOrd, doc_id) - 1) AS rn
+         |  FROM d),
+         |b AS (
+         |  SELECT bucket, shard, rn // $batch AS batch_no,
+         |         count(*) AS n_in_batch, max(len) AS max_len, sum(len) AS sum_len
+         |  FROM o GROUP BY bucket, shard, rn // $batch)
+         |SELECT bucket, count(*)::BIGINT AS n_batches,
+         |       sum(n_in_batch)::BIGINT AS n_docs,
+         |       sum(n_in_batch * max_len - sum_len)::BIGINT AS padding_tokens,
+         |       sum(sum_len)::BIGINT AS data_tokens
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Packing.lengthBatches(docs(s, dir).select("doc_id", "n_chars"), "doc_id",
+          col("n_chars"), width, batch, shards, salt)
+        .groupBy("bucket", "shard", "batch_no")
+        .agg(count(lit(1)).as("n_in_batch"), max(col("len")).as("max_len"),
+          sum(col("len")).as("sum_len"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("n_in_batch")).as("n_docs"),
+          sum(col("n_in_batch") * col("max_len") - col("sum_len")).as("padding_tokens"),
+          sum(col("sum_len")).as("data_tokens"))
+        .orderBy("bucket")
+    }
+  }
+
   /** Corpus-frequency quality filter (the CCNet idea with exact-integer
     * verdicts instead of LM log-probs): vocab = the 20 most frequent corpus
     * tokens (ties by token), each doc keeps iff ≥650‰ of its tokens are
@@ -1693,5 +1740,5 @@ object PipelineQueries {
     packSequences, chunkOverlap,
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
-    dupClusters, rateSample, rateUpsampleQ, corpusFreqQuality)
+    dupClusters, rateSample, rateUpsampleQ, corpusFreqQuality, lengthBatching)
 }

@@ -710,6 +710,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no bucket may hold a serializing share: max ${buckets.max} of 380")
   }
 
+  test("lengthBatches: full uniform batches per (bucket, shard), padding bounded by bucket width, layout-invariant") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 300L).map(i => (i, 20 + (i * 37 % 400).toInt))
+      .toDF("doc_id", "n_tok")
+    def run(parts: Int) = Packing.lengthBatches(docs.repartition(parts), "doc_id",
+      col("n_tok"), bucketWidth = 50, batchSize = 4, nShards = 3, "t0")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val rows = run(1)
+    // bucket arithmetic: every doc's bucket is floor(len/50)
+    val byId = docs.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, bucket, _, _, _) =>
+      assert(bucket == byId(id) / 50, s"doc $id bucket")
+    }
+    // within each (bucket, shard): batch sizes uniform at 4 except the tail,
+    // positions dense in [0, n)
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((b, s), g) =>
+      val byBatch = g.groupBy(_._4).toSeq.sortBy(_._1)
+      byBatch.dropRight(1).foreach { case (bn, m) =>
+        assert(m.size == 4, s"non-tail batch ($b,$s,$bn) has ${m.size} docs")
+      }
+      byBatch.foreach { case (_, m) =>
+        assert(m.map(_._5).sorted.toSeq == (0 until m.size).map(_.toLong), "dense positions")
+      }
+      // padding bound: same bucket => lengths within 50 of each other
+      val lens = g.map(r => byId(r._1))
+      assert(lens.max - lens.min < 50, s"bucket $b spans ${lens.min}..${lens.max}")
+    }
+    assert(rows.toSet == run(7).toSet, "assignment is partition-layout-invariant")
+  }
+
   test("corpusFreqProfile: exact integer gates, OOV and empty docs handled, carry columns ride the aggregate") {
     val sp = spark; import sp.implicits._
     val docs = Seq(

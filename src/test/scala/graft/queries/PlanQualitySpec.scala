@@ -313,6 +313,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucket-offset and quota tables must broadcast:\n$p")
   }
 
+  test("length batching: window partitions by (bucket, shard) — a dominant length bucket shards") {
+    val p = planOf("p_length_batching")
+    assert(!p.contains("Join"), s"length batching must not join")
+    assert(p.split("\n").exists(l => l.contains("hashpartitioning(bucket") &&
+      l.contains("shard")),
+      s"batch window must partition by (bucket, shard):\n${p.take(3000)}")
+    assert(p.contains("partial"), "audit aggregates must map-side combine")
+  }
+
   test("rate sampling (down and up) is row-local: no join, no window over the corpus") {
     for (name <- Seq("p_rate_sample", "p_rate_upsample")) {
       val p = planOf(name)
