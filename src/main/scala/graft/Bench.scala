@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark: every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, one JSON line on stdout (and mirrored to
-  * BENCH_LOCAL.json so the result survives sbt's log prefixes).
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout (and mirrored to an
+  * artifact file — BENCH_LOCAL.json for a full-suite sf0.1 isolated run,
+  * BENCH_SCALE.json / BENCH_NOISOLATE.json / BENCH_DEV.json otherwise —
+  * so the result survives sbt's log prefixes).
   *
   * Each query is forced with a no-op full-evaluation write (`noop` format):
   * unlike `count()`, Catalyst cannot prune projection-only work, so
@@ -100,7 +102,7 @@ object Bench {
     val total = results.map(_._2).filter(_ > 0).sum
     val nFailed = results.count(_._2 < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3","agg":"min","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3","agg":"min","isolate":$isolate,"sf":"$sfDir"}"""
     println(json)
     // artifact hygiene: BENCH_LOCAL.json holds ONLY the headline number —
     // the full suite at the driver's bench scale (sf0.1), isolated mode.
@@ -108,11 +110,15 @@ object Bench {
     // each go to their own file, so no later experiment buries the
     // headline artifact (the round-5 lesson: a 5-query x10 rehearsal
     // overwrote the 71-query result and the real number survived only in
-    // git history)
+    // git history). The !isolate check comes FIRST: a NO_ISOLATE A/B run
+    // must never overwrite a tracked honest artifact, whatever corpus it
+    // ran on. Trailing slashes are normalized so ".../sf0.1/" still routes
+    // to the headline file.
+    val sfNorm = sfDir.stripSuffix("/")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (sfDir.contains("/scale/")) "BENCH_SCALE.json"
-      else if (!isolate) "BENCH_NOISOLATE.json"
-      else if (only.nonEmpty || !sfDir.endsWith("sf0.1")) "BENCH_DEV.json"
+      if (!isolate) "BENCH_NOISOLATE.json"
+      else if (sfNorm.contains("/scale/")) "BENCH_SCALE.json"
+      else if (only.nonEmpty || !sfNorm.endsWith("sf0.1")) "BENCH_DEV.json"
       else "BENCH_LOCAL.json")
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()

@@ -216,24 +216,24 @@ object Multimodal {
     } finally ais.close()
   }
 
-  /** Batched per-partition audio feature extraction over (doc_id,
-    * content): the audio analogue of [[extractFeatures]], REAL end-to-end
-    * for WAV/AIFF. Fails loudly on payloads that don't sniff as audio —
+  /** Per-partition audio feature extraction over (doc_id, content): the
+    * audio analogue of [[extractFeatures]], REAL end-to-end for WAV/AIFF.
+    * Strictly per-row — `javax.sound` decodes one stream at a time, so
+    * unlike the image path there is no batch seam for a codec binding to
+    * amortize into. Fails loudly on payloads that don't sniff as audio —
     * route mixed-modality columns by magic bytes upstream.
     */
   def extractAudioFeatures(spark: SparkSession, docsWithPayload: DataFrame,
-                           idCol: String = "doc_id", payloadCol: String = "content",
-                           batchSize: Int = 64): DataFrame = {
+                           idCol: String = "doc_id",
+                           payloadCol: String = "content"): DataFrame = {
     val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
       .rdd.mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.map { r =>
-            val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
-            require(isAudio(bytes),
-              s"payload for id ${r.getLong(0)} is not WAV/AIFF audio")
-            val (c, sr, ch, bits, n, sum, sq) = decodeAudio(bytes)
-            Row(r.getLong(0), bytes.length, c, sr, ch, bits, n, sum, sq)
-          }
+        it.map { r =>
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
+          require(isAudio(bytes),
+            s"payload for id ${r.getLong(0)} is not WAV/AIFF audio")
+          val (c, sr, ch, bits, n, sum, sq) = decodeAudio(bytes)
+          Row(r.getLong(0), bytes.length, c, sr, ch, bits, n, sum, sq)
         }
       }
     spark.createDataFrame(rdd, audioSchema)

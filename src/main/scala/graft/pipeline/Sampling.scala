@@ -145,8 +145,10 @@ object Sampling {
     require(budgetTokens >= 0, s"budget must be non-negative, got $budgetTokens")
     require(hashBuckets >= 0 && hashBuckets <= (1 << 30),
       s"hashBuckets must be in [0, 2^30], got $hashBuckets")
-    require(!df.columns.exists(Set("_h", "_bucket", "_bucket_offset", "_bucket_tokens")),
-      "tokenBudgetMixture reserves the _h/_bucket/_bucket_offset/_bucket_tokens names")
+    require(!df.columns.exists(
+      Set("_h", "_bucket", "_within_before", "_bucket_offset", "_bucket_tokens")),
+      "tokenBudgetMixture reserves the _h/_bucket/_within_before/" +
+        "_bucket_offset/_bucket_tokens names")
     val src = df.select(col(sourceCol)).distinct()
       .withColumn("w", weightCol.cast("long"))
     val tot = src.agg(sum(col("w")).as("tw"))

@@ -1425,7 +1425,10 @@ object PipelineQueries {
     * 2500‰ → 2 full copies + a 500‰ chance of a third), below downsample
     * (zh 125‰), default passthrough. The emitted-copy count is row-local
     * arithmetic on the salted hash, so the oracle reproduces rows, distinct
-    * docs and the max copy index without materializing the explode.
+    * docs and the max copy index without materializing the explode. Both
+    * sides drop a stratum whose every doc draws zero copies (the operator
+    * emits no rows for it, and the oracle filters `nc > 0` before grouping)
+    * — so the comparison holds even when a small low-rate stratum empties.
     */
   val rateUpsampleQ: Q = {
     val (salt, rates, dflt) = ("mix-up-v1", Map("en" -> 2500, "zh" -> 125), 1000)
@@ -1439,10 +1442,10 @@ object PipelineQueries {
          |         CASE WHEN $h % 1000 < ($rateSql) % 1000 THEN 1 ELSE 0 END AS nc
          |  FROM documents)
          |SELECT lang,
-         |       sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+         |       count(*)::BIGINT AS n_docs,
          |       sum(nc)::BIGINT AS n_rows,
-         |       max(CASE WHEN nc > 0 THEN nc - 1 END)::BIGINT AS max_copy
-         |FROM c GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+         |       max(nc - 1)::BIGINT AS max_copy
+         |FROM c WHERE nc > 0 GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       Sampling.rateUpsample(docs(s, dir), col("lang"), rates, dflt, salt, "doc_id")
         .groupBy("lang")
         .agg(countDistinct(col("doc_id")).as("n_docs"),

@@ -790,6 +790,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byDoc.map(d => d._1 -> d._3).toMap == again)
   }
 
+  test("rateUpsample: a stratum whose every doc draws zero copies vanishes from the output") {
+    val sp = spark; import sp.implicits._
+    // rate 0‰ guarantees n_copies = 0 for every doc in the stratum — the
+    // operator must emit NO rows for it (and the p_rate_upsample oracle
+    // filters nc > 0 to agree), not a zero-count group
+    val df = Seq((1L, "keep"), (2L, "keep"), (3L, "gone")).toDF("doc_id", "src")
+    val out = Sampling.rateUpsample(df, col("src"), Map("gone" -> 0), 1000, "u1", "doc_id")
+    val srcs = out.select("src").distinct().as[String].collect().toSet
+    assert(srcs == Set("keep"), s"zero-rate stratum must be absent, got $srcs")
+  }
+
+  test("tokenBudgetMixture: reserved names rejected in both branches") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a", 5L, 0L)).toDF("doc_id", "source", "n_tok", "_within_before")
+    for (buckets <- Seq(0, 8)) {
+      val ex = intercept[IllegalArgumentException] {
+        Sampling.tokenBudgetMixture(df, "source", col("n_tok"), lit(1),
+          100L, "s0", "doc_id", hashBuckets = buckets)
+      }
+      assert(ex.getMessage.contains("reserves"), s"buckets=$buckets: ${ex.getMessage}")
+    }
+  }
+
   test("tokenBudgetMixture: non-positive weights fail loudly") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("doc_id", "source", "n_tok")
