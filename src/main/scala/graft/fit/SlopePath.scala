@@ -120,16 +120,22 @@ object SlopePath {
 
     // ---- path state ----
     var beta = DenseMatrix.zeros[Double](p, m)
-    if (cfg.intercept && (family == Binomial || family == Poisson)) {
-      // warm-start the (unpenalized) intercept at the family's null model
-      // (reference fitNullModel, binomial.h:31-39 / poisson.h:30-33). The
-      // reference inits at zero and lets the solver walk there — for
-      // exp-link families that costs hundreds of extra distributed passes
-      // for the same optimum (measured 2.5-3x fewer passes). Gaussian's
-      // null intercept is 0 (centered y); multinomial's reference null
-      // formula is NOT the softmax inverse and measured slower, so both
-      // keep the reference's zero init. Scaled by √n for the unit-norm
-      // intercept column convention.
+    if (cfg.intercept && family != Gaussian) {
+      // warm-start the (unpenalized) intercept at the family's exact
+      // intercept-only MLE (reference fitNullModel, binomial.h:31-39 /
+      // poisson.h:30-33; multinomial uses the true softmax inverse — see
+      // Family.scala). The reference inits at zero and lets the solver
+      // walk there — for exp-link families that costs hundreds of extra
+      // distributed passes for the same optimum (measured 2.5-3x fewer
+      // passes). It is also a CORRECTNESS fix at fully-screened path
+      // steps: the binomial/multinomial duality-gap estimate COINCIDES
+      // with the primal at lp = 0 (both reduce to n·ln(#classes)), so a
+      // solve initialized exactly at β = 0 sees a zero gap and terminates
+      // without moving — the reference's λmax-end intercepts are
+      // therefore 0 (a uniform-probability model) instead of the base-rate
+      // MLE. Warm-starting AT the MLE makes the gap certificate legitimate
+      // where it fires. Gaussian's null intercept is 0 (centered y).
+      // Scaled by √n for the unit-norm intercept column convention.
       val interceptScale = math.sqrt(n.toDouble)
       val nullInts = family.nullModelFromMeans(ops.yMeans)
       var j = 0

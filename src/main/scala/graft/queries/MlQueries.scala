@@ -418,6 +418,74 @@ object MlQueries {
     }
   }
 
+  /** G2/G3/G4 HARD anchor: at a saturating σ the single feature is
+    * penalized to exactly zero (strong rule + KKT), and the UNPENALIZED
+    * intercept must land on the intercept-only MLE — closed form for every
+    * family: logit(p̂₊) for binomial {−1,+1} (class names sorted, second
+    * class is +1), ln(ȳ) for poisson, and ln(p̂_k/p̂_last) for
+    * multinomial's m−1 logsumexp0 parametrization (last sorted class is
+    * the implicit-zero reference). Mechanically the engine warm-starts
+    * the intercept AT the family null MLE and FISTA's duality-gap
+    * certificate confirms optimality there, so a pass certifies three
+    * things at once: nullModelFromMeans is the EXACT closed form (this
+    * query is what exposed the multinomial formula stalling at 0 — see
+    * Family.scala), the primal/dual estimates agree to 1e-12 at the true
+    * optimum (a broken dual would send FISTA wandering off it), and
+    * screening/KKT hold the feature at exactly 0.0 (asserted
+    * driver-side). Iterating-solver coverage for these families lives in
+    * the glm-limit/Newton ScalaTest oracles; closed-form DuckDB rows from
+    * exact integer class counts live here. sf0.01 values sit ≥1.6e-7
+    * from every 1e-6 rounding boundary vs solver tol 1e-12.
+    */
+  val interceptMleFamilies: Q = {
+    val tight = SolverConfig(tolAbs = 1e-13, tolRel = 1e-12,
+      tolRelGap = 1e-12, tolInfeas = 1e-12)
+    def cfg(fam: String) = SlopeConfig(family = fam, sigma = Array(1e6),
+      lambdaType = "user",
+      // the user λ sequence spans all penalized coefficients: p·m entries
+      // (multinomial fits m−1 = 2 targets over the single feature)
+      userLambda = Array.fill(if (fam == "multinomial") 2 else 1)(1.0),
+      solver = tight)
+    Q.sql(
+      "m_intercept_mle_families",
+      s"""WITH c AS (
+         |  SELECT count(*)::DOUBLE AS n,
+         |         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::DOUBLE AS na,
+         |         sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::DOUBLE AS nn,
+         |         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE AS nr,
+         |         sum(l_quantity)::DOUBLE AS sq
+         |  FROM lineitem)
+         |SELECT * FROM (
+         |  SELECT 'binomial' AS family, 'intercept' AS term,
+         |         round(ln(nr/(n - nr)), 6) AS beta FROM c
+         |  UNION ALL SELECT 'multinomial', 'A', round(ln(na/nr), 6) FROM c
+         |  UNION ALL SELECT 'multinomial', 'N', round(ln(nn/nr), 6) FROM c
+         |  UNION ALL SELECT 'poisson', 'intercept', round(ln(sq/n), 6) FROM c)
+         |ORDER BY family, term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val df = li(s, dir)
+      val bin = SlopeEstimator.fit(
+        df.withColumn("is_r",
+          when(col("l_returnflag") === "R", "R").otherwise("NR")),
+        Seq("l_tax"), "is_r", cfg("binomial")).coef().head
+      val poi = SlopeEstimator.fit(
+        df.withColumn("qty", col("l_quantity").cast("double")),
+        Seq("l_tax"), "qty", cfg("poisson")).coef().head
+      val mul = SlopeEstimator.fit(df, Seq("l_tax"), "l_returnflag",
+        cfg("multinomial")).coef().head
+      for (b <- Seq(bin, poi, mul); j <- 0 until b.cols)
+        require(b(1, j) == 0.0,
+          s"saturating sigma must zero the feature, got ${b(1, j)}")
+      Seq(("binomial", "intercept", bin(0, 0)),
+        ("multinomial", "A", mul(0, 0)),
+        ("multinomial", "N", mul(0, 1)),
+        ("poisson", "intercept", poi(0, 0)))
+        .toDF("family", "term", "beta")
+        .select(col("family"), col("term"), round(col("beta"), 6).as("beta"))
+        .orderBy("family", "term")
+    }
+  }
+
   /** T1 mechanics HARD anchor: the CV machinery with the path fit swapped
     * for a FIXED β — fold assignment (the REAL `TrainSlope.foldExpr` md5
     * recipe), per-fold held-out scoring (mse/mae, decimal-exact), and the
@@ -495,5 +563,5 @@ object MlQueries {
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
     aucWeighted, gradientUdaf, slopePathGaussian, slopePathBinomial,
     slopePathMultinomial, slopePathPoisson, slopeSigma0Gaussian,
-    slopePathLassoOrtho, cvFixedBeta, trainCv)
+    slopePathLassoOrtho, interceptMleFamilies, cvFixedBeta, trainCv)
 }

@@ -142,13 +142,21 @@ case object Multinomial extends Family {
     while (j < lp.length) { out(j) = truncExp(lp(j) - lse) - y(j); j += 1 }
     out
   }
+  /** Exact intercept-only MLE in the m−1 logsumexp0 parametrization:
+    * η_k = ln(μ_k / μ_last), the softmax inverse with the implicit-zero
+    * reference class. DELIBERATE NON-PORT: the reference's fitNullModel
+    * (multinomial.h:43-51) subtracts a mean-of-logits correction that is
+    * NOT the softmax inverse (its softmax0 does not reproduce μ) and is
+    * never used by the reference's own path driver (owl.cpp inits β=0);
+    * this engine warm-starts intercepts at the true null MLE (see
+    * SlopePath), so the formula here must be the exact inverse. Class
+    * shares are clamped like binomial's so a class absent from a fold
+    * cannot produce ±∞.
+    */
   def nullModelFromMeans(yMean: Array[Double]): Array[Double] = {
-    val m = yMean.length
-    val logMu = yMean.map(truncLog)
-    val sumMu = yMean.sum
-    val tl = truncLog(1.0 - sumMu)
-    val corr = (logMu.sum + m * tl) / (m + 1.0)
-    logMu.map(_ - corr)
+    val pmin = 1e-9
+    val muLast = clamp(1.0 - yMean.sum, pmin, 1.0 - pmin)
+    yMean.map(mu => truncLog(clamp(mu, pmin, 1.0 - pmin)) - truncLog(muLast))
   }
 }
 

@@ -53,18 +53,22 @@ class FamilySpec extends AnyFunSuite {
     assert(pSum < 1.0 && math.abs(pSum + math.exp(-lse) - 1.0) < eps)
   }
 
-  test("multinomial null model reproduces class-mean log-odds structure") {
-    // class probabilities (0.5, 0.3) with reference class 0.2
+  test("multinomial null model is the EXACT softmax inverse") {
+    // class probabilities (0.5, 0.3) with reference class 0.2: η_k must
+    // satisfy softmax0(η) = μ exactly — the intercept-only MLE (deliberate
+    // non-port: the reference's fitNullModel centered-log formula is not
+    // the inverse and its path driver never uses it; ours warm-starts the
+    // intercept AT the MLE, so exactness is load-bearing — see SlopePath)
     val out = Multinomial.nullModelFromMeans(Array(0.5, 0.3))
-    // reference formula: log μ − (Σ log μ + m·log(1−Σμ))/(m+1)
-    val logMu = Array(math.log(0.5), math.log(0.3))
-    val corr = (logMu.sum + 2.0 * math.log(0.2)) / 3.0
-    assert(math.abs(out(0) - (logMu(0) - corr)) < eps)
-    assert(math.abs(out(1) - (logMu(1) - corr)) < eps)
-    // note: the reference's null intercept is a centered-log starting point,
-    // NOT the exact softmax inverse — softmax(out) ≈ μ only approximately
+    assert(math.abs(out(0) - math.log(0.5 / 0.2)) < eps)
+    assert(math.abs(out(1) - math.log(0.3 / 0.2)) < eps)
     val lse = MathUtil.logSumExp0(out)
-    assert(math.abs(math.exp(out(0) - lse) - 0.5) < 0.05)
+    assert(math.abs(math.exp(out(0) - lse) - 0.5) < 1e-12)
+    assert(math.abs(math.exp(out(1) - lse) - 0.3) < 1e-12)
+    assert(math.abs(math.exp(-lse) - 0.2) < 1e-12)
+    // a class absent from the data clamps instead of producing -Inf
+    val degenerate = Multinomial.nullModelFromMeans(Array(0.0, 0.5))
+    assert(degenerate.forall(v => !v.isInfinite && !v.isNaN))
   }
 
   test("logSumExp0 is stable at extremes") {
