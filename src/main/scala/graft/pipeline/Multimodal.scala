@@ -26,11 +26,16 @@ import org.apache.spark.sql.types._
   * container parse, and [[extractAudioFeatures]] emits exact-integer
   * sample statistics an arithmetic SQL oracle verifies end-to-end.
   *
-  * VIDEO remains an honest STUB (the JDK ships no video codec): non-image,
-  * non-audio payloads fall back to a clearly-labeled deterministic fake so
-  * the batching/schema plumbing still exercises end-to-end. Swap
-  * `decodeStub`/`frameSampleStub` for codec bindings; everything around
-  * them is production plumbing and is tested.
+  * VIDEO is REAL for (animated) GIF — the one multi-frame container the
+  * JDK decodes natively: [[extractVideoFeatures]] walks every frame with
+  * the `javax.imageio` GIF reader, keeps every k-th, and emits exact
+  * per-frame pixel statistics an arithmetic SQL oracle verifies
+  * end-to-end; [[frameSample]] emits the kept frames as standalone PNGs.
+  * True video codecs (mp4/webm) have no JDK decoder and fall back to a
+  * clearly-labeled deterministic fake so the batching/schema plumbing
+  * still exercises end-to-end. Swap `decodeStub`/`frameSampleStub` for
+  * codec bindings; everything around them is production plumbing and is
+  * tested.
   */
 object Multimodal {
 
@@ -239,11 +244,149 @@ object Multimodal {
     spark.createDataFrame(rdd, audioSchema)
   }
 
-  /** ---- STUB ---- deterministic fake decoder for NON-IMAGE, NON-AUDIO
-    * payloads (video — no JDK codec exists). Derives "dimensions" from the
-    * first two bytes, "pixel" stats from the raw bytes, and a 4-bin byte
-    * histogram as the "embedding" so downstream stages have realistic
-    * shapes to consume.
+  /** Magic-byte sniff for multi-frame GIF — the one video-shaped container
+    * the JDK decodes natively (`javax.imageio`'s GIF reader walks frame
+    * sequences). Same magic as static GIF; frame count disambiguates at
+    * decode time.
+    */
+  private[pipeline] def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
+
+  /** Deterministic animated GIF: `2 + id mod 4` frames of `(8 + id mod 5)
+    * × (8 + id mod 3)` pixels, sample `(x + 2y + 3f + id) mod 256` on an
+    * identity 256-gray palette (TYPE_BYTE_INDEXED, so the GIF writer
+    * stores our indices verbatim — no quantization). Every quantity a
+    * decoder recovers (frame count, dimensions, per-frame samples) is
+    * closed-form arithmetic in `(id, f)`, which is what lets a SQL oracle
+    * verify the REAL encode→decode round-trip (`p_multimodal_video`),
+    * exactly like [[synthesizePng]] / [[synthesizeAudio]].
+    */
+  def synthesizeGif(docId: Long): Array[Byte] = {
+    val nFrames = 2 + (docId % 4).toInt
+    val w = 8 + (docId % 5).toInt
+    val h = 8 + (docId % 3).toInt
+    val ramp = Array.tabulate(256)(i => i.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((x + 2L * y + 3L * f + docId) % 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** Attach a REAL video payload column (see [[synthesizeGif]]).
+    * Row-local, no shuffle.
+    */
+  def withVideoPayload(docs: DataFrame, idCol: String = "doc_id",
+                       outCol: String = "content"): DataFrame = {
+    val mk = udf((id: Long) => synthesizeGif(id))
+    docs.withColumn(outCol, mk(col(idCol).cast("long")))
+  }
+
+  /** REAL multi-frame GIF decode: one (width, height, pixelSum) per frame,
+    * gray level read through `getRGB` (the composed color, not the raw
+    * palette index — robust to any palette reordering an encoder might
+    * do). Frames are read AS STORED: an encoder that writes delta frames
+    * yields the delta's dimensions/pixels, not a composite over previous
+    * frames (full-frame GIFs, like ours and most corpus GIFs, are
+    * unaffected). Fails loudly on bytes that sniff as GIF but don't
+    * decode.
+    */
+  private[pipeline] def decodeGifFrames(bytes: Array[Byte]): IndexedSeq[(Int, Int, Long)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "payload sniffed as GIF but no reader accepts it")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, false)
+      val n = reader.getNumImages(true)
+      require(n > 0, "payload sniffed as GIF but holds no frames")
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        (w, h, sum)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  val videoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("n_px", LongType, nullable = false)))
+
+  /** Frame-sampled video feature extraction over (doc_id, content): REAL
+    * end-to-end for (animated) GIF — decode every frame, keep every
+    * `everyK`-th, emit exact per-frame pixel statistics the SQL oracle
+    * recomputes arithmetically. One output row per KEPT frame — the
+    * explode shape a video pipeline feeds to per-frame embedding. Strictly
+    * per-row like the audio path (an `ImageReader` holds one stream).
+    * Fails loudly on payloads that don't sniff as GIF — route true video
+    * codecs (mp4/webm, no JDK decoder) to [[frameSampleStub]] upstream.
+    */
+  def extractVideoFeatures(spark: SparkSession, docsWithPayload: DataFrame,
+                           everyK: Int, idCol: String = "doc_id",
+                           payloadCol: String = "content"): DataFrame = {
+    require(everyK > 0, s"everyK must be positive, got $everyK")
+    val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
+          require(isGif(bytes),
+            s"payload for id ${r.getLong(0)} is not GIF video")
+          val frames = decodeGifFrames(bytes)
+          frames.zipWithIndex.collect {
+            case ((w, h, sum), f) if f % everyK == 0 =>
+              Row(r.getLong(0), frames.length, f, w, h, sum, w.toLong * h)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, videoSchema)
+  }
+
+  /** ---- STUB ---- deterministic fake decoder for NON-IMAGE, NON-AUDIO,
+    * NON-GIF payloads (true video codecs — mp4/webm — have no JDK
+    * decoder). Derives "dimensions" from the first two bytes, "pixel"
+    * stats from the raw bytes, and a 4-bin byte histogram as the
+    * "embedding" so downstream stages have realistic shapes to consume.
     */
   private[pipeline] def decodeStub(bytes: Array[Byte]): (Int, Int, Long, Long, Array[Double]) = {
     val w = (if (bytes.nonEmpty) (bytes(0) & 0x7f) else 0) + 1
@@ -337,7 +480,10 @@ object Multimodal {
 
   /** Frame-sampling stage: one row per kept frame, (doc_id, frame_no,
     * frame) — the explode shape a video pipeline feeds to per-frame
-    * embedding.
+    * embedding. GIF payloads get REAL frames (decoded with the JDK reader,
+    * every `everyK`-th kept, re-encoded as PNG so each emitted frame is a
+    * self-contained decodable image); other payloads get the labeled
+    * byte-slicing stub (`frameSize` applies only there).
     */
   def frameSample(spark: SparkSession, docsWithPayload: DataFrame,
                   frameSize: Int, everyK: Int,
@@ -349,11 +495,53 @@ object Multimodal {
     val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
       .rdd.mapPartitions(_.flatMap { r =>
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
-        frameSampleStub(bytes, frameSize, everyK).zipWithIndex.map {
+        if (isGif(bytes)) gifFramesAsPng(bytes, everyK).map {
+          case (frame, i) => Row(r.getLong(0), i, frame)
+        }
+        else frameSampleStub(bytes, frameSize, everyK).zipWithIndex.map {
           case (frame, i) => Row(r.getLong(0), i, frame)
         }
       })
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Every `everyK`-th GIF frame re-encoded as a standalone PNG, tagged
+    * with its ORIGINAL frame index.
+    */
+  private[pipeline] def gifFramesAsPng(bytes: Array[Byte],
+                                       everyK: Int): Seq[(Array[Byte], Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val reader = ImageIO.getImageReaders(iis).next()
+    try {
+      reader.setInput(iis, false, false)
+      (0 until reader.getNumImages(true)).collect {
+        case f if f % everyK == 0 =>
+          val src = reader.read(f)
+          // resolve palette indices to COLORS before re-encoding: the GIF
+          // writer reorders its color table, so the raw indexed raster is
+          // not the gray value (encoding it directly would silently emit
+          // index-valued pixels). Manual sample copy — a drawImage into
+          // TYPE_BYTE_GRAY would apply a colorspace transform instead.
+          val gray = new BufferedImage(src.getWidth, src.getHeight,
+            BufferedImage.TYPE_BYTE_GRAY)
+          val out = gray.getRaster
+          var y = 0
+          while (y < src.getHeight) {
+            var x = 0
+            while (x < src.getWidth) {
+              out.setSample(x, y, 0, src.getRGB(x, y) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          require(ImageIO.write(gray, "png", bos), "JDK PNG writer unavailable")
+          (bos.toByteArray, f)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** Batched per-partition feature extraction over (doc_id, content) — the

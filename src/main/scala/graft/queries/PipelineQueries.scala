@@ -733,6 +733,47 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL video decode, oracled end-to-end: each doc gets a deterministic
+    * animated GIF (`Multimodal.synthesizeGif` — `2 + id%4` frames, sample
+    * `(x + 2y + 3f + id) % 256` on an identity gray palette), the
+    * frame-sampling stage decodes every frame with the JDK's GIF reader
+    * and keeps every 2nd, and the oracle recomputes frame count,
+    * dimensions and per-kept-frame pixel sums as pure arithmetic over a
+    * generated (x, y, f) grid. A hash match proves the real GIF
+    * encode→decode round-trip recovers every frame's raster — the
+    * decoder cannot fake it.
+    */
+  val multimodalVideo: Q = Q.sql(
+    "p_multimodal_video",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+      |g AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+      |             8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+      |      FROM d),
+      |fr AS (SELECT g.*, fs.f FROM g,
+      |       LATERAL (SELECT unnest(range(g.nf)) AS f) fs
+      |       WHERE fs.f % 2 = 0),
+      |px AS (
+      |  SELECT fr.doc_id, fr.nf, fr.f, fr.w, fr.h,
+      |         (xs.x + 2 * ys.y + 3 * fr.f + fr.doc_id) % 256 AS v
+      |  FROM fr,
+      |       LATERAL (SELECT unnest(range(fr.w)) AS x) xs,
+      |       LATERAL (SELECT unnest(range(fr.h)) AS y) ys)
+      |SELECT doc_id, nf::BIGINT AS n_frames, f::BIGINT AS frame_no,
+      |       w::BIGINT AS width, h::BIGINT AS height,
+      |       sum(v)::BIGINT AS pixel_sum, count(*)::BIGINT AS n_px
+      |FROM px GROUP BY doc_id, nf, f, w, h
+      |ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
+    val withVideo = Multimodal.withVideoPayload(
+      docs(s, dir).filter(col("doc_id") < 80).select("doc_id"))
+    Multimodal.extractVideoFeatures(s, withVideo, everyK = 2)
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("frame_no").cast("long").as("frame_no"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("pixel_sum"), col("n_px"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   /** LSH-bucketed approximate top-k, fully oracled: the md5-derived
     * hyperplanes, the 9-decimal cosine rounding and the (cos desc, cand_id)
     * tie-break make the whole approximate result engine-independent — the
@@ -1735,7 +1776,7 @@ object PipelineQueries {
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
     minhashLshDedup, simhashHamming, cosineTopK, annInt8TopK, annLshBuckets,
-    embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, annIvfPqTopK, multimodalMeta, multimodalDecode, multimodalAudio, annLshTopK,
+    embeddingNearDup, semanticDedupQ, annPqTopK, annPqTrained, annIvfPqTopK, multimodalMeta, multimodalDecode, multimodalAudio, multimodalVideo, annLshTopK,
     annIvfAssign, annIvfTopK, qualityFilter, ngramJaccard, sessionize,
     winnowFingerprint, stratifiedSample, trainOrder, mixtureBudget,
     mixtureBudgetBucketed, piiScrub,

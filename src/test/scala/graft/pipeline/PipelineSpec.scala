@@ -555,6 +555,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(ex.getCause).exists(_.getMessage.contains("extractAudioFeatures")))
   }
 
+  test("multimodal video decode is real: animated GIF round-trip recovers exact per-frame stats") {
+    val sp = spark; import sp.implicits._
+    val ids = Seq(0L, 1L, 3L, 59L, 102L) // frame counts 2..5, dim extremes
+    val df = Multimodal.withVideoPayload(ids.toDF("doc_id"))
+    val payload = df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // the payload really is a GIF (magic bytes), not a fabricated header
+    assert(new String(payload(0L).take(4), "US-ASCII") == "GIF8")
+    val out = Multimodal.extractVideoFeatures(spark, df, everyK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r).toMap
+    ids.foreach { id =>
+      val nf = 2 + (id % 4).toInt
+      val (w, h) = (8 + (id % 5).toInt, 8 + (id % 3).toInt)
+      val keptFrames = (0 until nf).filter(_ % 2 == 0)
+      assert(out.keys.count(_._1 == id) == keptFrames.size, s"doc $id kept-frame count")
+      keptFrames.foreach { f =>
+        val sum = (for (y <- 0 until h; x <- 0 until w)
+          yield (x + 2L * y + 3L * f + id) % 256L).sum
+        val r = out((id, f))
+        assert(r.getInt(1) == nf, s"doc $id n_frames")
+        assert(r.getInt(3) == w && r.getInt(4) == h, s"doc $id/$f dims")
+        assert(r.getLong(5) == sum, s"doc $id/$f pixel_sum: got ${r.getLong(5)}, want $sum")
+        assert(r.getLong(6) == w.toLong * h, s"doc $id/$f n_px")
+      }
+    }
+  }
+
+  test("frameSample: GIF payloads yield real decodable PNG frames; others the stub") {
+    val sp = spark; import sp.implicits._
+    val id = 5L // 3 frames, keep 0 and 2
+    val gif = Multimodal.withVideoPayload(Seq(id).toDF("doc_id"))
+    val frames = Multimodal.frameSample(spark, gif, frameSize = 64, everyK = 2)
+      .collect().map(r => r.getInt(1) -> r.getAs[Array[Byte]](2)).toMap
+    assert(frames.keySet == Set(0, 2), "kept original frame indices 0 and 2")
+    // each emitted frame is a standalone PNG whose pixels match the source
+    val (w, h) = (8 + (id % 5).toInt, 8 + (id % 3).toInt)
+    frames.foreach { case (f, png) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      // read raster samples (like decodeImage): getRGB on TYPE_BYTE_GRAY
+      // would apply the linear-gray→sRGB transform to the stored values
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == ((x + 2L * y + 3L * f + id) % 256L).toInt,
+          s"frame $f pixel ($x,$y)")
+    }
+    // non-GIF payloads still route through the labeled byte-slicing stub
+    val txt = Multimodal.withPayload(Seq((9L, "0123456789" * 20)).toDF("doc_id", "text"))
+    val stubFrames = Multimodal.frameSample(spark, txt, frameSize = 64, everyK = 2).count()
+    assert(stubFrames == 2) // 200 bytes / 64 → chunks 0,1,2,3 → keep 0 and 2
+  }
+
   test("multimodal image resize: real nearest-neighbor over decoded pixels") {
     val sp = spark; import sp.implicits._
     val id = 5L
