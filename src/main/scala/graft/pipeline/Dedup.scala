@@ -320,6 +320,50 @@ object Dedup {
       s"dupClusters: label fixpoint not reached within $maxIters rounds")
     labels // (v, lbl = min doc_id of v's component)
   }
+
+  /** Per-document duplicated-substring profile — the ExactSubstr signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2021), as a SCORE rather than a cut: for each document, how
+    * many of its word `n`-gram occurrences use a gram that also appears in
+    * at least one OTHER document. Output per input doc (docs with fewer
+    * than `n` tokens get zeros): `n_grams` (occurrences), `n_dup_grams`
+    * (occurrences whose gram is cross-doc), `n_distinct`,
+    * `n_distinct_dup`, and a `kept` verdict by integer cross-multiply
+    * (`n_dup_grams·1000 ≤ maxDupPermille·n_grams` — no float anywhere).
+    *
+    * Scale shape: the gram explode is row-local (native codegen'd
+    * `WordGrams` on [[TextPipeline.tokens]]); everything after is keyed on
+    * the 60-bit gram hash — a (doc, gram) occurrence count, a per-gram
+    * distinct-doc count (one row per (doc, gram) feeds it, so a
+    * pathological "the the the…" doc contributes ONE row, not its length),
+    * and one equi-join back. No all-pairs stage, no per-key window; the
+    * hottest gram in a 100 TB corpus costs a single long-keyed count.
+    */
+  def dupGramProfile(docs: DataFrame, n: Int, maxDupPermille: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, s"gram order must be >= 1, got $n")
+    require(maxDupPermille >= 0 && maxDupPermille <= 1000,
+      s"maxDupPermille must be in [0, 1000], got $maxDupPermille")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextPipeline.wordGramArray(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), Det.md5Hash60(col("gram")).as("g"))
+    val occ = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
+    // one row per (doc, gram) in, so count(*) IS the distinct-doc count
+    val nd = occ.groupBy("g").agg(count(lit(1)).as("nd"))
+    val perDoc = occ.join(nd, "g")
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(0L)).as("n_dup_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_distinct_dup"))
+    docs.select(col(idCol).as("doc_id") +: carryCols.map(col): _*)
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_dup_grams", "n_distinct", "n_distinct_dup"))
+      .withColumn("kept",
+        col("n_dup_grams") * 1000 <= lit(maxDupPermille.toLong) * col("n_grams"))
+  }
 }
 
 /** SimHash near-dup detection: 60-bit sign-vote fingerprints over word

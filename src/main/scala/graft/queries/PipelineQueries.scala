@@ -1462,6 +1462,60 @@ object PipelineQueries {
     }
   }
 
+  /** Duplicated-substring profile (Lee et al. ExactSubstr, scored): per
+    * doc, the share of word 8-gram occurrences whose gram appears in ≥1
+    * other document; keep iff ≤500‰ (integer cross-multiply — the corpus'
+    * planted near-dup docs sit at 800–1000‰, clean docs under 100‰, so the
+    * gate actually separates). Audit per lang with exact integer sums; the
+    * oracle rebuilds the grams by list slicing and shares the 60-bit md5
+    * gram hash.
+    */
+  val dupGramProfileQ: Q = {
+    val (n, permille) = (8, 500)
+    val h = Det.md5Hash60Sql(s"array_to_string(toks[i:i+${n - 1}], ' ')")
+    Q.sql(
+      "p_dup_gram_profile",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, $h AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS i) s),
+         |o AS (SELECT doc_id, g, count(*) AS occ FROM gr GROUP BY doc_id, g),
+         |c AS (SELECT g, count(*) AS nd FROM o GROUP BY g),
+         |p AS (
+         |  SELECT o.doc_id, sum(o.occ) AS n_grams,
+         |         sum(CASE WHEN c.nd >= 2 THEN o.occ ELSE 0 END) AS n_dup,
+         |         count(*) AS n_distinct,
+         |         sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_distinct_dup
+         |  FROM o JOIN c USING (g) GROUP BY o.doc_id),
+         |k AS (
+         |  SELECT d.lang, coalesce(p.n_grams, 0) AS n_grams,
+         |         coalesce(p.n_dup, 0) AS n_dup,
+         |         coalesce(p.n_distinct, 0) AS n_distinct,
+         |         coalesce(p.n_distinct_dup, 0) AS n_distinct_dup
+         |  FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN n_dup * 1000 <= $permille * n_grams
+         |                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |       sum(n_grams)::BIGINT AS sum_grams,
+         |       sum(n_dup)::BIGINT AS sum_dup,
+         |       sum(n_distinct)::BIGINT AS sum_distinct,
+         |       sum(n_distinct_dup)::BIGINT AS sum_distinct_dup
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Dedup.dupGramProfile(docsSpread(s, dir), n, permille,
+          carryCols = Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_grams")).as("sum_grams"),
+          sum(col("n_dup_grams")).as("sum_dup"),
+          sum(col("n_distinct")).as("sum_distinct"),
+          sum(col("n_distinct_dup")).as("sum_distinct_dup"))
+        .orderBy("lang")
+    }
+  }
+
   /** Mixture UPSAMPLING audit: rates above 1000‰ epoch a source (en at
     * 2500‰ → 2 full copies + a 500‰ chance of a third), below downsample
     * (zh 125‰), default passthrough. The emitted-copy count is row-local
@@ -1784,5 +1838,6 @@ object PipelineQueries {
     packSequences, chunkOverlap,
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
-    dupClusters, rateSample, rateUpsampleQ, corpusFreqQuality, lengthBatching)
+    dupClusters, rateSample, rateUpsampleQ, corpusFreqQuality, lengthBatching,
+    dupGramProfileQ)
 }

@@ -651,6 +651,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotDist == expect)
   }
 
+  test("dupGramProfile: exact occurrence accounting, cross-doc only, short docs zeroed") {
+    val sp = spark; import sp.implicits._
+    // docs 0 and 1 share the 3-gram "a b c"; doc 2 repeats ITS OWN gram
+    // twice (within-doc only — must NOT count as duplicated); doc 3 is too
+    // short for any 3-gram.
+    val df = Seq(
+      (0L, "a b c x y"),        // grams: "a b c","b c x","c x y"
+      (1L, "z a b c w"),        // grams: "z a b","a b c","b c w"
+      (2L, "p q r p q r p q"),  // grams: pqr,qrp,rpq,pqr,qrp,rpq,pqr,qrp? len 8 → 6 grams
+      (3L, "just two")).toDF("doc_id", "text")
+    val out = Dedup.dupGramProfile(df, n = 3, maxDupPermille = 300)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0: 3 occurrences, 1 dup ("a b c"); 1000*1 <= 300*3 false → dropped
+    assert(out(0L).getAs[Long]("n_grams") == 3)
+    assert(out(0L).getAs[Long]("n_dup_grams") == 1)
+    assert(out(0L).getAs[Long]("n_distinct") == 3)
+    assert(out(0L).getAs[Long]("n_distinct_dup") == 1)
+    assert(!out(0L).getAs[Boolean]("kept")) // 1000 > 900
+    // doc 1 symmetric
+    assert(out(1L).getAs[Long]("n_dup_grams") == 1)
+    // doc 2: 6 occurrences of 3 distinct grams, all within-doc → no dup
+    assert(out(2L).getAs[Long]("n_grams") == 6)
+    assert(out(2L).getAs[Long]("n_distinct") == 3)
+    assert(out(2L).getAs[Long]("n_dup_grams") == 0)
+    assert(out(2L).getAs[Boolean]("kept"))
+    // doc 3: below gram order → zeros, kept (0 <= 0)
+    assert(out(3L).getAs[Long]("n_grams") == 0)
+    assert(out(3L).getAs[Boolean]("kept"))
+  }
+
   test("classifierScore: linear predictor matches hand computation; threshold is sigmoid-consistent") {
     val sp = spark; import sp.implicits._
     val text = "the cat sat. the end."
