@@ -134,9 +134,60 @@ object TextPipeline {
           col("n_tok") > 0)
   }
 
+  /** Self-trained bigram language-model quality profile — the CCNet
+    * perplexity filter's SHAPE (score each document by how predictable its
+    * token stream is under a corpus LM) with an engine-exact statistic:
+    * per bigram occurrence, surprisal is the INTEGER bit-length gap
+    * `⌊log2(c1(w1)+V)⌋ − ⌊log2(c2(w1,w2)+1)⌋` — the number of doublings
+    * between the Laplace-smoothed context mass and the bigram count, i.e.
+    * log2(1/p̂) quantized to ±1 bit. Bit lengths come from `length(bin(x))`
+    * (pure string ops, identical in Spark and DuckDB), so per-doc sums are
+    * exact integers and the keep gate is a cross-multiplication
+    * (`sum_bits·10 ≤ maxMeanDecibits·n_bigrams`) — no transcendental
+    * anywhere, per the same reasoning as [[corpusFreqProfile]].
+    *
+    * Shape at 100 TB: one row-local bigram explode (native `WordGrams`),
+    * unigram and bigram count aggregations (both map-side combinable; the
+    * bigram key is the 60-bit md5 of the gram, shared with the oracle),
+    * the vocab size V as a 1-row broadcast, and two equi-joins back onto
+    * the occurrence stream. No all-pairs stage, no window; the hottest
+    * bigram carries a count, never a row blowup. Output per input doc:
+    * (idCol, carryCols…, n_bigrams, sum_surprisal_bits, kept); docs with
+    * fewer than 2 tokens get zeros and keep (0 ≤ 0).
+    */
+  def bigramLmProfile(docs: DataFrame, maxMeanDecibits: Int,
+                      idCol: String = "doc_id", textCol: Column = col("text"),
+                      carryCols: Seq[String] = Nil): DataFrame = {
+    require(maxMeanDecibits >= 0, s"maxMeanDecibits must be >= 0, got $maxMeanDecibits")
+    val reserved = Set("tok", "w1", "g2", "c1", "c2", "v", "su",
+      "n_bigrams", "sum_surprisal_bits", "kept")
+    require(!docs.columns.exists(reserved), s"bigramLmProfile reserves ${reserved.mkString("/")}")
+    val toks = docs.select(explode(tokens(textCol)).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val vocabSize = uni.agg(count(lit(1)).as("v"))
+    val bg = docs.select(col(idCol).as("doc_id"),
+        explode(wordGramArray(textCol, 2)).as("bg"))
+      .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("w1"),
+        Det.md5Hash60(col("bg")).as("g2"))
+    val big = bg.groupBy("g2").agg(count(lit(1)).as("c2"))
+    val perDoc = bg.join(big, "g2")
+      .join(uni, bg("w1") === uni("tok"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("doc_id"),
+        (length(bin(col("c1") + col("v"))) - length(bin(col("c2") + 1)))
+          .cast("long").as("su"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("su")).as("sum_surprisal_bits"))
+    docs.select(col(idCol).as("doc_id") +: carryCols.map(col): _*)
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "sum_surprisal_bits"))
+      .withColumn("kept",
+        col("sum_surprisal_bits") * 10 <= lit(maxMeanDecibits.toLong) * col("n_bigrams"))
+  }
+
   /** Per-language function-word patterns for the n-gram/stopword language-ID
     * heuristic. ASCII-only patterns so the same regex runs in Spark (Java
-    * regex) and any RE2-based oracle.
+    * regex) and an RE2-based oracle.
     */
   val langPatterns: Seq[(String, String)] = Seq(
     "en" -> "\\b(the|and|of|to|in|is|that|it|was|for)\\b",

@@ -1516,6 +1516,53 @@ object PipelineQueries {
     }
   }
 
+  /** Bigram-LM quality filter (CCNet's perplexity-filter shape, engine-
+    * exact): per-doc mean bit-length surprisal under the self-trained
+    * Laplace bigram model, gated at 4.5 bits/bigram by integer
+    * cross-multiply. `length(bin(x))` is the exact ⌊log2⌋+1 in both
+    * engines, so there is no transcendental anywhere; the bigram count key
+    * is the shared 60-bit md5 so both engines merge identically.
+    */
+  val bigramLmQuality: Q = {
+    val maxDecibits = 45
+    val h = Det.md5Hash60Sql("toks[i] || ' ' || toks[i+1]")
+    Q.sql(
+      "p_bigram_lm_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |u AS (SELECT unnest(toks) AS tok FROM t),
+         |c1 AS (SELECT tok, count(*) AS c1 FROM u GROUP BY tok),
+         |v AS (SELECT count(*) AS v FROM c1),
+         |bgr AS (
+         |  SELECT doc_id, toks[i] AS w1, $h AS g2
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) s),
+         |c2 AS (SELECT g2, count(*) AS c2 FROM bgr GROUP BY g2),
+         |sc AS (
+         |  SELECT bgr.doc_id,
+         |         length(bin(c1.c1 + v.v)) - length(bin(c2.c2 + 1)) AS su
+         |  FROM bgr JOIN c2 USING (g2) JOIN c1 ON bgr.w1 = c1.tok, v),
+         |p AS (SELECT doc_id, count(*) AS n, sum(su) AS s FROM sc GROUP BY doc_id),
+         |k AS (
+         |  SELECT d.lang, coalesce(p.n, 0) AS n, coalesce(p.s, 0) AS s
+         |  FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN s * 10 <= $maxDecibits * n
+         |                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |       sum(n)::BIGINT AS sum_bigrams,
+         |       sum(s)::BIGINT AS sum_bits
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      TextPipeline.bigramLmProfile(docsSpread(s, dir), maxDecibits,
+          carryCols = Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          sum(col("sum_surprisal_bits")).as("sum_bits"))
+        .orderBy("lang")
+    }
+  }
+
   /** Mixture UPSAMPLING audit: rates above 1000‰ epoch a source (en at
     * 2500‰ → 2 full copies + a 500‰ chance of a third), below downsample
     * (zh 125‰), default passthrough. The emitted-copy count is row-local
@@ -1839,5 +1886,5 @@ object PipelineQueries {
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
     dupClusters, rateSample, rateUpsampleQ, corpusFreqQuality, lengthBatching,
-    dupGramProfileQ)
+    dupGramProfileQ, bigramLmQuality)
 }

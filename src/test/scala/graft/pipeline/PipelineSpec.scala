@@ -681,6 +681,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L).getAs[Boolean]("kept"))
   }
 
+  test("bigramLmProfile: exact bit-length surprisal vs hand computation; short docs zeroed") {
+    val sp = spark; import sp.implicits._
+    // corpus: "a b" x3 docs + one "a c" doc + one single-token doc.
+    // c1: a=5 (incl. doc 4), b=3, c=1; V=3. bigrams: (a b) c2=3, (a c) c2=1.
+    val df = Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "a"))
+      .toDF("doc_id", "text")
+    def bits(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val suAB = bits(5 + 3) - bits(3 + 1) // ⌊log2 8⌋+1 − ⌊log2 4⌋+1 = 4−3 = 1
+    val suAC = bits(5 + 3) - bits(1 + 1) // 4 − 2 = 2
+    assert(suAB == 1 && suAC == 2)
+    // gate at 1.5 bits mean: "a b" docs keep (1 ≤ 1.5), "a c" drops (2 > 1.5)
+    val out = TextPipeline.bigramLmProfile(df, maxMeanDecibits = 15)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 2L).foreach { id =>
+      assert(out(id).getAs[Long]("n_bigrams") == 1)
+      assert(out(id).getAs[Long]("sum_surprisal_bits") == suAB.toLong)
+      assert(out(id).getAs[Boolean]("kept"))
+    }
+    assert(out(3L).getAs[Long]("sum_surprisal_bits") == suAC.toLong)
+    assert(!out(3L).getAs[Boolean]("kept"))
+    // sub-2-token doc: zeros, kept
+    assert(out(4L).getAs[Long]("n_bigrams") == 0)
+    assert(out(4L).getAs[Boolean]("kept"))
+  }
+
   test("classifierScore: linear predictor matches hand computation; threshold is sigmoid-consistent") {
     val sp = spark; import sp.implicits._
     val text = "the cat sat. the end."
