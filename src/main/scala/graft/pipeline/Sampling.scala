@@ -109,6 +109,42 @@ object Sampling {
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
+    * engine-exact: for INTEGER weights the A-ES priority u^(1/w) is equal
+    * in distribution to the MAX of w independent uniforms, so the sampling
+    * key is the max of `w` salted 60-bit hashes — pure integer
+    * comparisons, no transcendental anywhere — and the k highest keys win
+    * (id tie-break). For k=1 the inclusion probability is exactly w_i/Σw;
+    * in general this is A-ES weighted reservoir sampling with the
+    * reservoir replaced by a distributed TakeOrdered top-k (map-side
+    * heaps feeding one k-row merge — no global sort, no window). Key
+    * construction is row-local (`transform` over sequence(1, w) +
+    * `array_max`), so per-row work is O(w), bounded by `maxW`; weights
+    * are asserted integral and in [1, maxW] LOUDLY — a fractional or
+    * out-of-range weight expression fails the job rather than silently
+    * reweighting the sample. Same-salt runs are identical across
+    * partitionings/re-executions; a new salt is an independent resample.
+    */
+  def weightedSample(df: DataFrame, weightCol: Column, k: Int,
+                     salt: String, idCol: String, maxW: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxW >= 1, s"maxW must be >= 1, got $maxW")
+    require(!df.columns.contains("w") && !df.columns.contains("sample_key"),
+      "weightedSample reserves the w/sample_key column names")
+    val wd = weightCol.cast("double")
+    val guarded = when(assert_true(
+      wd >= 1 && wd <= maxW && wd === floor(wd).cast("double"),
+      lit(s"weightedSample weights must be integers in [1, $maxW]")).isNull,
+      weightCol.cast("int"))
+    df.withColumn("w", guarded)
+      .withColumn("sample_key",
+        array_max(transform(sequence(lit(1), col("w")), j =>
+          Det.md5Hash60(concat(lit(salt + "-"), col(idCol).cast("string"),
+            lit("-"), j.cast("string"))))))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Token-budget mixture: each source's share of a global token budget is
     * `⌊budget · w / Σw⌋` (exact integer arithmetic), and docs fill their
     * source's quota in salted-hash order — a doc is kept iff the running

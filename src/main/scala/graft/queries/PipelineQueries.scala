@@ -1563,6 +1563,39 @@ object PipelineQueries {
     }
   }
 
+  /** Weighted sampling without replacement, fully oracled: lang-weighted
+    * (en 4×, de 2×, rest 1×) top-40 by the A-ES max-of-w-hashes key. The
+    * key is an exact integer in both engines (the max-of-uniforms
+    * equivalence avoids u^(1/w) float entirely), so the SELECTED SET —
+    * not just its size — is engine-reproducible, key values included.
+    */
+  val weightedSampleQ: Q = {
+    val (k, salt) = (40, "ws-v1")
+    val h = Det.md5Hash60Sql(s"'$salt-' || doc_id::VARCHAR || '-' || j::VARCHAR")
+    Q.sql(
+      "p_weighted_sample",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         CASE WHEN lang = 'en' THEN 4
+         |              WHEN lang = 'de' THEN 2 ELSE 1 END AS w
+         |  FROM documents),
+         |keys AS (
+         |  SELECT doc_id, lang, w,
+         |         list_max(list_transform(range(1, w + 1), j -> $h)) AS sample_key
+         |  FROM d)
+         |SELECT doc_id, lang, w::BIGINT AS w, sample_key
+         |FROM keys ORDER BY sample_key DESC, doc_id LIMIT $k""".stripMargin) { (s, dir) =>
+      val weighted = when(col("lang") === "en", 4)
+        .when(col("lang") === "de", 2).otherwise(1)
+      Sampling.weightedSample(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          weighted, k, salt, "doc_id")
+        .select(col("doc_id"), col("lang"), col("w").cast("long").as("w"),
+          col("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id"))
+    }
+  }
+
   /** Mixture UPSAMPLING audit: rates above 1000‰ epoch a source (en at
     * 2500‰ → 2 full copies + a 500‰ chance of a third), below downsample
     * (zh 125‰), default passthrough. The emitted-copy count is row-local
@@ -1886,5 +1919,5 @@ object PipelineQueries {
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
     dupClusters, rateSample, rateUpsampleQ, corpusFreqQuality, lengthBatching,
-    dupGramProfileQ, bigramLmQuality)
+    dupGramProfileQ, bigramLmQuality, weightedSampleQ)
 }

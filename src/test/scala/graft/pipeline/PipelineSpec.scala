@@ -706,6 +706,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L).getAs[Boolean]("kept"))
   }
 
+  test("weightedSample: top-k matches brute force; k=1 inclusion tracks w/Σw; bad weights fail loudly") {
+    val sp = spark; import sp.implicits._
+    // the shared md5-hash60 recipe, in pure Scala
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def key(id: Long, w: Int, salt: String): Long =
+      (1 to w).map(j => h60(s"$salt-$id-$j")).max
+    val ids = (0L until 50L).toSeq
+    def wOf(id: Long): Int = if (id % 10 == 0) 4 else 1
+    val df = ids.map(id => (id, wOf(id))).toDF("doc_id", "wt")
+    val got = Sampling.weightedSample(df, col("wt"), 12, "t-v1", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("sample_key")))
+    val want = ids.map(id => (id, key(id, wOf(id), "t-v1")))
+      .sortBy { case (id, k) => (-k, id) }.take(12)
+    assert(got.toSeq == want, "top-k set, order and key values match brute force")
+    // distribution: over many salts, k=1 picks item i with prob w_i/Σw
+    // exactly (max-of-uniforms ⇔ A-ES); verify empirically in pure Scala
+    val items = Seq(1L -> 4, 2L -> 1, 3L -> 1)
+    val wins = (0 until 3000).map { s =>
+      items.maxBy { case (id, w) => (key(id, w, s"salt$s"), -id) }._1
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val pHeavy = wins(1L).toDouble / 3000 // expect 4/6 ≈ 0.667
+    assert(math.abs(pHeavy - 4.0 / 6) < 0.03, s"heavy-item win rate $pHeavy")
+    // non-integral and out-of-range weights fail loudly, not silently
+    val bad = Seq((1L, 2.5)).toDF("doc_id", "wt")
+    val ex = intercept[Exception] {
+      Sampling.weightedSample(bad, col("wt"), 1, "s", "doc_id").collect()
+    }
+    assert(ex.getMessage.contains("weightedSample") ||
+      Option(ex.getCause).exists(_.getMessage.contains("weightedSample")))
+  }
+
   test("classifierScore: linear predictor matches hand computation; threshold is sigmoid-consistent") {
     val sp = spark; import sp.implicits._
     val text = "the cat sat. the end."
