@@ -350,14 +350,19 @@ object Dedup {
         explode(TextPipeline.wordGramArray(col(textCol), n)).as("gram"))
       .select(col("doc_id"), Det.md5Hash60(col("gram")).as("g"))
     val occ = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
-    // one row per (doc, gram) in, so count(*) IS the distinct-doc count
-    val nd = occ.groupBy("g").agg(count(lit(1)).as("nd"))
-    val perDoc = occ.join(nd, "g")
+    // one row per (doc, gram) in, so count(*) IS the distinct-doc count.
+    // Only the ≥2 SET flows back — the verdict needs one bit per gram, and
+    // cross-doc-duplicated grams are a small fraction of a real corpus
+    // (~5 % here), so the join's build side shrinks 20× and AQE can often
+    // broadcast it outright instead of re-shuffling the occurrence table.
+    val dupSet = occ.groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"), lit(true).as("is_dup"))
+    val perDoc = occ.join(dupSet, Seq("g"), "left")
       .groupBy("doc_id")
       .agg(sum(col("occ")).as("n_grams"),
-        sum(when(col("nd") >= 2, col("occ")).otherwise(0L)).as("n_dup_grams"),
+        sum(when(col("is_dup"), col("occ")).otherwise(0L)).as("n_dup_grams"),
         count(lit(1)).as("n_distinct"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_distinct_dup"))
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_distinct_dup"))
     docs.select(col(idCol).as("doc_id") +: carryCols.map(col): _*)
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_grams", "n_dup_grams", "n_distinct", "n_distinct_dup"))

@@ -337,4 +337,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"head-N must use take-ordered:\n$p")
     assert(!p.contains("Join"), "train order must not join")
   }
+
+  test("weighted sample: row-local keys into a take-ordered top-k (no window, no join)") {
+    val p = planOf("p_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be take-ordered (map-side heaps), not sort+limit:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "weighted sample must not window")
+    assert(!p.contains("Join"), "weighted sample must not join")
+  }
+
+  test("dup-gram profile: equi-joins on the gram hash only, no window, map-side combines") {
+    val p = planOf("p_dup_gram_profile")
+    assert(!p.contains("Window"), "dup-gram profile must not window")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "dup-gram profile must join by key only")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-doc aggregate must map-side combine")
+  }
+
+  test("bigram LM: vocab-size broadcasts as a 1-row table; count joins are keyed, no window") {
+    val p = planOf("p_bigram_lm_quality")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row V table must broadcast")
+    assert(!p.contains("Window"), "bigram LM must not window")
+    // the per-gram count aggregations must combine before their shuffles
+    assert(p.contains("partial_count"), "LM counts must map-side combine")
+  }
 }
