@@ -28,6 +28,17 @@ final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                              session_end: java.sql.Timestamp,
                              n_events: Long, sum_value: Double)
 
+/** One hash-bucket's Misra–Gries summary in the state store: items seen
+  * and the ≤ k surviving counters (see `heavyHittersStream`).
+  */
+final case class MgBucketState(n: Long, counters: Map[String, Long])
+
+/** A bucket's current heavy-hitter candidates, re-emitted every trigger
+  * (Update mode): counts are MG lower bounds (error ≤ n_bucket/k).
+  */
+final case class BucketSketch(bucket: Int, n_bucket: Long,
+                              toks: Seq[String], lowers: Seq[Long])
+
 /** One tagged row of the streaming as-of input (side 0 = reference
   * update, side 1 = event to enrich).
   */
@@ -262,5 +273,50 @@ object StreamingPipeline {
       }
       closed.reverseIterator
     }
+  }
+
+  /** Streaming Misra–Gries heavy hitters — the batch [[graft.pipeline.Sketch]]
+    * run forever: tokens hash-partition into `nBuckets` groups (shared
+    * 60-bit md5, so bucketing is deterministic across engines and
+    * restarts), each group keeps ONE fixed-size MG summary (≤ `k`
+    * counters) in the state store, updated with the batch `Sketch.mgUpdate`
+    * verbatim, and every trigger re-emits the group's current candidate
+    * set (Update output mode). State is O(nBuckets·k) FOREVER — no
+    * watermark needed, which is the whole point of the sketch.
+    *
+    * Guarantee carried over: a token hashes to exactly one bucket, and its
+    * bucket's stream length n_b never exceeds the global N, so any token
+    * with global count > N/k also has bucket count > n_b/k and SURVIVES in
+    * its bucket's counters (same Agarwal et al. mergeability argument as
+    * the batch pass-1). As in batch, emitted counts are lower-bound
+    * approximations (error ≤ n_b/k) — follow with an exact recount of the
+    * ≤ nBuckets·k candidates for exact output.
+    */
+  def heavyHittersStream(docs: DataFrame, k: Int, nBuckets: Int,
+                         textCol: String = "text"): Dataset[BucketSketch] = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(explode(TextPipeline.tokens(col(textCol))).as("tok"))
+      .select(pmod(graft.util.Det.md5Hash60(col("tok")), lit(nBuckets.toLong))
+        .cast("int").as("bucket"), col("tok"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[MgBucketState, BucketSketch](
+        GroupStateTimeout.NoTimeout()) { (bucket, rows, state) =>
+        val counters = scala.collection.mutable.Map.empty[String, Long]
+        val prev = state.getOption.getOrElse(MgBucketState(0L, Map.empty))
+        prev.counters.foreach { case (t, c) => counters.update(t, c) }
+        var n = prev.n
+        rows.foreach { case (_, tok) =>
+          n += 1
+          graft.pipeline.Sketch.mgUpdate(counters, tok, k)
+        }
+        val next = MgBucketState(n, counters.toMap)
+        state.update(next)
+        val sorted = next.counters.toSeq.sortBy { case (t, c) => (-c, t) }
+        BucketSketch(bucket, n, sorted.map(_._1), sorted.map(_._2))
+      }
   }
 }

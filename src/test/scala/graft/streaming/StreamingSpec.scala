@@ -254,6 +254,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally pq.stop()
   }
 
+  test("streaming heavy hitters: MG state across batches, heavy-token superset, fixed memory") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val (k, nBuckets) = (4, 2)
+    // heavy token "aaa" (30 of 60 tokens across two batches), the rest a
+    // spread of light tokens — MG must keep "aaa" with a sane lower bound
+    val batch1 = (0 until 15).map(_ => "aaa x") ++ Seq("p q", "r s", "t u")
+    val batch2 = (0 until 15).map(_ => "aaa y") ++ Seq("v w", "p q", "r s")
+    val input = MemoryStream[String]
+    val out = StreamingPipeline.heavyHittersStream(
+      input.toDF().toDF("text"), k, nBuckets)
+    val q = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // latest emission per bucket (Update mode re-emits on every trigger;
+      // memory sink keeps all — take the rows with the max n_bucket)
+      val rows = sp.sql("SELECT bucket, n_bucket, toks, lowers FROM hh_out")
+        .collect()
+        .groupBy(_.getInt(0)).map { case (_, rs) => rs.maxBy(_.getLong(1)) }
+      val all = (batch1 ++ batch2).flatMap(_.split(" "))
+      val n = all.size.toLong
+      assert(rows.map(_.getLong(1)).sum == n, "bucket stream lengths sum to N")
+      val cands = rows.flatMap(_.getSeq[String](2)).toSet
+      // exact heavy hitters (count*k > N) must survive in the candidates
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.keySet
+      assert(exact.subsetOf(cands), s"missing heavy hitters: ${exact -- cands}")
+      assert(exact.contains("aaa"))
+      // lower bounds: within n_bucket/k of truth, never above it
+      rows.foreach { r =>
+        val nb = r.getLong(1)
+        r.getSeq[String](2).zip(r.getSeq[Long](3)).foreach { case (t, lb) =>
+          val truth = all.count(_ == t).toLong
+          assert(lb <= truth && truth - lb <= nb / k, s"$t bound $lb vs $truth")
+        }
+      }
+      // fixed memory: at most k counters per bucket, ever
+      assert(rows.forall(_.getSeq[String](2).size <= k))
+    } finally q.stop()
+  }
+
   test("stateless streaming language-ID tags rows") {
     val sp = spark
     import sp.implicits._
