@@ -321,6 +321,29 @@ object Dedup {
     labels // (v, lbl = min doc_id of v's component)
   }
 
+  /** Representative selection over resolved duplicate clusters: production
+    * dedup keeps the BEST document of each cluster (longest, highest
+    * quality score, …), not the minimum id. Input: `clusters` = (v, lbl)
+    * from [[dupClusters]] plus a per-doc INTEGER quality column; output one
+    * row per cluster: (cluster_rep, keep_id, keep_quality, n_docs), where
+    * keep_id is the argmax by (quality desc, id asc). The argmax is a
+    * single struct-max aggregation — max over (quality, −id) compares
+    * lexicographically, so the tie-break is total and deterministic — with
+    * NO window: map-side combinable, a pathologically hot cluster costs
+    * one combiner slot per task, never a per-key sort.
+    */
+  def keepBest(clusters: DataFrame, docs: DataFrame, qualityCol: Column,
+               idCol: String = "doc_id"): DataFrame = {
+    val q = docs.select(col(idCol).cast("long").as("v"),
+      qualityCol.cast("long").as("quality"))
+    clusters.join(q, "v")
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("quality"), (-col("v")).as("negid"))).as("best"))
+      .select(col("cluster_rep"), (-col("best.negid")).as("keep_id"),
+        col("best.quality").as("keep_quality"), col("n_docs"))
+  }
+
   /** Per-document duplicated-substring profile — the ExactSubstr signal of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (2021), as a SCORE rather than a cut: for each document, how

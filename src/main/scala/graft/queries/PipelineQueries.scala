@@ -1346,6 +1346,45 @@ object PipelineQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Cluster representative selection — the policy step after resolution:
+    * keep the LONGEST doc of each near-dup cluster (n_chars as the integer
+    * quality score, id asc tie-break). Spark picks via one struct-max
+    * aggregation (no window — a hot cluster costs a combiner slot); the
+    * oracle picks the same row with a row_number window over the unrolled
+    * CC labels. Identical because (quality, −id) is a total order.
+    */
+  val dupKeepBest: Q = Q.sql(
+    "p_dup_keep_best",
+    s"""WITH pairs AS ($minhashPairsSql),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),
+       |l1 AS (SELECT v, min(lbl) AS lbl FROM (
+       |         SELECT v, lbl FROM l0
+       |         UNION ALL SELECT e.b, l0.lbl FROM e JOIN l0 ON l0.v = e.a) GROUP BY v),
+       |l2 AS (SELECT v, min(lbl) AS lbl FROM (
+       |         SELECT v, lbl FROM l1
+       |         UNION ALL SELECT e.b, l1.lbl FROM e JOIN l1 ON l1.v = e.a) GROUP BY v),
+       |l3 AS (SELECT v, min(lbl) AS lbl FROM (
+       |         SELECT v, lbl FROM l2
+       |         UNION ALL SELECT e.b, l2.lbl FROM e JOIN l2 ON l2.v = e.a) GROUP BY v),
+       |j AS (SELECT l3.v, l3.lbl, d.n_chars AS quality
+       |      FROM l3 JOIN documents d ON d.doc_id = l3.v),
+       |r AS (SELECT v, lbl, quality,
+       |             row_number() OVER (PARTITION BY lbl
+       |               ORDER BY quality DESC, v ASC) AS rn,
+       |             count(*) OVER (PARTITION BY lbl) AS n_docs
+       |      FROM j)
+       |SELECT lbl AS cluster_rep, v AS keep_id, quality AS keep_quality,
+       |       n_docs::BIGINT AS n_docs
+       |FROM r WHERE rn = 1 ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val pairs = Dedup.nearDupPairs(d.filter(length(col("text")) >= 5))
+    Dedup.keepBest(Dedup.dupClusters(pairs), d, col("n_chars"))
+      .select(col("cluster_rep"), col("keep_id"), col("keep_quality"),
+        col("n_docs"))
+      .orderBy("cluster_rep")
+  }
+
   /** Mixture-weight resampling audit: per-language keep counts under a
     * rate table (en kept in full, zh heavily downsampled, default 500‰).
     * The keep verdict is row-local (salted hash mod 1000 vs the stratum
