@@ -23,6 +23,13 @@ final case class SlopeConfig(
     maxVariables: Long = -1L, // auto: n·m
     solver: SolverConfig = SolverConfig(),
     diagnostics: Boolean = false,
+    /** Record per-step KKT-certificate state (full-space gradient at the
+      * final β of every kept path step, the standardized β, and the step's
+      * absolute λ·σ sequence) into [[SlopeFit.kktState]]. Costs one extra
+      * data pass per step only on the no-screening branch (the screened
+      * branch's repair loop already evaluated exactly this gradient).
+      */
+    kktExport: Boolean = false,
     /** Widest active set for which the gaussian ADMM/Gram fast path is used;
       * beyond this, FISTA (no p×p driver matrix). Ours, not the reference's:
       * the reference always builds the Gram for gaussian, which cannot work
@@ -54,7 +61,13 @@ final case class SlopeFit(
     violations: IndexedSeq[Array[Int]],
     family: String,
     intercept: Boolean,
-    dataPasses: Long) {
+    dataPasses: Long,
+    /** Per kept step: (full-space smooth-loss gradient at the final
+      * standardized β, that β, absolute λ·σ_k). Empty unless the fit ran
+      * with `kktExport` (see [[KktCertificate]]).
+      */
+    kktState: IndexedSeq[(DenseMatrix[Double], DenseMatrix[Double], Array[Double])] =
+      IndexedSeq.empty) {
   def nonzeros(k: Int): Int = {
     val b = betas(k)
     val skip = if (intercept) 1 else 0
@@ -157,6 +170,8 @@ object SlopePath {
     var fullFactor: Option[AdmmGaussian.Factor] = None
 
     val betas = IndexedSeq.newBuilder[DenseMatrix[Double]]
+    val kktOut =
+      IndexedSeq.newBuilder[(DenseMatrix[Double], DenseMatrix[Double], Array[Double])]
     val activeSets = IndexedSeq.newBuilder[Array[Int]]
     val violationsOut = IndexedSeq.newBuilder[Array[Int]]
     val diagOut = IndexedSeq.newBuilder[(List[Double], List[Double], List[Double])]
@@ -306,6 +321,12 @@ object SlopePath {
       val dropForMaxVars = !earlyStop && nUnique > maxVariables
 
       if (!dropForMaxVars) {
+        if (cfg.kktExport) {
+          // the screened branch's final repair round evaluated the gradient
+          // at exactly this β; the no-screening branch pays one extra pass
+          val grad = lastFullGradient.getOrElse(ops.lossGrad(beta)._3)
+          kktOut += ((grad.copy, beta.copy, lamK))
+        }
         betas += beta.copy
         betaPrev = beta.copy
         activeSets += activeSet
@@ -348,7 +369,8 @@ object SlopePath {
       diagnostics = diagOut.result(),
       family = family.name,
       intercept = cfg.intercept,
-      dataPasses = ops.dataPasses)
+      dataPasses = ops.dataPasses,
+      kktState = kktOut.result())
   }
 }
 

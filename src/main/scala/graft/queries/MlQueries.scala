@@ -559,9 +559,82 @@ object MlQueries {
     TrainSlope.summaryDf(s, t)
   }
 
+  /** F1/F9/F12/F13 per-step optimality CERTIFICATES for the real iterative
+    * path fits — the piece no closed form can pin. Every kept step exports
+    * its full-space gradient, standardized β and absolute λ·σ
+    * ([[graft.fit.KktCertificate]]), and the SLOPE KKT conditions
+    * (reference src/infeasibility.h:8-12 + src/kktCheck.h:8-37:
+    * max cumsum(sort(|∇|, desc) − λ) ≤ max(√eps, tol·λ₀), and
+    * sign(−∇_j) = sign(β_j) on the support) are re-verified by Spark SQL
+    * window functions — a different substrate than the solver. A
+    * user-supplied σ grid (fixed ratios of the probed σmax) forces the
+    * step count, so the DuckDB oracle pins the full verdict table: exactly
+    * `ratios.length` steps, every one certified, grounded to the fixture by
+    * `n_rows`. A solver/screening/warm-start regression that leaves any
+    * step short of optimality flips a boolean → hash mismatch.
+    *
+    * FISTA is forced (`maxGramCols = 0`) so all four families run the
+    * solver whose convergence test IS the dual-infeasibility bound; solver
+    * tolerances are tightened to hold the certificate at `tolCert` with
+    * ~100× margin (measured at sf0.01: worst step infeas/λ₀ ≲ 1e-9).
+    */
+  private def kktCertQuery(qname: String, famName: String): Q = {
+    val ratios = Array(0.7, 0.35, 0.15, 0.05, 0.01)
+    val tolCert = 1e-6
+    val solver = SolverConfig(tolRelGap = 1e-10, tolInfeas = 1e-8)
+    val valuesSql = ratios.zipWithIndex
+      .map { case (r, i) => s"($i, ${r}::DOUBLE, true, true)" }.mkString(", ")
+    Q.sql(qname,
+      s"""SELECT v.step, v.sigma_ratio, v.kkt_ok, v.sign_ok, n.n_rows
+         |FROM (VALUES $valuesSql) v(step, sigma_ratio, kkt_ok, sign_ok)
+         |CROSS JOIN (SELECT count(*) AS n_rows FROM lineitem) n
+         |ORDER BY v.step""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = li(s, dir)
+      val (df, feats, lab) = famName match {
+        case "gaussian" => (base, features, label)
+        case "binomial" =>
+          (base.withColumn("is_r",
+            when(col("l_returnflag") === "R", "R").otherwise("NR")),
+            features, "is_r")
+        case "multinomial" => (base, features, "l_returnflag")
+        case "poisson" =>
+          (base.withColumn("qty", col("l_quantity").cast("double")),
+            Seq("l_discount", "l_tax", "l_extendedprice"), "qty")
+      }
+      // probe σmax (grid head of any ≥2-step auto path), then the certified
+      // fit on fixed ratios of it — user σ disables early stop, so the
+      // kept-step count is exactly ratios.length by construction
+      val probe = SlopeEstimator.fit(df, feats, lab,
+        SlopeConfig(family = famName, nSigma = 2))
+      val sMax = probe.fit.sigma(0)
+      val model = SlopeEstimator.fit(df, feats, lab,
+        SlopeConfig(family = famName, sigma = ratios.map(_ * sMax),
+          kktExport = true, maxGramCols = 0, solver = solver))
+      require(model.fit.kktState.length == ratios.length,
+        s"expected ${ratios.length} certified steps, got ${model.fit.kktState.length}")
+      val verdict = KktCertificate.verdictDf(s, model.fit, tolCert)
+      val nRows = base.count()
+      val ratioDf = ratios.zipWithIndex.map { case (r, i) => (i, r) }.toSeq
+        .toDF("step", "sigma_ratio")
+      verdict.join(ratioDf, Seq("step"))
+        .select(col("step"), col("sigma_ratio"), col("kkt_ok"), col("sign_ok"),
+          lit(nRows).as("n_rows"))
+        .orderBy("step")
+    }
+  }
+
+  val slopePathKktGaussian: Q = kktCertQuery("m_slope_path_kkt_gaussian", "gaussian")
+  val slopePathKktBinomial: Q = kktCertQuery("m_slope_path_kkt_binomial", "binomial")
+  val slopePathKktMultinomial: Q =
+    kktCertQuery("m_slope_path_kkt_multinomial", "multinomial")
+  val slopePathKktPoisson: Q = kktCertQuery("m_slope_path_kkt_poisson", "poisson")
+
   val queries: Seq[Q] = Seq(
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
     aucWeighted, gradientUdaf, slopePathGaussian, slopePathBinomial,
     slopePathMultinomial, slopePathPoisson, slopeSigma0Gaussian,
-    slopePathLassoOrtho, interceptMleFamilies, cvFixedBeta, trainCv)
+    slopePathLassoOrtho, interceptMleFamilies, cvFixedBeta, trainCv,
+    slopePathKktGaussian, slopePathKktBinomial, slopePathKktMultinomial,
+    slopePathKktPoisson)
 }

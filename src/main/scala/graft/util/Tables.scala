@@ -24,12 +24,24 @@ object Tables {
     // off by 1 µs on a fraction of rows vs DuckDB's exact truncation
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // a plain timestamp[us] file (no isAdjustedToUTC flag) reads as
+    // TIMESTAMP_NTZ under Spark 4's inference; normalize to TIMESTAMP so
+    // downstream unix_micros/window arithmetic is type-stable. All sessions
+    // here run in UTC, where the cast is value-identity — matching DuckDB,
+    // which treats the column as a naive TIMESTAMP either way.
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 
   /** Config required by every SparkSession that reads these tables. */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // read plain timestamp[us] parquet as TIMESTAMP (UTC session), not
+    // TIMESTAMP_NTZ — keeps the scan schema identical across driver
+    // testdata generations that differ in the isAdjustedToUTC flag
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     // the generated-class cache defaults to 100 entries; a session running
