@@ -32,8 +32,11 @@ import org.apache.spark.sql.types._
   * per-frame pixel statistics an arithmetic SQL oracle verifies
   * end-to-end; [[frameSample]] emits the kept frames as standalone PNGs.
   * True video codecs (mp4/webm) have no JDK decoder and fall back to a
-  * clearly-labeled deterministic fake so the batching/schema plumbing
-  * still exercises end-to-end. Swap `decodeStub`/`frameSampleStub` for
+  * deterministic fake so the batching/schema plumbing still exercises
+  * end-to-end — and every stage that can take that fallback LABELS each
+  * output row's provenance in a `decode_kind` column ("image"/"gif" =
+  * real decode, "stub" = fabricated), so fabricated stats are never
+  * mistakable for real ones. Swap `decodeStub`/`frameSampleStub` for
   * codec bindings; everything around them is production plumbing and is
   * tested.
   */
@@ -47,7 +50,12 @@ object Multimodal {
     StructField("pixel_sum", LongType, nullable = false),
     StructField("n_px", LongType, nullable = false),
     StructField("rolling_fp", LongType, nullable = false),
-    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false),
+    // provenance of every stat row: "image" = real javax.imageio decode,
+    // "stub" = fabricated from raw bytes (undecodable codec, e.g. mp4).
+    // A consumer can always tell real stats from stand-ins — or refuse
+    // stubs outright by filtering/asserting on this column.
+    StructField("decode_kind", StringType, nullable = false)))
 
   val audioSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -468,12 +476,15 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("resized", BinaryType, nullable = false),
-      StructField("n_bytes", IntegerType, nullable = false)))
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("decode_kind", StringType, nullable = false)))
     val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
       .rdd.mapPartitions(_.map { r =>
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
-        val out = if (isImage(bytes)) resizeImage(bytes, w, h) else resizeStub(bytes, w, h)
-        Row(r.getLong(0), out, out.length)
+        val (out, kind) =
+          if (isImage(bytes)) (resizeImage(bytes, w, h), "image")
+          else (resizeStub(bytes, w, h), "stub")
+        Row(r.getLong(0), out, out.length, kind)
       })
     spark.createDataFrame(rdd, schema)
   }
@@ -491,15 +502,16 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("frame_no", IntegerType, nullable = false),
-      StructField("frame", BinaryType, nullable = false)))
+      StructField("frame", BinaryType, nullable = false),
+      StructField("decode_kind", StringType, nullable = false)))
     val rdd = docsWithPayload.select(col(idCol).cast("long"), col(payloadCol))
       .rdd.mapPartitions(_.flatMap { r =>
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
         if (isGif(bytes)) gifFramesAsPng(bytes, everyK).map {
-          case (frame, i) => Row(r.getLong(0), i, frame)
+          case (frame, i) => Row(r.getLong(0), i, frame, "gif")
         }
         else frameSampleStub(bytes, frameSize, everyK).zipWithIndex.map {
-          case (frame, i) => Row(r.getLong(0), i, frame)
+          case (frame, i) => Row(r.getLong(0), i, frame, "stub")
         }
       })
     spark.createDataFrame(rdd, schema)
@@ -563,9 +575,10 @@ object Multimodal {
             if (bytes == null) Array.empty[Byte] else bytes
           }
           decodeBatch(payloads).zip(ids).zip(payloads).map {
-            case (((w, h, pxSum, nPx, feats), id), safe) =>
+            case (((kind, (w, h, pxSum, nPx, feats)), id), safe) =>
               Row(id, safe.length, w, h, pxSum, nPx,
-                TextPipeline.rollingHash(new String(safe, "UTF-8")), feats.toSeq)
+                TextPipeline.rollingHash(new String(safe, "UTF-8")), feats.toSeq,
+                kind)
           }
         }
       }
@@ -575,16 +588,18 @@ object Multimodal {
   /** Batch decode entry point: images decode via the REAL `javax.imageio`
     * path; audio payloads are refused (this stage's schema is pixel-shaped
     * — use [[extractAudioFeatures]], which decodes them for real); other
-    * payloads (video stand-ins) fall back to the labeled stub.
+    * payloads (video stand-ins) fall back to the stub, LABELED in the
+    * output's `decode_kind` so fabricated stats are always distinguishable
+    * from real decodes.
     */
   private[pipeline] def decodeBatch(
-      payloads: Seq[Array[Byte]]): Seq[(Int, Int, Long, Long, Array[Double])] =
+      payloads: Seq[Array[Byte]]): Seq[(String, (Int, Int, Long, Long, Array[Double]))] =
     payloads.map { b =>
-      if (isImage(b)) decodeImage(b)
+      if (isImage(b)) ("image", decodeImage(b))
       else {
         require(!isAudio(b),
           "audio payload in the image feature stage — use extractAudioFeatures")
-        decodeStub(b)
+        ("stub", decodeStub(b))
       }
     }
 }

@@ -658,15 +658,25 @@ object PipelineQueries {
     }
   }
 
-  /** Binary-payload metadata (multimodal column plumbing, oracled part). */
+  /** Binary-payload metadata (multimodal column plumbing, oracled part).
+    * The payloads are raw utf-8 text bytes — no decodable container — so
+    * the feature stage must label every row `decode_kind = 'stub'`; the
+    * oracle pins that label (a silent unlabeled fallback, or a text blob
+    * misrouted to a real decoder, breaks the hash).
+    */
   val multimodalMeta: Q = Q.sql(
     "p_multimodal_meta",
     """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-      |       ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
+      |       ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash,
+      |       'stub' AS decode_kind
       |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Multimodal.withPayload(docs(s, dir).filter(col("doc_id") < 50))
+    val withP = Multimodal.withPayload(docs(s, dir).filter(col("doc_id") < 50))
+    val kinds = Multimodal.extractFeatures(s, withP)
+      .select(col("doc_id"), col("decode_kind"))
+    withP
       .select(col("doc_id"), length(col("content")).cast("long").as("n_bytes"),
         Det.md5Hash60(col("text")).as("content_hash"))
+      .join(kinds, Seq("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -689,13 +699,15 @@ object PipelineQueries {
       |       LATERAL (SELECT unnest(range(g.w)) AS x) xs,
       |       LATERAL (SELECT unnest(range(g.h)) AS y) ys)
       |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
-      |       sum(v)::BIGINT AS pixel_sum, count(*)::BIGINT AS n_px
+      |       sum(v)::BIGINT AS pixel_sum, count(*)::BIGINT AS n_px,
+      |       'image' AS decode_kind
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val withImg = Multimodal.withImagePayload(
       docs(s, dir).filter(col("doc_id") < 120).select("doc_id"))
     Multimodal.extractFeatures(s, withImg)
       .select(col("doc_id"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"), col("pixel_sum"), col("n_px"))
+        col("height").cast("long").as("height"), col("pixel_sum"), col("n_px"),
+        col("decode_kind"))
       .orderBy("doc_id")
   }
 

@@ -380,6 +380,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val feats = rows(0).getSeq[Double](7)
     assert(feats.length == 4 && math.abs(feats.sum - 1.0) < 1e-9) // histogram sums to 1
     assert(TextPipeline.rollingHash("hello world") == rows(0).getLong(6))
+    // raw text bytes are not a decodable container: every row must be
+    // LABELED a stub — fabricated stats are never emitted silently
+    assert(rows.forall(_.getString(8) == "stub"))
+  }
+
+  test("mixed payloads: decode_kind separates real decodes from labeled stubs") {
+    val sp = spark; import sp.implicits._
+    val real = Multimodal.withImagePayload(Seq(0L, 1L).toDF("doc_id"))
+    val fake = Multimodal.withPayload(docsDf(10L -> "mp4-stand-in payload"))
+      .select(col("doc_id"), col("content"))
+    val out = Multimodal.extractFeatures(spark, real.union(fake)).collect()
+      .map(r => r.getLong(0) -> r.getString(8)).toMap
+    assert(out(0L) == "image" && out(1L) == "image" && out(10L) == "stub")
+    // resize + frame sampling label provenance the same way
+    val rz = Multimodal.resize(spark, real.union(fake), 8, 8).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(rz(0L) == "image" && rz(10L) == "stub")
+    val fs = Multimodal.frameSample(spark, fake, 4, 2).collect()
+    assert(fs.nonEmpty && fs.forall(_.getString(3) == "stub"))
+    val gif = Multimodal.withVideoPayload(Seq(3L).toDF("doc_id"))
+    val gf = Multimodal.frameSample(spark, gif, 4, 1).collect()
+    assert(gf.nonEmpty && gf.forall(_.getString(3) == "gif"))
   }
 
   test("semantic dedup: cluster-local keep-lowest verdicts, tie-break to lowest cid, zero vectors excluded") {
@@ -519,6 +541,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(4) == sum, s"doc $id pixel_sum: got ${r.getLong(4)}, want $sum")
       assert(r.getLong(5) == w.toLong * h, s"doc $id n_px")
       assert(r.getInt(1) == payload(id).length) // n_bytes = encoded PNG size
+      assert(r.getString(8) == "image", s"doc $id must be labeled a real decode")
     }
   }
 
