@@ -150,10 +150,17 @@ object TextPipeline {
     * unigram and bigram count aggregations (both map-side combinable; the
     * bigram key is the 60-bit md5 of the gram, shared with the oracle),
     * the vocab size V as a 1-row broadcast, and two equi-joins back onto
-    * the occurrence stream. No all-pairs stage, no window; the hottest
-    * bigram carries a count, never a row blowup. Output per input doc:
-    * (idCol, carryCols…, n_bigrams, sum_surprisal_bits, kept); docs with
-    * fewer than 2 tokens get zeros and keep (0 ≤ 0).
+    * the occurrence stream. The bigram-count join side keeps ONLY the
+    * repeated set (c2 ≥ 2, typically ~5–10 % of distinct bigrams in web
+    * text — Zipf singletons dominate); an unmatched occurrence IS the
+    * c2 = 1 case, whose surprisal term is the constant bit-length
+    * `length(bin(2)) = 2`, substituted exactly on the left join's nulls.
+    * Same trick as dupGramProfile's dup-set join: ~20× smaller build side
+    * for AQE to broadcast, bit-identical results. No all-pairs stage, no
+    * window; the hottest bigram carries a count, never a row blowup.
+    * Output per input doc: (idCol, carryCols…, n_bigrams,
+    * sum_surprisal_bits, kept); docs with fewer than 2 tokens get zeros
+    * and keep (0 ≤ 0).
     */
   def bigramLmProfile(docs: DataFrame, maxMeanDecibits: Int,
                       idCol: String = "doc_id", textCol: Column = col("text"),
@@ -170,11 +177,14 @@ object TextPipeline {
       .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("w1"),
         Det.md5Hash60(col("bg")).as("g2"))
     val big = bg.groupBy("g2").agg(count(lit(1)).as("c2"))
-    val perDoc = bg.join(big, "g2")
+      .filter(col("c2") >= 2)
+    val perDoc = bg.join(big, Seq("g2"), "left")
       .join(uni, bg("w1") === uni("tok"))
       .crossJoin(broadcast(vocabSize))
       .select(col("doc_id"),
-        (length(bin(col("c1") + col("v"))) - length(bin(col("c2") + 1)))
+        (length(bin(col("c1") + col("v"))) -
+          when(col("c2").isNull, lit(2)) // absent ⇒ c2 = 1 ⇒ len(bin(2))
+            .otherwise(length(bin(col("c2") + 1))))
           .cast("long").as("su"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("su")).as("sum_surprisal_bits"))
