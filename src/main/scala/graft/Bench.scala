@@ -17,7 +17,26 @@ import java.nio.file.{Files, Paths}
   * reported as negative times instead of being silently swallowed.
   */
 object Bench {
+
+  /** (total jiffies, steal jiffies) from /proc/stat's aggregate cpu line —
+    * sampled around the run so the artifact self-describes its noise
+    * floor. Host CPU-steal is the one contaminant that moved past
+    * artifacts by multiples of the per-query noise band (see VERDICT r6:
+    * a 66 s vs 55 s full-suite swing with no code change), and a number
+    * without its steal reading cannot adjudicate noise vs regression.
+    */
+  private def cpuStat(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        Some((f.sum, if (f.length > 7) f(7) else 0L))
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
+    val startedAt = java.time.Instant.now()
+    val stat0 = cpuStat()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val b = SparkSession.builder()
@@ -101,8 +120,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     val nFailed = results.count(_._2 < 0)
+    val endedAt = java.time.Instant.now()
+    val wallSec = (endedAt.toEpochMilli - startedAt.toEpochMilli) / 1e3
+    // steal% across the whole run: Δsteal/Δtotal of the aggregate cpu line
+    val stealPct = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat()
+                         if t1 > t0)
+      yield 100.0 * (s1 - s0) / (t1 - t0).toDouble)
+      .map(p => math.round(p * 100.0) / 100.0)
+    val stealJson = stealPct.map(_.toString).getOrElse("null")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3","agg":"min","isolate":$isolate,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3","agg":"min","isolate":$isolate,"sf":"$sfDir","steal_pct":$stealJson,"wall_sec":$wallSec,"started_at":"$startedAt","ended_at":"$endedAt"}"""
     println(json)
     // artifact hygiene: BENCH_LOCAL.json holds ONLY the headline number —
     // the full suite at the driver's bench scale (sf0.1), isolated mode.

@@ -581,7 +581,12 @@ object MlQueries {
   private def kktCertQuery(qname: String, famName: String): Q = {
     val ratios = Array(0.7, 0.35, 0.15, 0.05, 0.01)
     val tolCert = 1e-6
-    val solver = SolverConfig(tolRelGap = 1e-10, tolInfeas = 1e-8)
+    // the certificate bounds INFEASIBILITY (and signs); tolInfeas is the
+    // binding solver criterion at 100× margin under tolCert. The duality
+    // gap only needs to be tight enough that the momentum iterate has
+    // settled — 1e-8 measured ~2× fewer FISTA passes than 1e-10 with
+    // identical verdicts and margins
+    val solver = SolverConfig(tolRelGap = 1e-8, tolInfeas = 1e-8)
     val valuesSql = ratios.zipWithIndex
       .map { case (r, i) => s"($i, ${r}::DOUBLE, true, true)" }.mkString(", ")
     Q.sql(qname,
@@ -602,11 +607,13 @@ object MlQueries {
           (base.withColumn("qty", col("l_quantity").cast("double")),
             Seq("l_discount", "l_tax", "l_extendedprice"), "qty")
       }
-      // probe σmax (grid head of any ≥2-step auto path), then the certified
-      // fit on fixed ratios of it — user σ disables early stop, so the
-      // kept-step count is exactly ratios.length by construction
+      // probe σmax: nSigma=1 with lambdaMinRatio=1 makes the auto grid
+      // exactly [σmax], whose solve is trivial (everything screens to the
+      // null model) — one standardization pass + one gradient pass. Then
+      // the certified fit on fixed ratios of it — user σ disables early
+      // stop, so the kept-step count is exactly ratios.length.
       val probe = SlopeEstimator.fit(df, feats, lab,
-        SlopeConfig(family = famName, nSigma = 2))
+        SlopeConfig(family = famName, nSigma = 1, lambdaMinRatio = 1.0))
       val sMax = probe.fit.sigma(0)
       val model = SlopeEstimator.fit(df, feats, lab,
         SlopeConfig(family = famName, sigma = ratios.map(_ * sMax),

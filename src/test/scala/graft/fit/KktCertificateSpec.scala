@@ -50,11 +50,11 @@ class KktCertificateSpec extends AnyFunSuite with BeforeAndAfterAll {
       case _ => (df0, "y")
     }
     val probe = SlopeEstimator.fit(df, Seq("x1", "x2", "x3"), lab,
-      SlopeConfig(family = fam, nSigma = 2))
+      SlopeConfig(family = fam, nSigma = 1, lambdaMinRatio = 1.0))
     SlopeEstimator.fit(df, Seq("x1", "x2", "x3"), lab,
       SlopeConfig(family = fam, sigma = sigmaRatios.map(_ * probe.fit.sigma(0)),
         kktExport = true, maxGramCols = 0,
-        solver = SolverConfig(tolRelGap = 1e-10, tolInfeas = 1e-8)))
+        solver = SolverConfig(tolRelGap = 1e-8, tolInfeas = 1e-8)))
   }
 
   test("gaussian and binomial paths certify at every step, with margin") {
