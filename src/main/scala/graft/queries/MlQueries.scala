@@ -358,18 +358,25 @@ object MlQueries {
     * (reference src/regularizationPath.h:52-55), so the engine's threshold
     * is σ·n; the exact-binary σ grid spans the sparsity regimes: both
     * coefficients zeroed (σn=60), one (30), none (11.25, 0.469). Engine
-    * path: standardize (l2) → per-σ strong-rule screen → ADMM solve → KKT
+    * path: standardize (l2) → per-σ strong-rule screen → solve → KKT
     * → warm start next σ → rescale; oracle: β̃_j = S(x̃_j·ỹ, σ·n) / ‖x_j‖.
     * All rounded values sit ≥2e-6 from a 4-decimal boundary vs solver
     * tolerance ~1e-12.
+    *
+    * Two registered variants pin BOTH solvers against the same closed
+    * form: the default config routes gaussian through ADMM
+    * (`m_slope_path_lasso_ortho`), and `maxGramCols = 0` forces FISTA
+    * (`m_slope_path_lasso_ortho_fista`) — the accelerated path every
+    * non-gaussian family runs — so F9 gets a hard mid-path oracle too,
+    * not just σ→0/MLE endpoints.
     */
-  val slopePathLassoOrtho: Q = {
+  private def lassoOrthoQuery(qname: String, forceFista: Boolean): Q = {
     val nRows = 240
     val sigmas = Array(0.25, 0.125, 0.046875, 0.001953125)
     val stepSql = sigmas.zipWithIndex
       .map { case (s, i) => s"($i, ${s}::DOUBLE)" }.mkString(", ")
     Q.sql(
-      "m_slope_path_lasso_ortho",
+      qname,
       s"""WITH base AS (
          |  SELECT CASE WHEN i % 4 < 2 THEN 1.0 ELSE -1.0 END AS x1,
          |         CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END AS x2,
@@ -407,6 +414,7 @@ object MlQueries {
         Seq("x1", "x2"), "y",
         SlopeConfig(sigma = sigmas, lambdaType = "user",
           userLambda = Array(1.0, 1.0),
+          maxGramCols = if (forceFista) 0 else 2048,
           solver = SolverConfig(tolAbs = 1e-13, tolRel = 1e-12,
             tolRelGap = 1e-12, tolInfeas = 1e-12)))
       val rows = model.coef().zipWithIndex.flatMap { case (b, k) =>
@@ -417,6 +425,11 @@ object MlQueries {
         .orderBy("step", "term")
     }
   }
+
+  val slopePathLassoOrtho: Q =
+    lassoOrthoQuery("m_slope_path_lasso_ortho", forceFista = false)
+  val slopePathLassoOrthoFista: Q =
+    lassoOrthoQuery("m_slope_path_lasso_ortho_fista", forceFista = true)
 
   /** G2/G3/G4 HARD anchor: at a saturating σ the single feature is
     * penalized to exactly zero (strong rule + KKT), and the UNPENALIZED
@@ -641,7 +654,7 @@ object MlQueries {
     standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
     aucWeighted, gradientUdaf, slopePathGaussian, slopePathBinomial,
     slopePathMultinomial, slopePathPoisson, slopeSigma0Gaussian,
-    slopePathLassoOrtho, interceptMleFamilies, cvFixedBeta, trainCv,
-    slopePathKktGaussian, slopePathKktBinomial, slopePathKktMultinomial,
-    slopePathKktPoisson)
+    slopePathLassoOrtho, slopePathLassoOrthoFista, interceptMleFamilies,
+    cvFixedBeta, trainCv, slopePathKktGaussian, slopePathKktBinomial,
+    slopePathKktMultinomial, slopePathKktPoisson)
 }
