@@ -128,8 +128,10 @@ object Bench {
       yield 100.0 * (s1 - s0) / (t1 - t0).toDouble)
       .map(p => math.round(p * 100.0) / 100.0)
     val stealJson = stealPct.map(_.toString).getOrElse("null")
+    // registry counts (independent of any ONLY filter) — the single source
+    // README counters are generated from (tools/update_readme.py)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3","agg":"min","isolate":$isolate,"sf":"$sfDir","steal_pct":$stealJson,"wall_sec":$wallSec,"started_at":"$startedAt","ended_at":"$endedAt"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3","agg":"min","isolate":$isolate,"sf":"$sfDir","steal_pct":$stealJson,"wall_sec":$wallSec,"started_at":"$startedAt","ended_at":"$endedAt","n_registered":${SparkEntry.queries.size},"n_oracled":${SparkEntry.oracleSql.size}}"""
     println(json)
     // artifact hygiene: BENCH_LOCAL.json holds ONLY the headline number —
     // the full suite at the driver's bench scale (sf0.1), isolated mode.

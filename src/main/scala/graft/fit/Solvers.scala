@@ -66,6 +66,23 @@ object Fista {
     var lastPrimal = 0.0
     var passes = 0
     var done = false
+    // numerical-floor stall guard (ours; the reference loops to max_passes):
+    // a tolerance below what double-precision objective/gap estimates can
+    // resolve at this n must degrade to "stopped at the numerical floor",
+    // NOT an unbounded loop of full data passes. At 6M rows a 1e-12
+    // RELATIVE gap is below the accumulated-sum noise of the primal/dual
+    // estimates, and without this guard the solver burns one distributed
+    // pass per iteration making zero representable progress (measured:
+    // the saturating-σ binomial anchor ran >30 min of 6M-row passes).
+    // The guard arms only on FEASIBLE iterates (dual infeasibility already
+    // under tolInfeas — the condition the path's KKT layer actually needs):
+    // 100 consecutive feasible iterations without a relative-gap
+    // improvement ⇒ the gap has hit its floating-point floor; return the
+    // iterate as the numerical optimum. Infeasible iterates never count
+    // toward the stall, so a solve still working toward feasibility is
+    // untouched however its objective oscillates under momentum.
+    var bestGap = Double.MaxValue
+    var stalled = 0
 
     while (passes < cfg.maxPasses && !done) {
       val (g0, dualVal, grad) = ops.lossGrad(beta)
@@ -82,13 +99,18 @@ object Fista {
         if (lambda.length > 0) infeas <= math.max(small, cfg.tolInfeas * lambda(0))
         else true
 
+      val gap = math.abs(f - dualVal) / math.max(small, math.abs(f))
+      if (!feasible) stalled = 0
+      else if (gap < bestGap * (1.0 - 1e-12)) { bestGap = gap; stalled = 0 }
+      else stalled += 1
+
       if (cfg.diagnostics) {
         times ::= (System.nanoTime() - t0) / 1e9
         primals ::= f
         duals ::= dualVal
       }
 
-      if (optimal && feasible) {
+      if ((optimal && feasible) || stalled >= 100) {
         done = true
       } else {
         betaTildeOld = betaTilde

@@ -96,6 +96,19 @@ object ScaleRehearsal {
     df.withColumn("event_id", col("event_id") + lit(r * IdStride))
       .withColumn("user_id", col("user_id") + lit(r * IdStride))
 
+  /** Relational-star replication (TPC-H-style linear scaling): every
+    * entity key shifts by a replica stride, FK columns shift by the SAME
+    * stride as the table they reference — so join fan-outs, per-customer
+    * order profiles and per-order line counts are byte-identical per
+    * replica, key cardinalities grow k×, and the dimension tables
+    * nation/region stay fixed (17/5 rows — they do not scale in TPC-H
+    * either; group-bys over them keep their group count with k× rows per
+    * group, the correct 100 TB aggregation shape). Measure/value columns
+    * are untouched, so every aggregate grows exactly k× in mass.
+    */
+  def keyShiftReplica(keyCols: Seq[String])(df: DataFrame, r: Int): DataFrame =
+    keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * IdStride)))
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
       "usage: ScaleRehearsal <srcDir> <outDir> <replicas>")
@@ -130,6 +143,20 @@ object ScaleRehearsal {
     replicate("documents", documentsReplica)
     replicate("embeddings", (df, r) => embeddingsReplica(df, r, dim))
     replicate("events", eventsReplica)
+
+    // relational star: FK strides mirror the referenced table's key stride;
+    // nation/region replicate ONCE (fixed dimensions, as in TPC-H)
+    replicate("customer", keyShiftReplica(Seq("c_custkey")))
+    replicate("supplier", keyShiftReplica(Seq("s_suppkey")))
+    replicate("part", keyShiftReplica(Seq("p_partkey")))
+    replicate("orders", keyShiftReplica(Seq("o_orderkey", "o_custkey")))
+    replicate("lineitem",
+      keyShiftReplica(Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    Seq("region", "nation").foreach { name =>
+      spark.read.parquet(s"$srcDir/$name.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scale-rehearsal] $name: fixed dimension, 1x copy")
+    }
     spark.stop()
   }
 }

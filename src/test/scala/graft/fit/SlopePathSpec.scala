@@ -171,4 +171,24 @@ class SlopePathSpec extends AnyFunSuite {
     val fit = fitLocal(prob.x, prob.y, SlopeConfig(family = "poisson", nSigma = 15))
     assert(fit.devianceRatios.last > 0.1)
   }
+
+  test("FISTA stall guard: a sub-floating-point tolRelGap terminates at the numerical floor") {
+    // tolRelGap=0 is unreachable by definition; without the feasible-stall
+    // guard FISTA would burn maxPasses full data passes making no
+    // representable progress (measured 30+ min of 6M-row treeAggregates on
+    // the saturating-sigma binomial anchor at x10 scale). The guard must
+    // stop within ~stall-window passes of hitting the gap floor, and the
+    // returned iterate must still be the numerical optimum.
+    val prob = RandomProblem(n = 120, p = 3, family = Binomial, seed = 13L)
+    val fit = fitLocal(prob.x, prob.y,
+      SlopeConfig(family = "binomial", sigma = Array(1e6), lambdaType = "user",
+        userLambda = Array.fill(3)(1.0),
+        solver = SolverConfig(tolRelGap = 0.0, tolInfeas = 1e-10,
+          maxPasses = 100000)))
+    assert(fit.passes.sum < 5000,
+      s"stall guard failed to bound passes: ${fit.passes.sum}")
+    // saturating sigma: the numerical optimum is still the null model
+    for (j <- 1 until fit.betas.head.rows)
+      assert(fit.betas.head(j, 0) == 0.0)
+  }
 }

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Regenerate README.md's counter block from artifacts — never hand-type
+the numbers (they drifted in rounds 5 AND 6).
+
+Sources:
+  - query counts: BENCH_LOCAL.json's n_registered / n_oracled (written by
+    graft.Bench from SparkEntry itself, independent of any ONLY filter)
+  - test counts: target/test-reports/TEST-*.xml from the last `sbt test`
+  - bench headline: BENCH_LOCAL.json total / steal_pct / query count
+
+Usage: python3 tools/update_readme.py [--check]
+  --check: exit 1 if README's block differs from what would be generated
+           (regenerates nothing). ReadmeCountersSpec additionally pins the
+           query counts against SparkEntry inside `sbt test`, so a stale
+           README fails the build even if this script never runs.
+"""
+import glob
+import json
+import re
+import sys
+import xml.etree.ElementTree as ET
+
+BEGIN = "<!-- AUTOGEN-COUNTERS (tools/update_readme.py) -->"
+END = "<!-- /AUTOGEN-COUNTERS -->"
+
+
+def block(root: str) -> str:
+    bench = json.load(open(f"{root}/BENCH_LOCAL.json"))
+    n_tests = n_suites = 0
+    for f in glob.glob(f"{root}/target/test-reports/TEST-*.xml"):
+        n_tests += int(ET.parse(f).getroot().get("tests", 0))
+        n_suites += 1
+    lines = [
+        BEGIN,
+        f"- {bench['n_registered']} registered queries, "
+        f"{bench['n_oracled']} with DuckDB oracles (sf0.01 hash gate)",
+        f"- {n_tests} ScalaTest cases across {n_suites} suites "
+        f"(last `sbt test` report)",
+        f"- bench headline: {len(bench['queries'])} queries in "
+        f"{bench['value']:.1f} s at {bench['sf'].rstrip('/').rsplit('/', 1)[-1]}, "
+        f"local[32], steal {bench.get('steal_pct', 'n/a')} % "
+        f"(BENCH_LOCAL.json)",
+        END,
+    ]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    root = "."
+    readme = open(f"{root}/README.md").read()
+    if BEGIN not in readme or END not in readme:
+        print("README.md is missing the AUTOGEN-COUNTERS markers", file=sys.stderr)
+        return 1
+    new = re.sub(re.escape(BEGIN) + ".*?" + re.escape(END), lambda _: block(root),
+                 readme, flags=re.S)
+    if "--check" in sys.argv:
+        if new != readme:
+            print("README counters are stale — run tools/update_readme.py",
+                  file=sys.stderr)
+            return 1
+        print("README counters up to date")
+        return 0
+    if new != readme:
+        open(f"{root}/README.md", "w").write(new)
+        print("README counters regenerated")
+    else:
+        print("README counters unchanged")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
