@@ -41,8 +41,15 @@ final case class SlopeConfig(
       * problems the reference would also solve in-memory, while large data
       * takes the distributed treeAggregate path. LocalOps ≡ RddOps is
       * pinned by SparkFitSpec. Set to 0 to force the distributed path.
+      *
+      * Default 64M elements ≈ 512 MB of doubles — comfortably driver-held,
+      * and the measured per-pass crossover on a 32-core box: below it one
+      * in-memory pass beats a treeAggregate job's fixed ~0.1–0.3 s launch
+      * cost (a tight-tolerance solve runs hundreds of passes, so crossing
+      * to the distributed substrate too early costs 10–30× wall — the
+      * round-7 ×10 rehearsal measured exactly that at the old 4M cut).
       */
-    localFitThreshold: Long = 4000000L)
+    localFitThreshold: Long = 64000000L)
 
 /** Full-path fit output (standardized-scale coefficients are already
   * back-transformed; reference src/rescale.h:8-31 applied).

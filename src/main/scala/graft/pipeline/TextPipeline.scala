@@ -134,6 +134,51 @@ object TextPipeline {
           col("n_tok") > 0)
   }
 
+  /** Row-local twin of [[corpusFreqProfile]] with the vocabulary held as a
+    * LITERAL map (the streaming-side form of a broadcast): per-doc
+    * statistics come from higher-order functions over the token array —
+    * no explode, no join, no aggregation — so the exact same column
+    * expressions run on a batch OR STREAMING DataFrame in append mode
+    * with zero state. Bit-identical verdicts to the join form (pinned by
+    * `StreamingSpec`): both sides sum the same exact integers.
+    *
+    * The vocab map is bounded by construction (top-V from
+    * [[corpusVocab]]); at 100 TB the corpus pass that builds it runs once
+    * offline and the filter applies it to the firehose — the CCNet
+    * deployment shape. A truly-online vocabulary would be the
+    * state-store/MG shape of `heavyHittersStream`, a different operator.
+    */
+  def corpusFreqProfileBroadcast(docs: DataFrame, textCol: Column,
+                                 vocab: Map[String, Long],
+                                 minInVocabPermille: Int,
+                                 minMeanTf: Long): DataFrame = {
+    require(minInVocabPermille >= 0 && minInVocabPermille <= 1000,
+      s"permille out of range: $minInVocabPermille")
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val vm = typedlit(vocab)
+    val toks = tokens(textCol)
+    val tfs = transform(toks, t => element_at(vm, t))
+    docs
+      .withColumn("n_tok", coalesce(size(toks), lit(0)).cast("long"))
+      .withColumn("n_invocab",
+        coalesce(size(filter(tfs, x => x.isNotNull)), lit(0)).cast("long"))
+      .withColumn("sum_tf",
+        coalesce(aggregate(tfs, lit(0L), (acc, x) => acc + coalesce(x, lit(0L))),
+          lit(0L)))
+      .withColumn("kept",
+        col("n_invocab") * 1000 >= lit(minInVocabPermille) * col("n_tok") &&
+          col("sum_tf") >= lit(minMeanTf) * col("n_invocab") &&
+          col("n_tok") > 0)
+  }
+
+  /** Collected [[corpusVocab]] as the driver-held map
+    * [[corpusFreqProfileBroadcast]] consumes — bounded by topV, the same
+    * driver-pull discipline as the solver's coefficient collects.
+    */
+  def corpusVocabModel(docs: DataFrame, textCol: Column, topV: Int): Map[String, Long] =
+    corpusVocab(docs, textCol, topV)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Self-trained bigram language-model quality profile — the CCNet
     * perplexity filter's SHAPE (score each document by how predictable its
     * token stream is under a corpus LM) with an engine-exact statistic:
@@ -193,6 +238,78 @@ object TextPipeline {
       .na.fill(0L, Seq("n_bigrams", "sum_surprisal_bits"))
       .withColumn("kept",
         col("sum_surprisal_bits") * 10 <= lit(maxMeanDecibits.toLong) * col("n_bigrams"))
+  }
+
+  /** Driver-held bigram LM for the streaming filter twin: unigram counts
+    * c1, REPEATED-bigram counts only (c2 ≥ 2 — absence ⇒ c2 = 1, the same
+    * compaction [[bigramLmProfile]]'s join side uses), and the vocabulary
+    * size V of the training corpus.
+    */
+  final case class BigramLmModel(c1: Map[String, Long],
+                                 c2Rep: Map[String, Long],
+                                 v: Long)
+
+  /** Train the driver-held LM from a batch corpus. Both driver pulls are
+    * guarded LOUDLY: a corpus whose vocabulary or repeated-bigram set
+    * exceeds the caps fails instead of silently OOMing the driver — at
+    * that scale, use the distributed [[bigramLmProfile]] (self-scoring) or
+    * shard the model.
+    */
+  def bigramLmModel(docs: DataFrame, textCol: Column,
+                    maxVocab: Int = 1 << 20,
+                    maxRepeated: Int = 1 << 20): BigramLmModel = {
+    val uni = docs.select(explode(tokens(textCol)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val nVocab = uni.count()
+    require(nVocab <= maxVocab,
+      s"vocabulary $nVocab exceeds maxVocab=$maxVocab — use bigramLmProfile " +
+        "or raise the cap")
+    val big = docs.select(explode(wordGramArray(textCol, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= 2)
+    val nRep = big.count()
+    require(nRep <= maxRepeated,
+      s"repeated-bigram set $nRep exceeds maxRepeated=$maxRepeated")
+    BigramLmModel(
+      uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      big.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      nVocab)
+  }
+
+  /** Row-local twin of [[bigramLmProfile]] applying a FIXED driver-held
+    * LM ([[BigramLmModel]]) as literal maps: surprisal bits per bigram
+    * occurrence via the same `length(bin(·))` integer arithmetic, summed
+    * with a higher-order `aggregate` inside the row — no explode, no
+    * count-table joins, no state — so it runs unchanged on a streaming
+    * DataFrame in append mode. Unseen context words score with c1 = 0
+    * (Laplace mass V only): on the training corpus itself every w1 is
+    * in-vocab, which is what makes the batch ≡ broadcast equality exact
+    * (`StreamingSpec`).
+    */
+  def bigramLmProfileBroadcast(docs: DataFrame, maxMeanDecibits: Int,
+                               model: BigramLmModel,
+                               textCol: Column = col("text")): DataFrame = {
+    require(maxMeanDecibits >= 0, s"maxMeanDecibits must be >= 0, got $maxMeanDecibits")
+    require(model.c1.nonEmpty, "bigram LM has an empty vocabulary")
+    val c1m = typedlit(model.c1)
+    // an empty map literal has MapType(Null,Null) — swap in a typed empty
+    val c2m =
+      if (model.c2Rep.nonEmpty) typedlit(model.c2Rep)
+      else map_from_arrays(array().cast("array<string>"), array().cast("array<bigint>"))
+    val bgs = wordGramArray(textCol, 2)
+    def su(bg: Column): Column = {
+      val c1 = coalesce(element_at(c1m, substring_index(bg, " ", 1)), lit(0L))
+      val c2 = element_at(c2m, bg)
+      (length(bin(c1 + lit(model.v))) -
+        when(c2.isNull, lit(2)).otherwise(length(bin(c2 + 1)))).cast("long")
+    }
+    docs
+      .withColumn("n_bigrams", coalesce(size(bgs), lit(0)).cast("long"))
+      .withColumn("sum_surprisal_bits",
+        coalesce(aggregate(bgs, lit(0L), (acc, bg) => acc + su(bg)), lit(0L)))
+      .withColumn("kept",
+        col("sum_surprisal_bits") * 10 <=
+          lit(maxMeanDecibits.toLong) * col("n_bigrams"))
   }
 
   /** Per-language function-word patterns for the n-gram/stopword language-ID

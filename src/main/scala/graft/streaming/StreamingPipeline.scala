@@ -119,6 +119,31 @@ object StreamingPipeline {
     docs.withColumn("n_emails", graft.pipeline.Pii.emailCount(col(textCol)))
       .withColumn("redacted", graft.pipeline.Pii.redact(col(textCol)))
 
+  /** Streaming corpus-frequency quality filter (P39's stream twin): the
+    * corpus vocabulary — built ONCE offline by `TextPipeline.corpusVocab`
+    * over a batch snapshot, collected via `corpusVocabModel` — rides into
+    * the stream as a literal map, and every verdict is row-local
+    * higher-order-function arithmetic: zero state, append mode, verdicts
+    * bit-identical to the batch join form (StreamingSpec). The CCNet
+    * deployment shape: score the firehose against a fixed corpus profile.
+    */
+  def corpusFreqQualityStream(docs: DataFrame, vocab: Map[String, Long],
+                              minInVocabPermille: Int, minMeanTf: Long,
+                              textCol: String = "text"): DataFrame =
+    TextPipeline.corpusFreqProfileBroadcast(docs, col(textCol), vocab,
+      minInVocabPermille, minMeanTf)
+
+  /** Streaming bigram-LM quality filter (P43's stream twin): a FIXED
+    * driver-held LM (`TextPipeline.bigramLmModel`, trained offline)
+    * applied row-locally — same `length(bin(·))` surprisal integers as
+    * the batch operator, summed inside the row. Zero state, append mode.
+    */
+  def bigramLmQualityStream(docs: DataFrame, maxMeanDecibits: Int,
+                            model: TextPipeline.BigramLmModel,
+                            textCol: String = "text"): DataFrame =
+    TextPipeline.bigramLmProfileBroadcast(docs, maxMeanDecibits, model,
+      col(textCol))
+
   /** Gap-based user sessionization with CUSTOM state
     * (`flatMapGroupsWithState`, the engine's stateful-streaming extension
     * point): events of a user belong to one session while consecutive gaps

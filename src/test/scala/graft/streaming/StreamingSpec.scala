@@ -300,6 +300,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming corpus-freq and bigram-LM filters give the batch verdicts") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextPipeline
+    implicit val sqlCtx = sp.sqlContext
+    val corpus = Seq(
+      (0L, "the cat sat on the mat and the cat slept"),
+      (1L, "the dog and the cat ran to the mat"),
+      (2L, "zq xv qqq glorp zzz"), // corpus-rare junk
+      (3L, "the the the the the"),
+      (4L, "")).toDF("doc_id", "text")
+
+    // corpus-frequency filter: batch join form vs broadcast-literal form
+    val vocabDf = TextPipeline.corpusVocab(corpus, col("text"), 8)
+    val vocab = TextPipeline.corpusVocabModel(corpus, col("text"), 8)
+    def cfKey(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val batchCf = TextPipeline.corpusFreqProfile(
+      corpus, col("text"), vocabDf, 500, 2L, "doc_id")
+      .select("doc_id", "n_tok", "n_invocab", "sum_tf", "kept")
+      .collect().map(cfKey).toMap
+    val cfIn = MemoryStream[(Long, String)]
+    val qCf = StreamingPipeline.corpusFreqQualityStream(
+      cfIn.toDF().toDF("doc_id", "text"), vocab, 500, 2L)
+      .select("doc_id", "n_tok", "n_invocab", "sum_tf", "kept")
+      .writeStream.format("memory").queryName("cf_out").outputMode("append").start()
+    try {
+      cfIn.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      qCf.processAllAvailable()
+      val streamCf = sp.sql("SELECT * FROM cf_out").collect().map(cfKey).toMap
+      assert(streamCf == batchCf, s"corpus-freq stream != batch:\n$streamCf\n$batchCf")
+      assert(batchCf.values.exists(_._4) && batchCf.values.exists(!_._4),
+        "fixture must exercise both verdicts")
+    } finally qCf.stop()
+
+    // bigram-LM filter: batch self-scored form vs fixed-model broadcast form
+    val lm = TextPipeline.bigramLmModel(corpus, col("text"))
+    assert(lm.c2Rep.nonEmpty, "fixture must contain repeated bigrams")
+    def lmKey(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val batchLm = TextPipeline.bigramLmProfile(corpus, 25, "doc_id")
+      .select("doc_id", "n_bigrams", "sum_surprisal_bits", "kept")
+      .collect().map(lmKey).toMap
+    val lmIn = MemoryStream[(Long, String)]
+    val qLm = StreamingPipeline.bigramLmQualityStream(
+      lmIn.toDF().toDF("doc_id", "text"), 25, lm)
+      .select("doc_id", "n_bigrams", "sum_surprisal_bits", "kept")
+      .writeStream.format("memory").queryName("lm_out").outputMode("append").start()
+    try {
+      lmIn.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      qLm.processAllAvailable()
+      val streamLm = sp.sql("SELECT * FROM lm_out").collect().map(lmKey).toMap
+      assert(streamLm == batchLm, s"bigram-LM stream != batch:\n$streamLm\n$batchLm")
+      assert(batchLm.values.exists(_._3) && batchLm.values.exists(!_._3),
+        "fixture must exercise both verdicts")
+    } finally qLm.stop()
+  }
+
   test("stateless streaming language-ID tags rows") {
     val sp = spark
     import sp.implicits._
