@@ -225,11 +225,13 @@ object MlQueries {
 
   /** F1+F9/F10 end-to-end: the gaussian SLOPE path on lineitem features.
     * Iterative optimization — no SQL oracle; the driver records rows/schema.
-    * Coefficient correctness is pinned by the ScalaTest closed-form oracles.
+    * Coefficient correctness is pinned by the ScalaTest closed-form oracles,
+    * and every run SELF-CERTIFIES: [[pathToDf]] re-verifies the SLOPE KKT
+    * conditions at every kept step (see below).
     */
   val slopePathGaussian: Q = Q.rowsOnly("m_slope_path_gaussian") { (s, dir) =>
     val model = SlopeEstimator.fit(li(s, dir), features, label,
-      SlopeConfig(nSigma = 20))
+      SlopeConfig(nSigma = 20, kktExport = true))
     pathToDf(s, model)
   }
 
@@ -238,7 +240,7 @@ object MlQueries {
     val df = li(s, dir).withColumn("is_r",
       when(col("l_returnflag") === "R", "R").otherwise("NR"))
     val model = SlopeEstimator.fit(df, features, "is_r",
-      SlopeConfig(family = "binomial", nSigma = 8))
+      SlopeConfig(family = "binomial", nSigma = 8, kktExport = true))
     pathToDf(s, model)
   }
 
@@ -247,7 +249,7 @@ object MlQueries {
     */
   val slopePathMultinomial: Q = Q.rowsOnly("m_slope_path_multinomial") { (s, dir) =>
     val model = SlopeEstimator.fit(li(s, dir), features, "l_returnflag",
-      SlopeConfig(family = "multinomial", nSigma = 6))
+      SlopeConfig(family = "multinomial", nSigma = 6, kktExport = true))
     pathToDf(s, model)
   }
 
@@ -256,12 +258,31 @@ object MlQueries {
     val model = SlopeEstimator.fit(
       li(s, dir).withColumn("qty", col("l_quantity").cast("double")),
       Seq("l_discount", "l_tax", "l_extendedprice"), "qty",
-      SlopeConfig(family = "poisson", nSigma = 6))
+      SlopeConfig(family = "poisson", nSigma = 6, kktExport = true))
     pathToDf(s, model)
   }
 
-  private[queries] def pathToDf(s: SparkSession, model: SlopeModel): DataFrame =
-    model.pathDf(s) // the reference plot.Owl data surface (M15)
+  /** The reference plot.Owl data surface (M15) — with a MACHINE-CHECKED
+    * exit gate when the fit exported certificate state: every kept path
+    * step must satisfy the SLOPE KKT conditions at the DEFAULT solver
+    * tolerance (×3 slack for full-space assembly over the screened
+    * subset's guarantee; sign consistency is tolerance-free). A solver /
+    * screening / warm-start regression turns these rows-only queries into
+    * loud failures instead of silently-wrong row dumps — the auto-σ BH
+    * paths get per-step certificates just like the user-σ
+    * `m_slope_path_kkt_*` oracles.
+    */
+  private[queries] def pathToDf(s: SparkSession, model: SlopeModel): DataFrame = {
+    if (model.fit.kktState.nonEmpty) {
+      val tolCert = 3.0 * SolverConfig().tolInfeas
+      val bad = KktCertificate.verdictDf(s, model.fit, tolCert)
+        .collect().filterNot(r => r.getBoolean(1) && r.getBoolean(2))
+      require(bad.isEmpty,
+        s"SLOPE path failed its KKT certificate at steps " +
+          s"${bad.map(_.getInt(0)).mkString(",")} (tol $tolCert)")
+    }
+    model.pathDf(s)
+  }
 
   /** The gradient reduce as a typed Dataset Aggregator (UDAF surface,
     * SURVEY §2.5): gaussian loss + full gradient at a FIXED raw-scale β,
