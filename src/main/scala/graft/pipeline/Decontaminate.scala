@@ -46,6 +46,36 @@ object Decontaminate {
       .select("doc_id").distinct()
   }
 
+  /** Driver-held distinct eval gram-hash set — the broadcast-literal form
+    * [[contaminatedFlag]] consumes. Real eval sets (a few benchmarks) are
+    * tiny; the cap fails LOUDLY if someone points this at a corpus-sized
+    * "eval" side, where the distributed semi join is the right plan.
+    */
+  def evalGramSet(evalDocs: DataFrame, n: Int,
+                  maxGrams: Int = 1 << 22): Map[Long, Int] = {
+    val grams = docNgrams(evalDocs, n).select("gh").distinct()
+    val nG = grams.count()
+    require(nG <= maxGrams,
+      s"eval gram set $nG exceeds maxGrams=$maxGrams — use contaminatedDocs " +
+        "(distributed semi join) instead of the broadcast-literal form")
+    grams.collect().map(r => r.getLong(0) -> 1).toMap
+  }
+
+  /** Row-local contamination verdict against a literal eval gram set:
+    * TRUE iff any word n-gram of the text hash-hits the set. Same
+    * md5₆₀ keys as [[docNgrams]], evaluated with higher-order functions
+    * inside the row — no explode, no join, no state — so the same column
+    * runs on a batch or STREAMING DataFrame in append mode (the
+    * ingest-time filter shape; `StreamingSpec` pins batch ≡ stream).
+    */
+  def contaminatedFlag(textCol: org.apache.spark.sql.Column,
+                       evalGrams: Map[Long, Int], n: Int): org.apache.spark.sql.Column = {
+    require(evalGrams.nonEmpty, "eval gram set is empty")
+    val m = typedlit(evalGrams)
+    exists(TextPipeline.wordGramArray(textCol, n),
+      g => element_at(m, Det.md5Hash60(g)).isNotNull)
+  }
+
   /** Per-source contamination audit: every train doc counted once, hits
     * flagged via left join against the contaminated-id set.
     */

@@ -133,6 +133,17 @@ object StreamingPipeline {
     TextPipeline.corpusFreqProfileBroadcast(docs, col(textCol), vocab,
       minInVocabPermille, minMeanTf)
 
+  /** Streaming benchmark decontamination: flags rows sharing any word
+    * n-gram with a FIXED eval set (`Decontaminate.evalGramSet`, built
+    * offline — real eval sets are tiny). Row-local literal-map lookups,
+    * zero state, append mode — contaminated training data never lands in
+    * the lake instead of being audited out later.
+    */
+  def decontaminateStream(docs: DataFrame, evalGrams: Map[Long, Int], n: Int,
+                          textCol: String = "text"): DataFrame =
+    docs.withColumn("contaminated",
+      graft.pipeline.Decontaminate.contaminatedFlag(col(textCol), evalGrams, n))
+
   /** Streaming bigram-LM quality filter (P43's stream twin): a FIXED
     * driver-held LM (`TextPipeline.bigramLmModel`, trained offline)
     * applied row-locally — same `length(bin(·))` surprisal integers as

@@ -359,6 +359,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally qLm.stop()
   }
 
+  test("streaming decontamination flags the batch semi-join's hit set") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.Decontaminate
+    implicit val sqlCtx = sp.sqlContext
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely unrelated text about spark plans"),
+      (2L, "we ask what is the capital of france here"), // hits eval q
+      (3L, "short doc")).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (100L, "what is the capital of france"),
+      (101L, "the quick brown fox is a pangram staple")).toDF("doc_id", "text")
+    val n = 5
+    val batchHits = Decontaminate.contaminatedDocs(train, evalDocs, n)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchHits.nonEmpty && batchHits != Set(0L, 1L, 2L, 3L),
+      "fixture must exercise both verdicts")
+    val grams = Decontaminate.evalGramSet(evalDocs, n)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), grams, n)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(train.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      val streamHits = sp.sql("SELECT doc_id FROM decon_out WHERE contaminated")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamHits == batchHits, s"stream $streamHits != batch $batchHits")
+    } finally q.stop()
+  }
+
   test("stateless streaming language-ID tags rows") {
     val sp = spark
     import sp.implicits._
