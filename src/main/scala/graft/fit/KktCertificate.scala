@@ -60,11 +60,21 @@ object KktCertificate {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
     val sqrtEps = math.sqrt(MathUtil.Eps)
-    joined.groupBy("step")
+    // sign consistency is tolerance-free EXCEPT at (near-)unpenalized
+    // entries: a legitimate optimum with the relevant λ = 0 (σ→0 paths,
+    // user λ containing zeros) has g_j = 0 with β_j ≠ 0, and a strict
+    // g·β < 0 test would reject it — |g| under the same feasibility
+    // threshold max(√eps, tolCert·λ₀) is sign-neutral.
+    val lam0w = max(when(col("r") === 0, col("lam")))
+      .over(Window.partitionBy("step"))
+    joined
+      .withColumn("gtol", greatest(lit(sqrtEps), lit(tolCert) * lam0w))
+      .groupBy("step")
       .agg(
         greatest(max(col("cs")), lit(0.0)).as("infeas"),
         max(when(col("r") === 0, col("lam"))).as("lam0"),
-        min(when(col("b") === 0.0 || col("g") * col("b") < 0.0, lit(1))
+        min(when(col("b") === 0.0 || col("g") * col("b") < 0.0 ||
+            abs(col("g")) <= col("gtol"), lit(1))
           .otherwise(lit(0))).as("signs"))
       .select(col("step"),
         (col("infeas") <= greatest(lit(sqrtEps), lit(tolCert) * col("lam0")))

@@ -16,7 +16,13 @@ final case class SolveResult(
       * accepted rate from one path step is a valid start for the next —
       * re-deriving it costs one distributed primal pass per halving).
       */
-    learningRate: Double = 1.0)
+    learningRate: Double = 1.0,
+    /** TRUE when the solve exited through the numerical-floor stall guard
+      * (returning the best-gap feasible iterate) rather than the relative
+      * duality-gap test — callers and certificates can distinguish "gap hit
+      * its floating-point floor" from "converged to tolRelGap".
+      */
+    stallExit: Boolean = false)
 
 final case class SolverConfig(
     maxPasses: Int = 1000000,
@@ -75,14 +81,27 @@ object Fista {
     // pass per iteration making zero representable progress (measured:
     // the saturating-σ binomial anchor ran >30 min of 6M-row passes).
     // The guard arms only on FEASIBLE iterates (dual infeasibility already
-    // under tolInfeas — the condition the path's KKT layer actually needs):
-    // 100 consecutive feasible iterations without a relative-gap
-    // improvement ⇒ the gap has hit its floating-point floor; return the
-    // iterate as the numerical optimum. Infeasible iterates never count
-    // toward the stall, so a solve still working toward feasibility is
-    // untouched however its objective oscillates under momentum.
+    // under tolInfeas — the condition the path's KKT layer actually needs)
+    // and fires on gap STAGNATION, not strict non-improvement: 30
+    // consecutive feasible iterations whose cumulative relative-gap
+    // improvement since the arm point is under 0.01% ⇒ the gap has hit its
+    // floating-point floor. (Strict non-improvement with a 100-iteration
+    // window let sub-noise "improvements" re-arm the counter for hundreds
+    // of full-data passes — measured ~2× suite cost on the MLE anchors.)
+    // FISTA's momentum is non-monotone, so the CURRENT iterate at stall
+    // time can be worse than the best one seen: the solve returns the
+    // BEST-GAP FEASIBLE iterate (snapshotted below) and flags the exit in
+    // `SolveResult.stallExit`. Infeasible iterates never count toward the
+    // stall, so a solve still working toward feasibility is untouched
+    // however its objective oscillates under momentum.
     var bestGap = Double.MaxValue
+    var bestBeta: DenseMatrix[Double] = null
+    var bestPrimal = 0.0
+    var armGap = Double.MaxValue
     var stalled = 0
+    val stallBand = 1e-4
+    val stallWindow = 30
+    var stallExit = false
 
     while (passes < cfg.maxPasses && !done) {
       val (g0, dualVal, grad) = ops.lossGrad(beta)
@@ -100,9 +119,12 @@ object Fista {
         else true
 
       val gap = math.abs(f - dualVal) / math.max(small, math.abs(f))
-      if (!feasible) stalled = 0
-      else if (gap < bestGap * (1.0 - 1e-12)) { bestGap = gap; stalled = 0 }
-      else stalled += 1
+      if (!feasible) { stalled = 0; armGap = Double.MaxValue }
+      else {
+        if (gap < bestGap) { bestGap = gap; bestBeta = beta.copy; bestPrimal = g0 }
+        if (gap < armGap * (1.0 - stallBand)) { armGap = gap; stalled = 0 }
+        else stalled += 1
+      }
 
       if (cfg.diagnostics) {
         times ::= (System.nanoTime() - t0) / 1e9
@@ -110,8 +132,9 @@ object Fista {
         duals ::= dualVal
       }
 
-      if ((optimal && feasible) || stalled >= 100) {
+      if ((optimal && feasible) || stalled >= stallWindow) {
         done = true
+        stallExit = !(optimal && feasible)
       } else {
         betaTildeOld = betaTilde
         val gOld = g0
@@ -161,9 +184,17 @@ object Fista {
     }
 
     // the reference returns the momentum point (the iterate the convergence
-    // test was evaluated at), src/families/family.h:210-218
-    SolveResult(beta, passes, primals.reverse, duals.reverse, times.reverse,
-      deviance = 2.0 * lastPrimal, learningRate = learningRate)
+    // test was evaluated at), src/families/family.h:210-218. A stall exit
+    // instead returns the best-gap FEASIBLE iterate: momentum is
+    // non-monotone, so the current iterate at stall time can be worse than
+    // the plateau's best.
+    if (stallExit && bestBeta != null)
+      SolveResult(bestBeta, passes, primals.reverse, duals.reverse, times.reverse,
+        deviance = 2.0 * bestPrimal, learningRate = learningRate, stallExit = true)
+    else
+      SolveResult(beta, passes, primals.reverse, duals.reverse, times.reverse,
+        deviance = 2.0 * lastPrimal, learningRate = learningRate,
+        stallExit = stallExit)
   }
 
   /** Last `pRows` rows of a p×m matrix, flattened column-major (the

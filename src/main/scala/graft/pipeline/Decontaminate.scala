@@ -67,13 +67,19 @@ object Decontaminate {
     * inside the row — no explode, no join, no state — so the same column
     * runs on a batch or STREAMING DataFrame in append mode (the
     * ingest-time filter shape; `StreamingSpec` pins batch ≡ stream).
+    *
+    * The set probe is the native [[graft.functions.LongSetContains]]
+    * (sorted-array binary search, O(log \|set\|) per gram) — NOT a
+    * `typedlit` map + `element_at`, whose literal-map `GetMapValue` is a
+    * linear key scan that would make this O(grams·\|set\|) per row at the
+    * 2²² cap.
     */
   def contaminatedFlag(textCol: org.apache.spark.sql.Column,
                        evalGrams: Map[Long, Int], n: Int): org.apache.spark.sql.Column = {
     require(evalGrams.nonEmpty, "eval gram set is empty")
-    val m = typedlit(evalGrams)
+    val keys = evalGrams.keys
     exists(TextPipeline.wordGramArray(textCol, n),
-      g => element_at(m, Det.md5Hash60(g)).isNotNull)
+      g => graft.functions.BroadcastLookup.inLongSet(Det.md5Hash60(g), keys))
   }
 
   /** Per-source contamination audit: every train doc counted once, hits

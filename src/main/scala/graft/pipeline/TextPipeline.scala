@@ -155,9 +155,11 @@ object TextPipeline {
     require(minInVocabPermille >= 0 && minInVocabPermille <= 1000,
       s"permille out of range: $minInVocabPermille")
     require(vocab.nonEmpty, "vocab must be non-empty")
-    val vm = typedlit(vocab)
+    // native hash probe (BroadcastLookup), not a typedlit map: literal-map
+    // element_at is a linear key scan — O(|vocab|) per token at the top-V cap
     val toks = tokens(textCol)
-    val tfs = transform(toks, t => element_at(vm, t))
+    val tfs = transform(toks,
+      t => graft.functions.BroadcastLookup.mapGetLong(t, vocab))
     docs
       .withColumn("n_tok", coalesce(size(toks), lit(0)).cast("long"))
       .withColumn("n_invocab",
@@ -291,15 +293,14 @@ object TextPipeline {
                                textCol: Column = col("text")): DataFrame = {
     require(maxMeanDecibits >= 0, s"maxMeanDecibits must be >= 0, got $maxMeanDecibits")
     require(model.c1.nonEmpty, "bigram LM has an empty vocabulary")
-    val c1m = typedlit(model.c1)
-    // an empty map literal has MapType(Null,Null) — swap in a typed empty
-    val c2m =
-      if (model.c2Rep.nonEmpty) typedlit(model.c2Rep)
-      else map_from_arrays(array().cast("array<string>"), array().cast("array<bigint>"))
+    // native hash probes (BroadcastLookup), not typedlit maps: literal-map
+    // element_at scans all keys per probe — O(|c1|+|c2|) per bigram at the
+    // 2²⁰ caps. An empty c2Rep is fine: every probe misses (c2 = 1 case).
+    import graft.functions.BroadcastLookup.mapGetLong
     val bgs = wordGramArray(textCol, 2)
     def su(bg: Column): Column = {
-      val c1 = coalesce(element_at(c1m, substring_index(bg, " ", 1)), lit(0L))
-      val c2 = element_at(c2m, bg)
+      val c1 = coalesce(mapGetLong(substring_index(bg, " ", 1), model.c1), lit(0L))
+      val c2 = mapGetLong(bg, model.c2Rep)
       (length(bin(c1 + lit(model.v))) -
         when(c2.isNull, lit(2)).otherwise(length(bin(c2 + 1)))).cast("long")
     }

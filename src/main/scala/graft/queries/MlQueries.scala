@@ -266,7 +266,8 @@ object MlQueries {
     * exit gate when the fit exported certificate state: every kept path
     * step must satisfy the SLOPE KKT conditions at the DEFAULT solver
     * tolerance (×3 slack for full-space assembly over the screened
-    * subset's guarantee; sign consistency is tolerance-free). A solver /
+    * subset's guarantee; sign consistency is tolerance-free except at
+    * near-unpenalized entries — see KktCertificate). A solver /
     * screening / warm-start regression turns these rows-only queries into
     * loud failures instead of silently-wrong row dumps — the auto-σ BH
     * paths get per-step certificates just like the user-σ

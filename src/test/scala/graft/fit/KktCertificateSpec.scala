@@ -87,6 +87,25 @@ class KktCertificateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sign_ok tolerates exact optima at (near-)unpenalized steps") {
+    // at sigma -> 0 the penalty vanishes: the optimum has g_j ~ 0 with
+    // b_j != 0 on every feature, and its sign is numerical noise — a strict
+    // g*b < 0 test would reject a legitimate optimum about half the time.
+    // |g| under max(sqrt(eps), tolCert*lam0) is sign-neutral.
+    val df = frame(300)
+    val model = SlopeEstimator.fit(df, Seq("x1", "x2", "x3"), "y",
+      SlopeConfig(sigma = Array(1e-14), kktExport = true, maxGramCols = 0,
+        solver = SolverConfig(tolAbs = 1e-13, tolRel = 1e-12,
+          tolRelGap = 1e-12, tolInfeas = 1e-12)))
+    val rows = KktCertificate.verdictDf(spark, model.fit, 1e-6).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1), "kkt_ok at sigma->0")
+      assert(r.getBoolean(2),
+        "sign_ok must tolerate g~0 on the support at an unpenalized optimum")
+    }
+  }
+
   test("a corrupted solution fails the certificate (falsifiability)") {
     val model = fitWithCert("gaussian", Array(0.2, 0.05))
     val fit = model.fit

@@ -191,4 +191,25 @@ class SlopePathSpec extends AnyFunSuite {
     for (j <- 1 until fit.betas.head.rows)
       assert(fit.betas.head(j, 0) == 0.0)
   }
+
+  test("FISTA stall exit is flagged and returns the best-gap feasible iterate") {
+    // momentum is non-monotone: at stall time the CURRENT iterate can sit
+    // above the plateau's best. The guard must return the best-gap feasible
+    // snapshot — indistinguishable from a converged solve at any realistic
+    // tolerance — and record the exit kind in SolveResult.
+    val prob = RandomProblem(n = 100, p = 3, family = Gaussian, seed = 29L)
+    val (ops, _, _, _) = localOps(prob.x, prob.y, Gaussian,
+      intercept = true, center = true, scale = "l2")
+    val lambda = Array(30.0, 20.0, 10.0)
+    val ref = Fista.fit(ops, DenseMatrix.zeros[Double](ops.p, 1), lambda,
+      SolverConfig(tolRelGap = 1e-10, tolInfeas = 1e-8))
+    assert(!ref.stallExit, "a reachable tolerance must not stall-exit")
+    val stalled = Fista.fit(ops, DenseMatrix.zeros[Double](ops.p, 1), lambda,
+      SolverConfig(tolRelGap = 0.0, tolInfeas = 1e-8, maxPasses = 100000))
+    assert(stalled.stallExit, "tolRelGap=0 must exit through the stall guard")
+    assert(stalled.passes < 100000, "stall guard must bound passes")
+    for (i <- 0 until ops.p)
+      assert(math.abs(stalled.beta(i, 0) - ref.beta(i, 0)) < 1e-6,
+        s"coef $i: ${stalled.beta(i, 0)} vs ${ref.beta(i, 0)}")
+  }
 }
