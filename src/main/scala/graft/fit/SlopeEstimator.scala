@@ -69,7 +69,7 @@ object SlopeEstimator {
         if (stringLabel) col(lCol).cast("string") else col(lCol).cast("double")
       val pruned = df.select(labelExpr +: fCols.toSeq.map(c => col(c).cast("double")): _*)
       val nRows = pruned.count()
-      if (nRows * pFeat <= cfg.localFitThreshold && nRows > 0 &&
+      if (nRows * pFeat <= cfg.effectiveLocalFitThreshold && nRows > 0 &&
           nRows <= Int.MaxValue) {
         val (yFlat, xFlat) = collectFlat(pruned, family, classNames, mTargets, pFeat)
         return fitLocalArrays(yFlat, xFlat, nRows.toInt, family, mTargets, pFeat,
@@ -372,7 +372,7 @@ object SlopeEstimator {
       // distributed treeAggregate path. Identical math either way
       // (SparkFitSpec pins LocalOps ≡ RddOps).
       val ops: BatchOps =
-        if (stats.n * pFeat <= cfg.localFitThreshold) {
+        if (stats.n * pFeat <= cfg.effectiveLocalFitThreshold) {
           val rowsArr = persisted.collect()
           val n = rowsArr.length
           val ic = if (cfg.intercept) 1 else 0

@@ -48,8 +48,26 @@ final case class SlopeConfig(
       * cost (a tight-tolerance solve runs hundreds of passes, so crossing
       * to the distributed substrate too early costs 10–30× wall — the
       * round-7 ×10 rehearsal measured exactly that at the old 4M cut).
+      *
+      * The EFFECTIVE cut is `min(this, maxHeap/64)` — see
+      * [[effectiveLocalFitThreshold]]: the 64M default is tuned for the
+      * 32 GiB bench heap, and on a default-sized driver (1 GiB) a 64M-element
+      * collect (~512 MB raw + transient Row copies) is a silent OOM, not a
+      * fast path. Callers who really want a bigger local solve raise the
+      * driver heap, not just this number.
       */
-    localFitThreshold: Long = 64000000L)
+    localFitThreshold: Long = 64000000L) {
+
+  /** Heap-gated local-fit cut: at most 1/8 of the driver's max heap held
+    * as flat doubles (maxMemory/8 bytes-per-double/8 headroom ⇒ /64),
+    * leaving room for the ~2–3× transient of the collect itself plus
+    * solver state. On the 32 GiB bench heap this resolves to ~536M
+    * elements (the configured 64M wins); on a 1 GiB default driver it
+    * resolves to ~16M (the gate wins) instead of OOMing.
+    */
+  def effectiveLocalFitThreshold: Long =
+    math.min(localFitThreshold, Runtime.getRuntime.maxMemory() / 64L)
+}
 
 /** Full-path fit output (standardized-scale coefficients are already
   * back-transformed; reference src/rescale.h:8-31 applied).

@@ -47,7 +47,16 @@ object TrainSlope {
       // (q, sigma_index, sigma, measure, mean, se, lo, hi)
       optima: Map[String, (Double, Double, Double)], // measure -> (q, sigma, best mean)
       model: SlopeModel,
-      raw: Seq[CellScore])
+      raw: Seq[CellScore],
+      /** Per-CELL path fits, keyed (rep, fold, q), kept ONLY when
+        * `cfg.kktExport` is on so each cell's solver output can be
+        * re-verified by [[KktCertificate.verdictDf]] — the same per-step
+        * optimality gate the path queries use. (The full-data fit's
+        * certificate state lives in `model.fit.kktState`.) The retained
+        * state is tiny: per kept σ step one p×m gradient, one p×m β and the
+        * λ vector — driver-bounded by p·m·steps doubles, NOT by n.
+        */
+      cellFits: Seq[((Int, Int, Double), SlopeFit)] = Seq.empty)
 
   def defaultMeasures(family: String): Seq[String] = family match {
     case "binomial"    => Seq("mse", "mae", "deviance", "misclass", "auc")
@@ -104,7 +113,7 @@ object TrainSlope {
     // cheap size gate FIRST — over-threshold data must not pay the label
     // distinct before falling back to the distributed path
     val n = df.count()
-    if (n == 0 || n * p > cfg.localFitThreshold || n > Int.MaxValue) return None
+    if (n == 0 || n * p > cfg.effectiveLocalFitThreshold || n > Int.MaxValue) return None
     val classNames = SlopeEstimator.classNamesFor(df, labelCol, family)
     val mTargets = family match {
       case Multinomial => classNames.length - 1
@@ -169,9 +178,11 @@ object TrainSlope {
       }
       val m = SlopeEstimator.fitLocalArrays(yTr, xTr, nTrain, family, mTargets,
         p, names, classNames, cfg.copy(sigma = sigma, q = q))
-      used.map(meas => meas -> LocalScore.score(m, yTe, xTe, nTest, p, meas))
+      (used.map(meas => meas -> LocalScore.score(m, yTe, xTe, nTest, p, meas)),
+        if (cfg.kktExport) Some(m.fit) else None)
     }
-    Some(assemble(cells, results, sigma, used, fullModel, number, repeats))
+    Some(assemble(cells, results.map(_._1), sigma, used, fullModel, number,
+      repeats, cellFits(cells, results.map(_._2))))
   }
 
   /** Over-threshold path: per-cell distributed fits over the shared cached
@@ -208,19 +219,25 @@ object TrainSlope {
             val test = cached.filter(foldCol === fold)
             val m = SlopeEstimator.fit(train, featureCols, labelCol,
               cfg.copy(sigma = sigma, q = q))
-            used.map(meas => meas -> m.score(test, featureCols, labelCol, meas))
+            (used.map(meas => meas -> m.score(test, featureCols, labelCol, meas)),
+              if (cfg.kktExport) Some(m.fit) else None)
           } finally sc.setLocalProperty("spark.scheduler.pool", null)
         }
       }
       val results = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futures),
         scala.concurrent.duration.Duration.Inf)
-      assemble(cells, results, sigma, used, fullModel, number, repeats)
+      assemble(cells, results.map(_._1), sigma, used, fullModel, number,
+        repeats, cellFits(cells, results.map(_._2)))
     } finally {
       pool.shutdown()
       cached.unpersist(blocking = false)
     }
   }
+
+  private def cellFits(cells: Seq[(Int, Int, Double)],
+                       fits: Seq[Option[SlopeFit]]): Seq[((Int, Int, Double), SlopeFit)] =
+    cells.zip(fits).collect { case (key, Some(f)) => (key, f) }
 
   /** Grid-order assembly of per-cell scores into summary/optima — shared by
     * both substrates so concurrency and locality never change the output.
@@ -229,7 +246,8 @@ object TrainSlope {
                        results: Seq[Seq[(String, Array[Double])]],
                        sigma: Array[Double], used: Seq[String],
                        fullModel: SlopeModel, number: Int,
-                       repeats: Int): TrainedSlope = {
+                       repeats: Int,
+                       fits: Seq[((Int, Int, Double), SlopeFit)] = Seq.empty): TrainedSlope = {
     val raw = for {
       ((rep, fold, q), scores) <- cells.zip(results)
       (meas, vals) <- scores
@@ -256,7 +274,7 @@ object TrainSlope {
       meas -> (best._1, best._3, best._5)
     }.toMap
 
-    TrainedSlope(summary, optima, fullModel, raw)
+    TrainedSlope(summary, optima, fullModel, raw, fits)
   }
 
   /** CV summary as a DataFrame (the reference's TrainedOwl$summary). */

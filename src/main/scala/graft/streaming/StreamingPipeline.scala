@@ -155,6 +155,22 @@ object StreamingPipeline {
     TextPipeline.bigramLmProfileBroadcast(docs, maxMeanDecibits, model,
       col(textCol))
 
+  /** Streaming model-based quality filter (P37's stream twin): a FIXED
+    * logistic model's linear predictor over the heuristic text features
+    * (`TextPipeline.classifierScore` — the β slot is exactly what an
+    * offline binomial SLOPE fit emits), thresholded in exact LINEAR space
+    * (`z ≥ logit(τ)`). Pure row-local codegen'd arithmetic: zero state,
+    * append mode, verdicts bit-identical to the batch `p_model_quality_
+    * filter` scoring (StreamingSpec pins batch ≡ stream). The
+    * fasttext-classifier-filter deployment shape at ingest; completes the
+    * streaming story for every quality filter (P12/P37/P39/P43).
+    */
+  def modelQualityStream(docs: DataFrame, beta: Array[Double],
+                         zThreshold: Double = 0.0,
+                         textCol: String = "text"): DataFrame =
+    docs.withColumn("z", TextPipeline.classifierScore(col(textCol), beta))
+      .withColumn("kept", col("z") >= lit(zThreshold))
+
   /** Gap-based user sessionization with CUSTOM state
     * (`flatMapGroupsWithState`, the engine's stateful-streaming extension
     * point): events of a user belong to one session while consecutive gaps

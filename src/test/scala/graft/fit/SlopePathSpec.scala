@@ -192,6 +192,16 @@ class SlopePathSpec extends AnyFunSuite {
       assert(fit.betas.head(j, 0) == 0.0)
   }
 
+  test("localFitThreshold is driver-heap-gated (ADVICE r7: no silent OOM on small drivers)") {
+    // the effective cut never exceeds 1/8 of max heap as flat doubles —
+    // a 64M-element default tuned for the 32 GiB bench box must not make a
+    // 1 GiB library driver collect() itself to death
+    val heapCap = Runtime.getRuntime.maxMemory() / 64L
+    assert(SlopeConfig(localFitThreshold = Long.MaxValue).effectiveLocalFitThreshold == heapCap)
+    assert(SlopeConfig(localFitThreshold = 1000L).effectiveLocalFitThreshold == 1000L)
+    assert(SlopeConfig(localFitThreshold = 0L).effectiveLocalFitThreshold == 0L)
+  }
+
   test("FISTA stall exit is flagged and returns the best-gap feasible iterate") {
     // momentum is non-monotone: at stall time the CURRENT iterate can sit
     // above the plateau's best. The guard must return the best-gap feasible

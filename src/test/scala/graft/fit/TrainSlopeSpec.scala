@@ -105,6 +105,40 @@ class TrainSlopeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kktExport threads through CV: every cell fit certifies; off leaves cellFits empty") {
+    val df = gaussianDf(120)
+    // maxGramCols=0 forces FISTA: its exit criterion bounds the dual
+    // infeasibility the certificate re-checks (ADMM's residual stopping
+    // rule does not — a fold's exit at the full-grid's smallest σ can sit
+    // above the certificate threshold without being wrong)
+    val t = TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
+      qs = Seq(0.2), number = 3,
+      cfg = SlopeConfig(nSigma = 4, kktExport = true, maxGramCols = 0))
+    // one retained fit per (rep, fold, q) cell, plus the full fit's state
+    assert(t.cellFits.length == 3, s"expected 3 cell fits, got ${t.cellFits.length}")
+    assert(t.cellFits.map(_._1).distinct.length == 3)
+    assert(t.model.fit.kktState.nonEmpty, "full-data refit must export KKT state")
+    val tolCert = 3.0 * SolverConfig().tolInfeas
+    (("full", t.model.fit) +: t.cellFits.map { case ((_, f0, _), f) => (s"fold$f0", f) })
+      .foreach { case (cell, f) =>
+        assert(f.kktState.nonEmpty, s"$cell: no KKT state")
+        KktCertificate.verdictDf(spark, f, tolCert).collect().foreach { r =>
+          assert(r.getBoolean(1) && r.getBoolean(2),
+            s"$cell step ${r.getInt(0)} failed its certificate")
+        }
+      }
+    // distributed substrate threads it too
+    val dist = TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
+      qs = Seq(0.2), number = 3,
+      cfg = SlopeConfig(nSigma = 4, kktExport = true, maxGramCols = 0,
+        localFitThreshold = 0L))
+    assert(dist.cellFits.length == 3 && dist.model.fit.kktState.nonEmpty)
+    // default: no retained state
+    val off = TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
+      qs = Seq(0.2), number = 3, cfg = SlopeConfig(nSigma = 4))
+    assert(off.cellFits.isEmpty && off.model.fit.kktState.isEmpty)
+  }
+
   test("CV fails loudly when a fold has no test rows") {
     val df = gaussianDf(20)
     val e = intercept[IllegalArgumentException] {

@@ -357,6 +357,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(batchLm.values.exists(_._3) && batchLm.values.exists(!_._3),
         "fixture must exercise both verdicts")
     } finally qLm.stop()
+
+    // model-quality filter (P37 twin): fixed-beta linear predictor, batch
+    // scoring vs the stateless stream column — exact doubles, so equality
+    // is bitwise on z and on the keep verdict
+    val beta = Array(-2.0, 0.01, 8.0, -20.0, -0.1)
+    def mqKey(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))
+    val batchMq = corpus
+      .withColumn("z", TextPipeline.classifierScore(col("text"), beta))
+      .withColumn("kept", col("z") >= org.apache.spark.sql.functions.lit(0.0))
+      .select("doc_id", "z", "kept").collect().map(mqKey).toMap
+    val mqIn = MemoryStream[(Long, String)]
+    val qMq = StreamingPipeline.modelQualityStream(
+      mqIn.toDF().toDF("doc_id", "text"), beta)
+      .select("doc_id", "z", "kept")
+      .writeStream.format("memory").queryName("mq_out").outputMode("append").start()
+    try {
+      mqIn.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      qMq.processAllAvailable()
+      val streamMq = sp.sql("SELECT * FROM mq_out").collect().map(mqKey).toMap
+      assert(streamMq == batchMq, s"model-quality stream != batch:\n$streamMq\n$batchMq")
+      assert(batchMq.values.exists(_._2) && batchMq.values.exists(!_._2),
+        "fixture must exercise both verdicts")
+    } finally qMq.stop()
   }
 
   test("streaming decontamination flags the batch semi-join's hit set") {

@@ -30,6 +30,11 @@ def block(root: str) -> str:
     for f in glob.glob(f"{root}/target/test-reports/TEST-*.xml"):
         n_tests += int(ET.parse(f).getroot().get("tests", 0))
         n_suites += 1
+    # Bench writes steal_pct: null when /proc/stat is unreadable or the
+    # deltas are degenerate — .get's default only covers a MISSING key, so
+    # a null must be mapped to 'n/a' explicitly or the line reads 'None %'.
+    steal = bench.get("steal_pct")
+    steal_str = "n/a" if steal is None else str(steal)
     lines = [
         BEGIN,
         f"- {bench['n_registered']} registered queries, "
@@ -38,7 +43,7 @@ def block(root: str) -> str:
         f"(last `sbt test` report)",
         f"- bench headline: {len(bench['queries'])} queries in "
         f"{bench['value']:.1f} s at {bench['sf'].rstrip('/').rsplit('/', 1)[-1]}, "
-        f"local[32], steal {bench.get('steal_pct', 'n/a')} % "
+        f"local[32], steal {steal_str} % "
         f"(BENCH_LOCAL.json)",
         END,
     ]
