@@ -21,6 +21,15 @@ import graft.slope._
   * Active-set subsetting (reference src/utils.h:7-25) is a VIEW: the same
   * cached RDD with an index mask, never a copied dataset — at 100 TB,
   * re-materializing per path step would dwarf the solve itself.
+  *
+  * Feature-dimension ceiling (measured — `tools/ProxCeiling`, SCALING.md
+  * round 8): each reduce ships ~√numPartitions partials of 8·p·m bytes to
+  * the driver, so Spark's DEFAULT 1 GiB `spark.driver.maxResultSize`
+  * caps a depth-2 wide fit at p·m ≈ 2×10⁷ BEFORE driver heap matters
+  * (the rehearsal's p = 3.16e7 reduce died on exactly that). Past it,
+  * raise maxResultSize (or the treeAggregate depth); the driver-side
+  * sort/prox cost stays comfortable to p = 10⁷ (~3.6 s/iteration) and
+  * heap to ~10⁸ (the SURVEY §7 bound).
   */
 final class RddOps(
     val rows: RDD[(Array[Double], MlVector)],

@@ -51,6 +51,15 @@ object ProxCeiling {
       .appName("graft-prox-ceiling")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // FIRST measured knee (2026-08-14, this box): at p = 3.16e7 the
+      // depth-2 treeAggregate ships ~ceil(32/√32) = 6 partials of 8p bytes
+      // to the driver — 1.2 GiB, over the 1 GiB spark.driver.maxResultSize
+      // DEFAULT, which kills the reduce before heap is ever stressed. The
+      // same bound applies to RddOps's real gradient reduces (all depth 2):
+      // a default-config wide fit caps at p ≈ 2e7; raise maxResultSize (or
+      // deepen the tree) beyond that. Raised here so the rehearsal can
+      // measure the post-knee wall costs too.
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc: SparkContext = spark.sparkContext
