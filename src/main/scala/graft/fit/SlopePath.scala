@@ -13,6 +13,15 @@ final case class SlopeConfig(
     scale: String = "l2",
     nSigma: Int = 100,
     sigma: Array[Double] = Array.empty, // user σ grid (disables early stop)
+    /** User σ grid as RATIOS of the data's σmax — resolved inside the path
+      * driver (which computes σmax from its own λmax pass anyway), with the
+      * same semantics as `sigma` (fixed step count, no early stop). This is
+      * the certificate queries' shape; resolving it here removes the
+      * separate nSigma=1 "probe" fit they used to pay (a full
+      * standardize+collect+solve) just to read σmax. `sigma` wins when both
+      * are set (TrainSlope cells inherit the full fit's ABSOLUTE grid).
+      */
+    sigmaRatios: Array[Double] = Array.empty,
     lambdaType: String = "gaussian",
     userLambda: Array[Double] = Array.empty,
     lambdaMinRatio: Double = -1.0, // auto: 1e-2 if n<p else 1e-4
@@ -127,7 +136,7 @@ object SlopePath {
     val lambdaMinRatio =
       if (cfg.lambdaMinRatio > 0) cfg.lambdaMinRatio
       else if (n < pFeat) 1e-2 else 1e-4
-    val userSigma = cfg.sigma.nonEmpty
+    val userSigma = cfg.sigma.nonEmpty || cfg.sigmaRatios.nonEmpty
     // user-supplied σ disables early path termination (R/owl.R:386-390)
     val tolDevChange = if (userSigma) 0.0 else cfg.tolDevChange
     val tolDevRatio = if (userSigma) 1.0 else cfg.tolDevRatio
@@ -146,7 +155,8 @@ object SlopePath {
     val gradMax = ops.lambdaMaxVec() // one data pass
     val sigmaMax = LambdaSequence.sigmaMax(gradMax, lambda)
     val sigma: Array[Double] =
-      if (userSigma) cfg.sigma.clone()
+      if (cfg.sigma.nonEmpty) cfg.sigma.clone()
+      else if (cfg.sigmaRatios.nonEmpty) cfg.sigmaRatios.map(_ * sigmaMax)
       else LambdaSequence.sigmaGrid(sigmaMax, lambdaMinRatio, cfg.nSigma)
     val nSigma = sigma.length
 

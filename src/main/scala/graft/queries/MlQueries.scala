@@ -607,19 +607,22 @@ object MlQueries {
   }
 
   /** Gate every fit a [[TrainSlope.TrainedSlope]] ran (full-data + cells)
-    * through [[KktCertificate.verdictDf]] at the [[pathToDf]] tolerance.
+    * through [[KktCertificate.verdictDf]] at the [[pathToDf]] tolerance —
+    * ONE Spark job for all fits (the per-fit verdict frames are a few rows
+    * each; a collect per fit would pay 4× the job-launch floor).
     */
   private def certifyCv(s: SparkSession, t: TrainSlope.TrainedSlope): Unit = {
     val tolCert = 3.0 * SolverConfig().tolInfeas
     val fits = ("full", t.model.fit) +:
       t.cellFits.map { case ((rep, fold, _), f) => (s"rep${rep}_fold$fold", f) }
-    fits.foreach { case (cell, f) =>
-      val bad = KktCertificate.verdictDf(s, f, tolCert)
-        .collect().filterNot(r => r.getBoolean(1) && r.getBoolean(2))
-      require(bad.isEmpty,
-        s"CV fit '$cell' failed its KKT certificate at steps " +
-          s"${bad.map(_.getInt(0)).mkString(",")} (tol $tolCert)")
-    }
+    val bad = fits.map { case (cell, f) =>
+      KktCertificate.verdictDf(s, f, tolCert).withColumn("cell", lit(cell))
+    }.reduce(_.unionByName(_))
+      .collect().filterNot(r => r.getBoolean(1) && r.getBoolean(2))
+    require(bad.isEmpty,
+      s"CV fits failed their KKT certificate at " +
+        bad.map(r => s"${r.getString(3)}/step${r.getInt(0)}").mkString(",") +
+        s" (tol $tolCert)")
   }
 
   /** T1 optimality CERTIFICATES, DuckDB-pinned: the CV driver on a USER σ
@@ -652,12 +655,13 @@ object MlQueries {
       import s.implicits._
       val df = li(s, dir)
         .withColumn("id", col("l_orderkey") * 10 + col("l_linenumber"))
-      val probe = SlopeEstimator.fit(df, features, label,
-        SlopeConfig(nSigma = 1, lambdaMinRatio = 1.0))
-      val sMax = probe.fit.sigma(0)
+      // the FULL fit resolves the ratio grid against its own σmax; each CV
+      // cell then inherits the full fit's ABSOLUTE σ grid (TrainSlope sets
+      // cfg.sigma, which takes precedence over sigmaRatios) — exactly the
+      // trainOwl contract: one grid for every cell
       val t = TrainSlope.train(df, features, label, "id",
         qs = Seq(0.1), number = number,
-        cfg = SlopeConfig(sigma = ratios.map(_ * sMax), kktExport = true,
+        cfg = SlopeConfig(sigmaRatios = ratios, kktExport = true,
           maxGramCols = 0, solver = solver))
       val fits = ("full", t.model.fit) +:
         t.cellFits.map { case ((rep, fold, _), f) => (s"rep${rep}_fold$fold", f) }
@@ -729,16 +733,13 @@ object MlQueries {
           (base.withColumn("qty", col("l_quantity").cast("double")),
             Seq("l_discount", "l_tax", "l_extendedprice"), "qty")
       }
-      // probe σmax: nSigma=1 with lambdaMinRatio=1 makes the auto grid
-      // exactly [σmax], whose solve is trivial (everything screens to the
-      // null model) — one standardization pass + one gradient pass. Then
-      // the certified fit on fixed ratios of it — user σ disables early
-      // stop, so the kept-step count is exactly ratios.length.
-      val probe = SlopeEstimator.fit(df, feats, lab,
-        SlopeConfig(family = famName, nSigma = 1, lambdaMinRatio = 1.0))
-      val sMax = probe.fit.sigma(0)
+      // σ grid as RATIOS of σmax, resolved inside the path driver from the
+      // λmax pass it runs anyway (`SlopeConfig.sigmaRatios`) — user-σ
+      // semantics, so the kept-step count is exactly ratios.length. (The
+      // previous separate nSigma=1 probe fit paid a full standardize +
+      // collect + solve just to read σmax.)
       val model = SlopeEstimator.fit(df, feats, lab,
-        SlopeConfig(family = famName, sigma = ratios.map(_ * sMax),
+        SlopeConfig(family = famName, sigmaRatios = ratios,
           kktExport = true, maxGramCols = 0, solver = solver))
       require(model.fit.kktState.length == ratios.length,
         s"expected ${ratios.length} certified steps, got ${model.fit.kktState.length}")

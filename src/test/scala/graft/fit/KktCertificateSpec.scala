@@ -49,10 +49,8 @@ class KktCertificateSpec extends AnyFunSuite with BeforeAndAfterAll {
         (df0.withColumn("cnt", floor(abs(col("y"))).cast("double")), "cnt")
       case _ => (df0, "y")
     }
-    val probe = SlopeEstimator.fit(df, Seq("x1", "x2", "x3"), lab,
-      SlopeConfig(family = fam, nSigma = 1, lambdaMinRatio = 1.0))
     SlopeEstimator.fit(df, Seq("x1", "x2", "x3"), lab,
-      SlopeConfig(family = fam, sigma = sigmaRatios.map(_ * probe.fit.sigma(0)),
+      SlopeConfig(family = fam, sigmaRatios = sigmaRatios,
         kktExport = true, maxGramCols = 0,
         solver = SolverConfig(tolRelGap = 1e-8, tolInfeas = 1e-8)))
   }

@@ -192,6 +192,25 @@ class SlopePathSpec extends AnyFunSuite {
       assert(fit.betas.head(j, 0) == 0.0)
   }
 
+  test("sigmaRatios resolves against sigma_max identically to an explicit user grid") {
+    // the certificate queries' probe-free shape: ratios resolve inside the
+    // path driver against the same sigma_max a separate probe fit would
+    // have read — grids and solutions must be bit-identical
+    val prob = RandomProblem(n = 80, p = 5, family = Gaussian, seed = 17L)
+    val probe = fitLocal(prob.x, prob.y, SlopeConfig(nSigma = 1, lambdaMinRatio = 1.0))
+    val sMax = probe.sigma(0)
+    val ratios = Array(0.6, 0.2, 0.05)
+    val viaRatios = fitLocal(prob.x, prob.y, SlopeConfig(sigmaRatios = ratios))
+    val viaAbs = fitLocal(prob.x, prob.y, SlopeConfig(sigma = ratios.map(_ * sMax)))
+    assert(viaRatios.sigma.toSeq == viaAbs.sigma.toSeq)
+    assert(viaRatios.sigma.length == ratios.length, "ratio grid must disable early stop")
+    viaRatios.betas.zip(viaAbs.betas).foreach { case (a, b) => assert(a == b) }
+    // precedence: an absolute grid wins when both are set (TrainSlope cells)
+    val both = fitLocal(prob.x, prob.y,
+      SlopeConfig(sigma = Array(sMax * 0.3), sigmaRatios = ratios))
+    assert(both.sigma.toSeq == Seq(sMax * 0.3))
+  }
+
   test("localFitThreshold is driver-heap-gated (ADVICE r7: no silent OOM on small drivers)") {
     // the effective cut never exceeds 1/8 of max heap as flat doubles —
     // a 64M-element default tuned for the 32 GiB bench box must not make a
