@@ -101,7 +101,15 @@ final case class SlopeFit(
       * with `kktExport` (see [[KktCertificate]]).
       */
     kktState: IndexedSeq[(DenseMatrix[Double], DenseMatrix[Double], Array[Double])] =
-      IndexedSeq.empty) {
+      IndexedSeq.empty,
+    /** Per kept step: TRUE when the step's (final) solve exited through
+      * the FISTA numerical-floor stall guard rather than the relative
+      * duality-gap test ([[SolveResult.stallExit]]) — "stopped at the
+      * floating-point floor with the best-gap feasible iterate", reported
+      * so callers and certificates can tell it apart from a tolRelGap
+      * convergence. ADMM steps are always false (residual stopping rule).
+      */
+    stallExits: Array[Boolean] = Array.empty) {
   def nonzeros(k: Int): Int = {
     val b = betas(k)
     val skip = if (intercept) 1 else 0
@@ -214,6 +222,7 @@ object SlopePath {
     val devRatios = Array.newBuilder[Double]
     val passesOut = Array.newBuilder[Int]
     val nUniqueOut = Array.newBuilder[Int]
+    val stallOut = Array.newBuilder[Boolean]
 
     val deviancesSeen = scala.collection.mutable.ArrayBuffer.empty[Double]
     var k = 0
@@ -371,6 +380,7 @@ object SlopePath {
         devRatios += devianceRatio
         passesOut += res.passes
         nUniqueOut += nUnique
+        stallOut += res.stallExit
         kept += 1
       }
       if (earlyStop || dropForMaxVars) stop = true
@@ -405,7 +415,8 @@ object SlopePath {
       family = family.name,
       intercept = cfg.intercept,
       dataPasses = ops.dataPasses,
-      kktState = kktOut.result())
+      kktState = kktOut.result(),
+      stallExits = stallOut.result())
   }
 }
 

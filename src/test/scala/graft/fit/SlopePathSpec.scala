@@ -190,6 +190,9 @@ class SlopePathSpec extends AnyFunSuite {
     // saturating sigma: the numerical optimum is still the null model
     for (j <- 1 until fit.betas.head.rows)
       assert(fit.betas.head(j, 0) == 0.0)
+    // the exit kind surfaces per kept step (ADVICE r7)
+    assert(fit.stallExits.length == fit.sigma.length && fit.stallExits.head,
+      "floor-stalled step must be flagged in SlopeFit.stallExits")
   }
 
   test("sigmaRatios resolves against sigma_max identically to an explicit user grid") {
