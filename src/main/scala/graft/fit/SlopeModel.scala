@@ -38,13 +38,18 @@ final class SlopeModel(
     */
   def deviance: Array[Double] = fit.devianceRatios.map(r => (1.0 - r) * fit.nullDeviance)
 
-  /** Path summary as a DataFrame (reference print.Owl, R/print.R:14-31). */
+  /** Path summary as a DataFrame (reference print.Owl, R/print.R:14-31;
+    * plus `stalled` — whether the step's solve exited through the
+    * numerical-floor guard rather than the duality-gap test, an engine
+    * addition the reference cannot report because it loops to max_passes).
+    */
   def summary(spark: SparkSession): DataFrame = {
     import spark.implicits._
     fit.sigma.indices.map { k =>
       (k, fit.sigma(k), fit.devianceRatios(k), fit.nonzeros(k), fit.nUnique(k),
-        fit.passes(k))
-    }.toDF("step", "sigma", "deviance_ratio", "n_nonzero", "n_unique", "passes")
+        fit.passes(k), fit.stallExits.lift(k).getOrElse(false))
+    }.toDF("step", "sigma", "deviance_ratio", "n_nonzero", "n_unique", "passes",
+      "stalled")
   }
 
   /** Coefficient path in long format — the data behind the reference's

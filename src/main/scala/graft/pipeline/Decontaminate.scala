@@ -46,20 +46,31 @@ object Decontaminate {
       .select("doc_id").distinct()
   }
 
-  /** Driver-held distinct eval gram-hash set — the broadcast-literal form
-    * [[contaminatedFlag]] consumes. Real eval sets (a few benchmarks) are
-    * tiny; the cap fails LOUDLY if someone points this at a corpus-sized
-    * "eval" side, where the distributed semi join is the right plan.
+  /** Driver-held distinct eval gram hashes as a SORTED primitive array —
+    * the form [[contaminatedFlag]] probes (binary search). Real eval sets
+    * (a few benchmarks) are tiny; the cap fails LOUDLY if someone points
+    * this at a corpus-sized "eval" side, where the distributed semi join
+    * is the right plan. At the cap this is 8 bytes/gram (32 MB) — a boxed
+    * `Map[Long, _]` of the same grams costs ~8× that in driver transient.
     */
-  def evalGramSet(evalDocs: DataFrame, n: Int,
-                  maxGrams: Int = 1 << 22): Map[Long, Int] = {
+  def evalGramArray(evalDocs: DataFrame, n: Int,
+                    maxGrams: Int = 1 << 22): Array[Long] = {
     val grams = docNgrams(evalDocs, n).select("gh").distinct()
     val nG = grams.count()
     require(nG <= maxGrams,
       s"eval gram set $nG exceeds maxGrams=$maxGrams — use contaminatedDocs " +
         "(distributed semi join) instead of the broadcast-literal form")
-    grams.collect().map(r => r.getLong(0) -> 1).toMap
+    val arr = grams.collect().map(_.getLong(0))
+    java.util.Arrays.sort(arr)
+    arr
   }
+
+  /** Boxed-map form of [[evalGramArray]], kept for callers that hold the
+    * set as a map; prefer the array form at large set sizes.
+    */
+  def evalGramSet(evalDocs: DataFrame, n: Int,
+                  maxGrams: Int = 1 << 22): Map[Long, Int] =
+    evalGramArray(evalDocs, n, maxGrams).map(_ -> 1).toMap
 
   /** Row-local contamination verdict against a literal eval gram set:
     * TRUE iff any word n-gram of the text hash-hits the set. Same
@@ -75,12 +86,16 @@ object Decontaminate {
     * 2²² cap.
     */
   def contaminatedFlag(textCol: org.apache.spark.sql.Column,
-                       evalGrams: Map[Long, Int], n: Int): org.apache.spark.sql.Column = {
+                       evalGrams: Array[Long], n: Int): org.apache.spark.sql.Column = {
     require(evalGrams.nonEmpty, "eval gram set is empty")
-    val keys = evalGrams.keys
     exists(TextPipeline.wordGramArray(textCol, n),
-      g => graft.functions.BroadcastLookup.inLongSet(Det.md5Hash60(g), keys))
+      g => graft.functions.BroadcastLookup.inLongSet(Det.md5Hash60(g), evalGrams))
   }
+
+  /** Boxed-map overload (delegates to the array form). */
+  def contaminatedFlag(textCol: org.apache.spark.sql.Column,
+                       evalGrams: Map[Long, Int], n: Int): org.apache.spark.sql.Column =
+    contaminatedFlag(textCol, evalGrams.keys.toArray, n)
 
   /** Per-source contamination audit: every train doc counted once, hits
     * flagged via left join against the contaminated-id set.

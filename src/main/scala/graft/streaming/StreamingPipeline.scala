@@ -144,6 +144,15 @@ object StreamingPipeline {
     docs.withColumn("contaminated",
       graft.pipeline.Decontaminate.contaminatedFlag(col(textCol), evalGrams, n))
 
+  /** Primitive-array overload of [[decontaminateStream]] — the form to
+    * prefer at large eval sets (8 bytes/gram vs a boxed map's ~8×;
+    * `Decontaminate.evalGramArray` builds it sorted).
+    */
+  def decontaminateStream(docs: DataFrame, evalGrams: Array[Long], n: Int,
+                          textCol: String): DataFrame =
+    docs.withColumn("contaminated",
+      graft.pipeline.Decontaminate.contaminatedFlag(col(textCol), evalGrams, n))
+
   /** Streaming bigram-LM quality filter (P43's stream twin): a FIXED
     * driver-held LM (`TextPipeline.bigramLmModel`, trained offline)
     * applied row-locally — same `length(bin(·))` surprisal integers as

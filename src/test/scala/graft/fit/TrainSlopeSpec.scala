@@ -137,6 +137,10 @@ class TrainSlopeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val off = TrainSlope.train(df, Seq("f0", "f1", "f2", "f3"), "label", "id",
       qs = Seq(0.2), number = 3, cfg = SlopeConfig(nSigma = 4))
     assert(off.cellFits.isEmpty && off.model.fit.kktState.isEmpty)
+    // M14 summary surfaces the per-step exit kind; a healthy fit has none
+    val sm = t.model.summary(spark)
+    assert(sm.columns.contains("stalled"))
+    assert(sm.filter(org.apache.spark.sql.functions.col("stalled")).count() == 0)
   }
 
   test("CV fails loudly when a fold has no test rows") {

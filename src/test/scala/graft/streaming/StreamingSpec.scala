@@ -403,6 +403,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchHits.nonEmpty && batchHits != Set(0L, 1L, 2L, 3L),
       "fixture must exercise both verdicts")
     val grams = Decontaminate.evalGramSet(evalDocs, n)
+    // the primitive-array form (the large-set shape) must agree with the
+    // boxed-map form on every verdict
+    val gramArr = Decontaminate.evalGramArray(evalDocs, n)
+    val viaArray = train
+      .withColumn("contaminated",
+        Decontaminate.contaminatedFlag(org.apache.spark.sql.functions.col("text"), gramArr, n))
+      .filter("contaminated").collect().map(_.getLong(0)).toSet
+    assert(viaArray == batchHits, s"array form $viaArray != batch $batchHits")
     val input = MemoryStream[(Long, String)]
     val q = StreamingPipeline.decontaminateStream(
       input.toDF().toDF("doc_id", "text"), grams, n)
