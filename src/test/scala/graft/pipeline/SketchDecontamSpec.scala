@@ -104,6 +104,36 @@ class SketchDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d0.intersect(d2).size == 1)
   }
 
+  test("contaminatedFlag: native lookup == semi-join verdicts on random unicode corpora") {
+    // randomized pin of the round-8 lookup-substrate swap: for arbitrary
+    // messy text (unicode, punctuation runs, empty/short docs), the
+    // row-local flag against evalGramArray must flag EXACTLY the docs the
+    // distributed semi join flags, and the array and map forms must agree
+    val rnd = new Random(97)
+    val vocab = Vector("the", "café", "Ω", "naïve", "0x7f", "dog,", "--", "a",
+      "中文词", "fox", "...", "eée", "tab\tsep", "N°5", "word")
+    def doc(len: Int): String =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    for (round <- 0 until 5) {
+      val n = 2 + round % 3 // gram orders 2, 3, 4
+      val train = docsDf((0L until 40L).map(i => i -> doc(rnd.nextInt(14))): _*)
+      val evalDocs = docsDf((100L until 110L).map(i => i -> doc(2 + rnd.nextInt(10))): _*)
+      val viaJoin = Decontaminate.contaminatedDocs(train, evalDocs, n)
+        .collect().map(_.getLong(0)).toSet
+      val arr = Decontaminate.evalGramArray(evalDocs, n)
+      if (arr.nonEmpty) {
+        val viaFlag = train.withColumn("c",
+            Decontaminate.contaminatedFlag(col("text"), arr, n))
+          .filter(col("c")).collect().map(_.getLong(0)).toSet
+        assert(viaFlag == viaJoin, s"round $round n=$n: flag $viaFlag != join $viaJoin")
+        val viaMap = train.withColumn("c",
+            Decontaminate.contaminatedFlag(col("text"), arr.map(_ -> 1).toMap, n))
+          .filter(col("c")).collect().map(_.getLong(0)).toSet
+        assert(viaMap == viaJoin, s"round $round n=$n: map form diverged")
+      }
+    }
+  }
+
   test("contaminatedDocs flags exactly the overlapping train docs") {
     val train = docsDf(
       10L -> "the quick brown fox jumps over the lazy dog",
