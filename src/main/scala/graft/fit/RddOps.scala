@@ -23,14 +23,81 @@ import graft.slope._
   * re-materializing per path step would dwarf the solve itself.
   *
   * Feature-dimension ceiling (measured — `tools/ProxCeiling`, SCALING.md
-  * round 8): each reduce ships ~√numPartitions partials of 8·p·m bytes to
-  * the driver, so Spark's DEFAULT 1 GiB `spark.driver.maxResultSize`
-  * caps a depth-2 wide fit at p·m ≈ 2×10⁷ BEFORE driver heap matters
-  * (the rehearsal's p = 3.16e7 reduce died on exactly that). Past it,
-  * raise maxResultSize (or the treeAggregate depth); the driver-side
-  * sort/prox cost stays comfortable to p = 10⁷ (~3.6 s/iteration) and
-  * heap to ~10⁸ (the SURVEY §7 bound).
+  * round 8): a depth-2 reduce ships ~√numPartitions partials of 8·p·m
+  * bytes to the driver, so Spark's DEFAULT 1 GiB
+  * `spark.driver.maxResultSize` would cap a depth-2 wide fit at
+  * p·m ≈ 2×10⁷ BEFORE driver heap matters (the first rehearsal's
+  * p = 3.16e7 reduce died on exactly that). [[RddOps.sumAggregate]]
+  * removes that knee: buffers whose final depth-2 fan-in would exceed
+  * 70 % of the configured bound are instead tree-combined EXECUTOR-side
+  * down to one partition, so exactly one buffer crosses to the driver —
+  * the ceiling moves to p·m ≈ maxResultSize·0.7/8 ≈ 9×10⁷ doubles at the
+  * default, where driver heap and the per-step full-space sort take over
+  * (the SURVEY §7 bound). The driver-side sort/prox cost stays
+  * comfortable to p = 10⁷ (~3.6 s/iteration).
   */
+object RddOps {
+
+  /** One elementwise-add reduce of per-row contributions into a
+    * `sz`-length double buffer, with a BOUNDED driver collect.
+    *
+    * Common case (small buffers): Spark's depth-2 `treeAggregate` —
+    * unchanged from the measured hot path. When the final depth-2
+    * fan-in (~√partitions partials of `8·sz` bytes) would exceed 70 % of
+    * `spark.driver.maxResultSize` (default 1 GiB — it bounds the TOTAL
+    * serialized task results of one action), the partials are instead
+    * `reduceByKey`-combined executor-side with fan-in 8 per level down
+    * to ONE partition, so exactly one buffer crosses to the driver.
+    * That moves the wide-fit ceiling from p·m ≈ 2×10⁷ (where the fixed
+    * depth-2 reduce measurably died at default config — SCALING.md
+    * round 8, knee 1) to p·m ≈ 9×10⁷, where the buffer itself
+    * approaches the bound and driver heap is the real limit. Cost of
+    * the big-buffer path: one extra shuffle level and a different (but
+    * still deterministic-per-partitioning) addend order; the suite's
+    * fits never enter it, so oracle-pinned results are unchanged.
+    *
+    * `maxResultBytesOverride` ≥ 0 substitutes for the session conf
+    * (tests force the big-buffer path with a tiny bound); ≤ 0 conf
+    * value means unlimited, which keeps depth-2 always.
+    */
+  private[graft] def sumAggregate[T](
+      rdd: RDD[T], sz: Int, seqOp: (Array[Double], T) => Unit,
+      maxResultBytesOverride: Long = -1L): Array[Double] = {
+    val maxResultBytes =
+      if (maxResultBytesOverride >= 0L) maxResultBytesOverride
+      else rdd.sparkContext.getConf
+        .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val add = (a: Array[Double], b: Array[Double]) => {
+      var i = 0; while (i < sz) { a(i) += b(i); i += 1 }; a
+    }
+    val p0 = math.max(rdd.getNumPartitions, 1)
+    val partialBytes = 8L * sz + 64L
+    val budget =
+      if (maxResultBytes <= 0L) Long.MaxValue else maxResultBytes / 10L * 7L
+    // depth-2 treeAggregate collects ≤ ceil(√P)+2 partials at the driver
+    val depth2FanIn = math.min(p0.toLong, math.ceil(math.sqrt(p0)).toLong + 2L)
+    if (partialBytes * depth2FanIn <= budget) {
+      rdd.treeAggregate(new Array[Double](sz))(
+        (buf, row) => { seqOp(buf, row); buf }, add, depth = 2)
+    } else {
+      var cur = rdd.mapPartitions { it =>
+        val buf = new Array[Double](sz)
+        it.foreach(seqOp(buf, _))
+        Iterator.single(buf)
+      }
+      var n = p0
+      while (n > 1) {
+        val next = math.max(1, (n + 7) / 8)
+        cur = cur.mapPartitionsWithIndex((i, it) => it.map(a => (i % next, a)))
+          .reduceByKey(new org.apache.spark.HashPartitioner(next), add)
+          .map(_._2)
+        n = next
+      }
+      cur.reduce(add) // one partition → exactly one buffer to the driver
+    }
+  }
+}
+
 final class RddOps(
     val rows: RDD[(Array[Double], MlVector)],
     val family: Family,
@@ -109,8 +176,8 @@ final class RddOps(
     val fam = family
     // buffer: [primal, dual, t_j (m), A(r,j) (nFeat·m)]
     val sz = 2 + mTargets + nFeat * mTargets
-    val agg = rows.treeAggregate(new Array[Double](sz))(
-      seqOp = (buf, row) => {
+    val agg = RddOps.sumAggregate(rows, sz,
+      (buf: Array[Double], row: (Array[Double], MlVector)) => {
         val (y, x) = row
         val lp = plan.linPred(x)
         val ya = plan.centeredY(y)
@@ -120,10 +187,7 @@ final class RddOps(
         var j = 0
         while (j < plan.m) { buf(2 + j) += pg(j); j += 1 }
         plan.accumulate(x, pg, buf, 2 + plan.m)
-        buf
-      },
-      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
-      depth = 2)
+      })
 
     val grad = DenseMatrix.zeros[Double](cols.length, mTargets)
     val iOff = if (hasInterceptCol) 1 else 0
@@ -162,8 +226,8 @@ final class RddOps(
     val xc = xCenter
     val xs = xScale
     // buffer: [t_j sums (m), A(c,j) raw (pf·m)]
-    val agg = rows.treeAggregate(new Array[Double](mT + pf * mT))(
-      seqOp = (buf, row) => {
+    val agg = RddOps.sumAggregate(rows, mT + pf * mT,
+      (buf: Array[Double], row: (Array[Double], MlVector)) => {
         val (y, x) = row
         var j = 0
         while (j < mT) {
@@ -172,10 +236,7 @@ final class RddOps(
           x.foreachActive((idx, v) => buf(mT + idx + j * pf) += v * tj)
           j += 1
         }
-        buf
-      },
-      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
-      depth = 2)
+      })
     val out = new Array[Double](pf * mT)
     var j = 0
     while (j < mT) {
@@ -200,8 +261,8 @@ final class RddOps(
     val pMap = posMap
     // raw sums: [Σx_r (nF), Σx_r·x_s (nF²), Σ ya_j (m), Σ x_r·ya_j (nF·m)]
     val sz = nF + nF * nF + mT + nF * mT
-    val agg = rows.treeAggregate(new Array[Double](sz))(
-      seqOp = (buf, row) => {
+    val agg = RddOps.sumAggregate(rows, sz,
+      (buf: Array[Double], row: (Array[Double], MlVector)) => {
         val (y, x) = row
         val ya = pl.centeredY(y)
         // gather active (pos, value) pairs of this view
@@ -224,10 +285,7 @@ final class RddOps(
         }
         var j = 0
         while (j < mT) { buf(nF + nF * nF + j) += ya(j); j += 1 }
-        buf
-      },
-      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
-      depth = 2)
+      })
 
     val nD = nRows.toDouble
     val sumX = Array.tabulate(nF)(r => agg(r))

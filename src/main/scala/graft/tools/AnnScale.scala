@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+
+/** ANN family under a FIXED query workload as the corpus grows — the
+  * deployment question the registered `p_ann_*` queries deliberately do
+  * NOT answer (their probe sets are a fixed FRACTION of the corpus, so
+  * probe count grows with it; the brute-force baseline is then
+  * declared quadratic-family and its ×10 exponents carry that caveat).
+  *
+  * Here the probe set is pinned to REPLICA 0 of a `ScaleRehearsal`
+  * corpus (`vec_id % 100 = 0 AND vec_id < stride` — the same 20 sf0.1
+  * vectors at ×1, ×10 and ×100), so the table answers: with the query
+  * workload held constant, what does each index pay as the corpus
+  * scales a decade at a time?
+  *
+  *   - brute/int8 cosine: O(N) full scan per batch — the honest
+  *     baseline, expected exponent → 1.
+  *   - sign-LSH / IVF / IVF-PQ: candidate lists only — the scale path;
+  *     each timing INCLUDES its index build (centroid train, assign,
+  *     encode), so the numbers are end-to-end worst case: build cost is
+  *     one-off and amortizes over every query batch in deployment,
+  *     while the brute scan repeats per batch.
+  *
+  * Dials mirror the registered queries (top-5; IVF k=16/iters=2/
+  * nProbe=4; IVF-PQ kLists=8/nProbe=2/kCodes=16/m=8). Timing harness =
+  * `Bench`'s: noop full-evaluation write, min of 2 runs (3 when the
+  * pair disagrees >25 %), cache-cleared between queries.
+  *
+  * Usage: runMain graft.tools.AnnScale <label=dir> [<label=dir> ...]
+  * Writes one JSON line per (corpus, query) to ANN_SCALE.json.
+  */
+object AnnScale {
+
+  /** `ScaleRehearsal.IdStride` — replica-0 rows keep their source ids. */
+  private val IdStride = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AnnScale <label=dir> [<label=dir> ...]")
+    val corpora = args.toSeq.map { a =>
+      val Array(label, dir) = a.split("=", 2)
+      (label, dir)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.util.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val probePred = col("vec_id") % 100 === 0 && col("vec_id") < lit(IdStride)
+    val out = new StringBuilder
+
+    def timeOnce(f: () => DataFrame): Double = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    corpora.foreach { case (label, dir) =>
+      val emb = graft.util.Tables.t(spark, dir, "embeddings")
+      val nRows = emb.count()
+      val nProbes = emb.filter(probePred).count()
+      // one warm-up evaluation so the first measured query doesn't pay
+      // JIT/codegen first-touch for the whole session
+      emb.write.format("noop").mode("overwrite").save()
+
+      val queries: Seq[(String, () => DataFrame)] = Seq(
+        "cosine_brute" -> (() => Similarity.cosineTopK(emb, probePred, 5)),
+        "cosine_int8" -> (() => Similarity.int8CosineTopK(emb, probePred, 5)),
+        "lsh" -> (() => Similarity.lshTopK(emb, probePred, 5)),
+        "ivf" -> (() => Similarity.ivfTopK(emb, probePred, 5,
+          k = 16, iters = 2, nProbe = 4)),
+        "ivfpq" -> (() => Similarity.ivfPqTopK(emb, probePred, 5,
+          kLists = 8, nProbe = 2, kCodes = 16, m = 8, dim = 64)))
+
+      queries.foreach { case (name, f) =>
+        val a = timeOnce(f)
+        val bT = timeOnce(f)
+        val best =
+          if (math.abs(a - bT) > 0.25 * math.min(a, bT))
+            math.min(math.min(a, bT), timeOnce(f))
+          else math.min(a, bT)
+        val line =
+          s"""{"corpus":"$label","query":"$name","sec":${f"$best%.3f"},""" +
+          s""""rows":$nRows,"probes":$nProbes}"""
+        println(s"[ann-scale] $line")
+        out.append(line).append('\n')
+      }
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("ANN_SCALE.json"), out.toString)
+    spark.stop()
+  }
+}

@@ -51,15 +51,16 @@ object ProxCeiling {
       .appName("graft-prox-ceiling")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // FIRST measured knee (2026-08-14, this box): at p = 3.16e7 the
-      // depth-2 treeAggregate ships ~ceil(32/√32) = 6 partials of 8p bytes
-      // to the driver — 1.2 GiB, over the 1 GiB spark.driver.maxResultSize
-      // DEFAULT, which kills the reduce before heap is ever stressed. The
-      // same bound applies to RddOps's real gradient reduces (all depth 2):
-      // a default-config wide fit caps at p ≈ 2e7; raise maxResultSize (or
-      // deepen the tree) beyond that. Raised here so the rehearsal can
-      // measure the post-knee wall costs too.
-      .config("spark.driver.maxResultSize", "8g")
+      // FIRST measured knee (2026-08-14, this box): at p = 3.16e7 a fixed
+      // depth-2 treeAggregate ships ~6 partials of 8p bytes to the
+      // driver — 1.2 GiB, over the 1 GiB spark.driver.maxResultSize
+      // DEFAULT, which killed the reduce before heap was ever stressed
+      // and capped default-config wide fits at p ≈ 2e7. RddOps's
+      // gradient reduces now route through `RddOps.sumAggregate`, which
+      // tree-combines oversized partials executor-side down to ONE
+      // buffer — so this rehearsal runs at the DEFAULT maxResultSize on
+      // purpose: the p ≥ 3.16e7 rows prove the knee is gone (the first
+      // edition needed an 8g override to survive them).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc: SparkContext = spark.sparkContext
@@ -87,19 +88,23 @@ object ProxCeiling {
         b.length
       }
       // the cluster reduce a real iteration pays: 32 executor-side p-vectors
-      // tree-merged to one driver vector (the gradient reduce shape)
+      // merged to one driver vector through the SAME bounded-collect
+      // routing the solver uses (depth-2 treeAggregate for small p,
+      // executor-side tree to one partition once depth-2's fan-in would
+      // break maxResultSize)
       val (_, tReduce) = time {
-        sc.parallelize(1 to 32, 32).treeAggregate(new Array[Double](p))(
-          (acc, k) => { var i = 0; while (i < p) { acc(i) += k * 1e-6; i += 1 }; acc },
-          (a, b2) => { var i = 0; while (i < p) { a(i) += b2(i); i += 1 }; a },
-          depth = 2).length
+        graft.fit.RddOps.sumAggregate[Int](
+          sc.parallelize(1 to 32, 32), p,
+          (acc, k) => { var i = 0; while (i < p) { acc(i) += k * 1e-6; i += 1 } }
+        ).length
       }
       val heapPeak = usedHeapMb()
       val line =
         s"""{"p":$p,"prox_sec":${f"$tProx%.4f"},"infeas_sec":${f"$tInfeas%.4f"},""" +
         s""""axpy_sec":${f"$tAxpy%.4f"},"grad_reduce_sec":${f"$tReduce%.4f"},""" +
         s""""heap_data_mb":$heapData,"heap_used_mb":$heapPeak,""" +
-        s""""max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
+        s""""max_heap_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
+        s""""max_result_size":"${sc.getConf.get("spark.driver.maxResultSize", "1g")}"}"""
       println(s"[prox-ceiling] $line")
       out.append(line).append('\n')
     }

@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   * any 1× vs k× timing comparison.
   *
   * Usage: runMain graft.tools.ScaleRehearsal <srcDir> <outDir> <replicas>
+  *          [tables]
+  *   tables: optional comma-list restricting which tables are generated
+  *   (e.g. "embeddings" for an ANN-only corpus — a ×100 full star is
+  *   minutes of parquet writing the ANN rehearsal never reads).
   */
 object ScaleRehearsal {
 
@@ -110,9 +114,12 @@ object ScaleRehearsal {
     keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * IdStride)))
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: ScaleRehearsal <srcDir> <outDir> <replicas>")
-    val Array(srcDir, outDir, kStr) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleRehearsal <srcDir> <outDir> <replicas> [tables]")
+    val Array(srcDir, outDir, kStr) = args.take(3)
+    val wanted: String => Boolean =
+      args.lift(3).map(_.split(',').map(_.trim).toSet)
+        .map(s => s.contains(_: String)).getOrElse(_ => true)
     val k = kStr.toInt
     require(k >= 1 && k <= 1000, s"replicas out of range: $k")
 
@@ -126,7 +133,7 @@ object ScaleRehearsal {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = if (wanted(name)) {
       // raw read (no Tables.t ts normalization): the generated corpus
       // should round-trip the source column types so Tables.t applies the
       // exact same normalization when queries read it back
@@ -137,7 +144,7 @@ object ScaleRehearsal {
       println(s"[scale-rehearsal] $name: ${src.count()} -> $n rows (x$k)")
     }
 
-    val dim = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    lazy val dim = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .selectExpr("size(embedding) AS d").head().getInt(0)
 
     replicate("documents", documentsReplica)
@@ -152,7 +159,7 @@ object ScaleRehearsal {
     replicate("orders", keyShiftReplica(Seq("o_orderkey", "o_custkey")))
     replicate("lineitem",
       keyShiftReplica(Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    Seq("region", "nation").foreach { name =>
+    Seq("region", "nation").filter(wanted).foreach { name =>
       spark.read.parquet(s"$srcDir/$name.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scale-rehearsal] $name: fixed dimension, 1x copy")
