@@ -272,24 +272,25 @@ object Similarity {
   }
 
   /** Cluster assignment as a pure Catalyst expression: vectors grid to
-    * longs in-plan, exact gridded cosine against LITERAL centroid arrays
-    * (no UDF — the fold runs in codegen via [[graft.functions.VecCosine]],
-    * whose double accumulation is exact for these integer-valued inputs),
-    * argmax via the comparable-struct `least` trick with ties to the
-    * lowest cluster id. No rounding needed: every compared value is
-    * bit-identical across engines by construction.
+    * longs in-plan, exact gridded cosine against the driver-held centroid
+    * matrix via [[graft.functions.NearestCentroid]] — one constant-size
+    * codegen'd loop whatever k is (the previous `least(...)` chain over k
+    * per-centroid `VecCosine` structs emitted O(k·d) generated code,
+    * which caps k well below the ~√N list counts a 100 TB inverted file
+    * wants; `NearestCentroidSpec` pins the two forms bit-identical,
+    * including ties → lowest cid and NaN handling). No rounding needed:
+    * every compared value is bit-identical across engines by
+    * construction.
     */
   def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Long]],
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val vq = transform(col(vecCol),
       x => floor(x.cast("double") * lit(IvfGrid) + lit(0.5)).cast("long"))
-    val choices = centroids.zipWithIndex.map { case (c, i) =>
-      struct((-cosine(col("_vq"), typedLit(c.toSeq))).as("negCos"), lit(i).as("cid"))
-    }
-    val best = if (choices.length == 1) choices.head else least(choices: _*)
     embeddings.withColumn("_vq", vq)
-      .select(col(idCol).as("vec_id"), best.getField("cid").as("cluster"))
+      .select(col(idCol).as("vec_id"),
+        graft.functions.NearestCentroid.byCosine(col("_vq"), centroids)
+          .as("cluster"))
   }
 
   /** IVF approximate top-k: each probe scans only its `nProbe` nearest
@@ -377,6 +378,46 @@ object Similarity {
     }: _*))
   }
 
+  /** Loud cap on codebooks pulled to the driver for row-local encoding:
+    * k·m rows of ds longs — broadcast-sized by construction (the PQ point
+    * is a SMALL code set), but enforce it instead of trusting it.
+    */
+  private val MaxCodebookRows = 1 << 20
+
+  /** Row-local PQ encode: `(keys..., s, code)` for every subspace of the
+    * gridded vector column `gqCol`, argmin-ing against a DRIVER-HELD
+    * codebook via [[graft.functions.NearestCentroid]] — m constant-size
+    * codegen'd loops and a `posexplode`, NO join and NO aggregation.
+    *
+    * The join+`min(struct(d2, code))` form this replaces materialized
+    * m·k rows PER VECTOR through a broadcast join and then shuffled them
+    * back down in a groupBy — ~256 M intermediate rows at the ×1000
+    * rehearsal decade (2 M vectors, m=8, k=16) for what is an O(k·ds)
+    * per-row loop. Semantics are pinned identical: same exact
+    * integer-valued double d² arithmetic in the same association order
+    * (`(aa − 2ab) + bb`), ties to the LOWEST code id (codewords are laid
+    * out in ascending code order per subspace, and the expression's
+    * strict `<` keeps the first best).
+    */
+  private def pqEncodeCols(cbRows: Array[(Long, Int, Array[Long])],
+                           m: Int, ds: Int, gqCol: Column): Column = {
+    require(cbRows.length <= MaxCodebookRows,
+      s"pqEncode: codebook has ${cbRows.length} rows, over the " +
+        s"$MaxCodebookRows driver cap")
+    val bySub: Array[(Array[Long], Array[Array[Long]])] =
+      Array.tabulate(m) { s =>
+        val rows = cbRows.filter(_._2 == s).sortBy(_._1)
+        require(rows.nonEmpty, s"pqEncode: codebook has no codes for subspace $s")
+        (rows.map(_._1), rows.map(_._3))
+      }
+    val codeCols = (0 until m).map { s =>
+      val idx = graft.functions.NearestCentroid.byL2(
+        slice(gqCol, s * ds + 1, ds), bySub(s)._2)
+      element_at(typedLit(bySub(s)._1.toSeq), idx + lit(1))
+    }
+    posexplode(array(codeCols: _*))
+  }
+
   /** PQ codebook from the k lowest-id vectors (the literal-centroid recipe
     * of `p_ann_ivf_assign`, so an oracle can reconstruct it by id): one row
     * per (subspace s, code), where `code` is the source vector's id and
@@ -400,25 +441,28 @@ object Similarity {
     * code) — m small ints per vector, the 8×-compressed at-rest
     * representation ADC scoring consumes directly.
     *
-    * Shape: one scan, codebook broadcast, argmin as a map-side-combinable
-    * `min` over (d2, code) structs — the `p_ann_ivf_assign` recipe per
-    * subspace. d2 terms are integer-valued doubles < 2⁵³ (grid bound ±1e7
-    * per component), so every distance is exact.
+    * Shape: ONE row-local scan — the codebook rides driver-held into m
+    * constant-size [[graft.functions.NearestCentroid]] loops (see
+    * [[pqEncodeCols]]); no join, no shuffle, no per-vector fan-out. d2
+    * terms are integer-valued doubles < 2⁵³ (grid bound ±1e7 per
+    * component), so every distance is exact.
     */
   def pqEncode(embeddings: DataFrame, codebook: DataFrame, m: Int, dim: Int,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
-    val sub = embeddings
+    // codebook is broadcast-sized by contract — pull it to the driver
+    // (bounded + loud) and encode ROW-LOCALLY instead of exploding m·k
+    // rows per vector through a broadcast join and shuffling them back
+    // down in a groupBy (see [[pqEncodeCols]])
+    val cbRows = codebook
+      .select(col("code").cast("long"), col("s").cast("int"), col("cw"))
+      .limit(MaxCodebookRows + 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    embeddings
       .select(col(idCol).as("vec_id"), pqGrid(col(vecCol)).as("gq"))
-      .select(col("vec_id"), pqSubspaces(col("gq"), m, dim).as("e"))
-      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
-    val d2 = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw")) +
-      dot(col("cw"), col("cw"))
-    sub.join(broadcast(codebook), Seq("s"))
-      .groupBy("vec_id", "s")
-      .agg(min(struct(d2.as("d2"), col("code"))).as("best"))
-      .select(col("vec_id"), col("s"), col("best.code").as("code"))
+      .select(col("vec_id"),
+        pqEncodeCols(cbRows, m, dim / m, col("gq")).as(Seq("s", "code")))
   }
 
   /** Learned PQ codebooks: per-subspace Lloyd iterations over the gridded
@@ -552,20 +596,22 @@ object Similarity {
   /** IVF-PQ: the FAISS flagship index shape (Jégou et al. 2011, §IV —
     * "IVFADC"), composed from the exact-integer pieces already here.
     * Vectors coarse-assign to their nearest of `kLists` centroids by exact
-    * gridded squared-L2 (row-local `least` over literal centroid structs —
-    * no shuffle), and product quantization runs on the RESIDUAL
-    * `gq − centroid` (integer subtraction on the grid, so still exact):
-    * the residual codebook is the `kCodes` lowest-id vectors' residuals
-    * (the literal-id recipe every PQ oracle here uses), encode is
-    * per-subspace argmin d², and a probe scores ONLY the `nProbe` lists
-    * nearest to it — its per-list residual LUT equi-joins the encoded
-    * corpus on (cluster, s, code), so unprobed lists never enter the plan.
+    * gridded squared-L2 (row-local [[graft.functions.NearestCentroid]]
+    * over the driver-held centroid matrix — no shuffle, constant-size
+    * generated code at any `kLists`), and product quantization runs on the
+    * RESIDUAL `gq − centroid` (integer subtraction on the grid, so still
+    * exact): the residual codebook is the `kCodes` lowest-id vectors'
+    * residuals (the literal-id recipe every PQ oracle here uses), encode
+    * is per-subspace argmin d² — row-local via [[pqEncodeCols]], no join —
+    * and a probe scores ONLY the `nProbe` lists nearest to it — its
+    * per-list residual LUT equi-joins the encoded corpus on
+    * (cluster, s, code), so unprobed lists never enter the plan.
     *
-    * At 100 TB: assignment + encode are one scan each (map-side work, the
-    * codebook broadcasts); the index at rest is m bytes + a cluster id per
-    * vector; a query touches |probes|·nProbe lists via one broadcast
-    * equi-join, map-side-combining m rows per (probe, cand) before the
-    * shuffle. Distances stay exact integers end-to-end (unit-scale
+    * At 100 TB: assignment + encode are ONE row-local scan (the centroid
+    * table and codebook ride driver-held into codegen'd loops); the index
+    * at rest is m bytes + a cluster id per vector; a query touches
+    * |probes|·nProbe lists via one broadcast equi-join, map-side-combining
+    * m rows per (probe, cand) before the shuffle. Distances stay exact integers end-to-end (unit-scale
     * embeddings: residual components ≤ 2·10⁶ + 1, squared ≤ 4.4·10¹²,
     * comfortably inside 2⁵³ for any realistic ds·m).
     */
@@ -588,9 +634,14 @@ object Similarity {
     val assignChoices = centroids.zipWithIndex.map { case (c, i) =>
       struct(d2To(c).as("d2"), lit(i).as("cid"))
     }
-    val bestCluster =
-      (if (assignChoices.length == 1) assignChoices.head
-       else least(assignChoices: _*)).getField("cid")
+    // corpus-side coarse assignment: one constant-size codegen loop over
+    // the centroid matrix (NearestCentroidSpec pins it bit-identical to
+    // the `least` chain over `assignChoices`, which would emit O(k·d)
+    // generated code — the N-row path must survive k ≈ √N list counts).
+    // The PROBE side below keeps the k-branch array_sort: it needs the
+    // nProbe BEST lists, not the single best, and only runs on the tiny
+    // probe set — still k-bounded by codegen size, like `centLit`.
+    val bestCluster = graft.functions.NearestCentroid.byL2(col("gq"), centroids)
     // (vec_id, cluster, rq): gridded residual vs the assigned centroid —
     // row-local, one scan, nothing shuffles
     val residuals = embeddings
@@ -599,18 +650,25 @@ object Similarity {
       .withColumn("rq", zip_with(col("gq"),
         element_at(centLit, col("cluster") + 1), (a, b) => a - b))
       .select(col("vec_id"), col("cluster"), col("rq"))
-    val codebook = residuals.orderBy(col("vec_id")).limit(kCodes)
+    // residual codebook: collected ONCE (kCodes·m rows, tiny by
+    // construction) — the same driver-held codewords feed both the
+    // row-local corpus encode (no join, no shuffle — see
+    // [[pqEncodeCols]]) and the probe-side LUT join below
+    val cbRows = residuals.orderBy(col("vec_id")).limit(kCodes)
       .select(col("vec_id").as("code"), pqSubspaces(col("rq"), m, dim).as("e"))
       .select(col("code"), col("e.s").as("s"), col("e.sv").as("cw"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val codebook = cbRows.toSeq.map { case (c, s, cw) => (c, s, cw.toSeq) }
+      .toDF("code", "s", "cw")
     val subD2 = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw")) +
       dot(col("cw"), col("cw"))
     val enc = residuals
-      .select(col("vec_id"), col("cluster"), pqSubspaces(col("rq"), m, dim).as("e"))
-      .select(col("vec_id"), col("cluster"), col("e.s").as("s"), col("e.sv").as("sv"))
-      .join(broadcast(codebook), Seq("s"))
-      .groupBy("vec_id", "cluster", "s")
-      .agg(min(struct(subD2.as("d2"), col("code"))).as("best"))
-      .select(col("vec_id"), col("cluster"), col("s"), col("best.code").as("code"))
+      .select(col("vec_id"), col("cluster"),
+        pqEncodeCols(cbRows, m, dim / m, col("rq")).as(Seq("s", "code")))
+      .select(col("vec_id"), col("cluster"), col("s"), col("code"))
     // probes: nProbe nearest lists by the SAME exact d², ties to the
     // lowest cid (array_sort on (d2, cid) structs); per-list residual LUT
     val probes = embeddings.filter(probePred)
@@ -641,8 +699,9 @@ object Similarity {
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540; the reference has no embedding surface — this is
     * brief-extension territory): shard the corpus into semantic clusters
-    * by broadcast-centroid argmax (row-local `least` over literal centroid
-    * structs — no join, no shuffle to assign), generate candidate pairs
+    * by broadcast-centroid argmax (row-local [[graft.functions.NearestCentroid]]
+    * over the driver-held centroid matrix — no join, no shuffle to
+    * assign, constant-size generated code at any k), generate candidate pairs
     * only WITHIN a cluster (equi-join on the cluster id — never
     * all-pairs; the paper's k-means sharding), verify with the rounded
     * exact cosine, and keep the lowest-id member of every near-identical
@@ -673,12 +732,18 @@ object Similarity {
     val nz = embeddings
       .filter(dot(col(vecCol), col(vecCol)) > 0.0)
       .select(col(idCol).as("vec_id"), col(vecCol).as("ev"))
-    val choices = centroids.map { case (cid, cv) =>
-      struct((-round(cosine(col("ev"), typedLit(cv)), 9)).as("negCos"),
-        lit(cid).as("cid"))
-    }
-    val best = if (choices.length == 1) choices.head else least(choices: _*)
-    val assigned = nz.withColumn("cluster", best.getField("cid"))
+    // constant-size codegen'd argmax whatever the centroid count (the
+    // previous `least` chain over per-centroid `(−round(cos,9), cid)`
+    // structs emitted O(k·d) generated code — SemDeDup at corpus scale
+    // wants k in the tens of thousands). Centroids sorted by cid so the
+    // expression's ties-to-lowest-INDEX rule lands on the lowest cid,
+    // exactly like the struct comparison; round-9-then-compare semantics
+    // are pinned bit-identical by `NearestCentroidSpec`.
+    val sorted = centroids.sortBy(_._1)
+    val bestIdx = graft.functions.NearestCentroid.byCosineRounded(
+      col("ev"), sorted.map(_._2.toArray).toArray, digits = 9)
+    val cidOf = typedLit(sorted.map(_._1))
+    val assigned = nz.withColumn("cluster", element_at(cidOf, bestIdx + lit(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cluster").as("c_a"), col("vec_id").as("v1"),
       col("ev").as("e1"))

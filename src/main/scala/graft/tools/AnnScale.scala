@@ -76,10 +76,28 @@ object AnnScale {
         "cosine_brute" -> (() => Similarity.cosineTopK(emb, probePred, 5)),
         "cosine_int8" -> (() => Similarity.int8CosineTopK(emb, probePred, 5)),
         "lsh" -> (() => Similarity.lshTopK(emb, probePred, 5)),
+        // the one-off index-build half of "ivf" on its own (k-means train +
+        // full-corpus assignment): end-to-end minus this is the per-batch
+        // query cost an amortized deployment actually pays
+        "ivf_build" -> (() => Similarity.ivfAssign(emb,
+          Similarity.ivfCentroids(emb, k = 16, iters = 2))),
         "ivf" -> (() => Similarity.ivfTopK(emb, probePred, 5,
           k = 16, iters = 2, nProbe = 4)),
         "ivfpq" -> (() => Similarity.ivfPqTopK(emb, probePred, 5,
-          kLists = 8, nProbe = 2, kCodes = 16, m = 8, dim = 64)))
+          kLists = 8, nProbe = 2, kCodes = 16, m = 8, dim = 64)),
+        // scaled dials: the registered queries pin k for oracle
+        // determinism, but a deployment grows the list count with the
+        // corpus (the FAISS-style kLists ≈ √N rule) so the per-probe
+        // scan FRACTION (nProbe/kLists) shrinks — viable in-plan since
+        // the coarse assignment became a constant-size NearestCentroid
+        // loop instead of a k-branch least() chain. Same nProbe, 8×
+        // the lists → 1/8 the scanned corpus per probe.
+        "ivf_build_scaled128" -> (() => Similarity.ivfAssign(emb,
+          Similarity.ivfCentroids(emb, k = 128, iters = 2))),
+        "ivf_scaled128" -> (() => Similarity.ivfTopK(emb, probePred, 5,
+          k = 128, iters = 2, nProbe = 4)),
+        "ivfpq_scaled64" -> (() => Similarity.ivfPqTopK(emb, probePred, 5,
+          kLists = 64, nProbe = 2, kCodes = 16, m = 8, dim = 64)))
 
       queries.foreach { case (name, f) =>
         val a = timeOnce(f)
