@@ -392,6 +392,142 @@ object Dedup {
       .withColumn("kept",
         col("n_dup_grams") * 1000 <= lit(maxDupPermille.toLong) * col("n_grams"))
   }
+
+  /** Maximal duplicated-SPAN geometry — the removal step of ExactSubstr
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2021): [[dupGramProfile]] counts how many of a document's
+    * word-`n`-gram occurrences use a cross-document gram; this computes
+    * WHERE they sit — overlapping-or-adjacent cross-doc windows merge into
+    * maximal token intervals (the exact spans a span-cutter would drop)
+    * and the profile reports, per input doc, `n_tokens`, `n_dup_windows`
+    * (cross-doc windows), `n_spans` (maximal merged intervals) and
+    * `covered_tokens` (size of their union).
+    *
+    * Scale shape: gram windows and positions are row-local; the corpus-
+    * wide stages are the per-gram distinct-doc count and one LEFT SEMI
+    * join of window rows against the (small) duplicated-gram set — the
+    * same substrate as [[dupGramProfile]], so the hot-gram guarantees
+    * carry over. The interval merge itself runs INSIDE one row: a doc's
+    * duplicated window positions are collected (bounded by document
+    * length, never by corpus size) and a single sorted-array `aggregate`
+    * pass folds them into islands — no window function, no per-key sort
+    * beyond the row-local `sort_array`, exactly one shuffle by doc_id
+    * after the semi join.
+    */
+  /** Folds an ASCENDING array of window start positions (each window
+    * covering tokens [i, i+n-1]) into maximal merged intervals: merge
+    * while i <= cur_end + 1 (overlap OR adjacency), so a span is a
+    * maximal contiguous covered token interval. One window per position
+    * and ascending order give i + n - 1 >= cur_end in the merge branch,
+    * so the covered increment (i + n - 1) - cur_end is non-negative
+    * integer arithmetic throughout. Returns
+    * struct(n_spans bigint, covered_tokens bigint); row-local, so the
+    * same fold serves the batch profile and the streaming twin.
+    */
+  private[pipeline] def islandFold(ps: Column, n: Int): Column =
+    aggregate(
+      ps,
+      struct(lit(0L).as("spans"), lit(0L).as("covered"), lit(-2L).as("cur_end")),
+      (a, i) => {
+        val end = i.cast("long") + lit((n - 1).toLong)
+        when(i.cast("long") > a.getField("cur_end") + 1L,
+          struct((a.getField("spans") + 1L).as("spans"),
+            (a.getField("covered") + n.toLong).as("covered"),
+            end.as("cur_end")))
+          .otherwise(struct(a.getField("spans").as("spans"),
+            (a.getField("covered") + (end - a.getField("cur_end"))).as("covered"),
+            end.as("cur_end")))
+      },
+      a => struct(a.getField("spans").as("n_spans"),
+        a.getField("covered").as("covered_tokens")))
+
+  def dupSpanProfile(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, s"gram order must be >= 1, got $n")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextPipeline.wordGramArray(col(textCol), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        Det.md5Hash60(col("col")).as("g"))
+    // one row per (doc, gram) feeds the distinct-doc count (a "the the
+    // the…" doc contributes one row per DISTINCT gram, not per token)
+    val dupSet = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val spans = grams.join(dupSet, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast("long").as("n_dup_windows"),
+        islandFold(col("ps"), n).as("sp"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        col("sp.n_spans").as("n_spans"),
+        col("sp.covered_tokens").as("covered_tokens"))
+    docs.select(col(idCol).as("doc_id") +:
+        TextPipeline.tokenCount(col(textCol)).cast("long").as("n_tokens") +:
+        carryCols.map(col): _*)
+      .join(spans, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_windows", "n_spans", "covered_tokens"))
+  }
+
+  /** The corpus's cross-doc-duplicated gram hashes as a SORTED primitive
+    * array — the driver-held substrate of [[dupSpanCols]] (binary-search
+    * probes, 8 bytes/gram). Duplicated grams are a small fraction of a
+    * real corpus, but the cap still fails LOUDLY when a corpus breaks
+    * that assumption — the distributed semi join ([[dupSpanProfile]]) is
+    * the right plan there.
+    */
+  def dupGramArray(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxGrams: Int = 1 << 22): Array[Long] = {
+    require(n >= 1, s"gram order must be >= 1, got $n")
+    val dup = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextPipeline.wordGramArray(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), Det.md5Hash60(col("gram")).as("g"))
+      .distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val nG = dup.count()
+    require(nG <= maxGrams,
+      s"duplicated-gram set $nG exceeds maxGrams=$maxGrams — use " +
+        "dupSpanProfile (distributed semi join) instead of the " +
+        "broadcast form")
+    val arr = dup.collect().map(_.getLong(0))
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Row-local twin of [[dupSpanProfile]] against a FIXED duplicated-gram
+    * set ([[dupGramArray]], built offline from a corpus snapshot): the
+    * whole span geometry — window flags, island merge, covered mass —
+    * evaluates inside one row with higher-order functions over the
+    * native sorted-set probe ([[graft.functions.BroadcastLookup]]). No
+    * explode, no join, no state, so the same column runs on a batch or
+    * STREAMING DataFrame in append mode (score the firehose against
+    * yesterday's dup profile; `StreamingSpec` pins batch ≡ stream).
+    * Returns struct(n_tokens, n_dup_windows, n_spans, covered_tokens),
+    * identical to the batch profile whenever `dupGrams` is the same
+    * corpus's duplicated-gram set.
+    */
+  def dupSpanCols(textCol: Column, dupGrams: Array[Long], n: Int): Column = {
+    require(n >= 1, s"gram order must be >= 1, got $n")
+    require(dupGrams.nonEmpty, "duplicated-gram set is empty")
+    val grams = TextPipeline.wordGramArray(textCol, n)
+    // flagged window starts, ascending by construction (transform
+    // preserves positions; filter preserves order)
+    val ps = filter(
+      transform(grams, (g, i) =>
+        when(graft.functions.BroadcastLookup.inLongSet(
+          Det.md5Hash60(g), dupGrams), i.cast("long")).otherwise(lit(-1L))),
+      x => x >= 0L)
+    val sp = islandFold(ps, n)
+    struct(
+      TextPipeline.tokenCount(textCol).cast("long").as("n_tokens"),
+      size(ps).cast("long").as("n_dup_windows"),
+      sp.getField("n_spans").as("n_spans"),
+      sp.getField("covered_tokens").as("covered_tokens"))
+  }
 }
 
 /** SimHash near-dup detection: 60-bit sign-vote fingerprints over word

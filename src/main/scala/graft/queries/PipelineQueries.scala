@@ -1397,6 +1397,69 @@ object PipelineQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Duplicated-span geometry (ExactSubstr removal step, Lee et al. 2021):
+    * cross-doc 8-gram windows merged into maximal token intervals per doc
+    * (overlap-or-adjacent islands), aggregated per language. The Spark
+    * side folds sorted window starts row-locally (`Dedup.dupSpanProfile`);
+    * the oracle re-derives the same islands on a DIFFERENT substrate — a
+    * gaps-and-islands window-function chain (prev-max + running island
+    * id) — so the merge logic is cross-checked, not just re-run.
+    */
+  val dupSpans: Q = {
+    val n = 8
+    val h = Det.md5Hash60Sql(s"array_to_string(toks[i:i+${n - 1}], ' ')")
+    Q.sql(
+      "p_dup_spans",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, i, $h AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS i) s),
+         |d AS (SELECT g FROM (SELECT doc_id, g FROM gr GROUP BY doc_id, g) o
+         |      GROUP BY g HAVING count(*) >= 2),
+         |w AS (SELECT doc_id, i FROM gr WHERE g IN (SELECT g FROM d)),
+         |m AS (SELECT doc_id, i, i + ${n - 1} AS e,
+         |        max(i + ${n - 1}) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM w),
+         |s AS (SELECT doc_id, i, e,
+         |        sum(CASE WHEN prev_max IS NULL OR i > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY i
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |isle AS (SELECT doc_id, isl, min(i) AS st, max(e) AS en,
+         |               count(*) AS nw
+         |        FROM s GROUP BY doc_id, isl),
+         |p AS (SELECT doc_id, count(*) AS n_spans, sum(en - st + 1) AS covered,
+         |             sum(nw) AS n_dup_windows
+         |      FROM isle GROUP BY doc_id),
+         |k AS (SELECT dd.lang,
+         |             len(regexp_extract_all(lower(dd.text), '[a-z0-9]+')) AS n_tokens,
+         |             coalesce(p.n_spans, 0) AS n_spans,
+         |             coalesce(p.covered, 0) AS covered,
+         |             coalesce(p.n_dup_windows, 0) AS n_dup_windows
+         |      FROM documents dd LEFT JOIN p ON dd.doc_id = p.doc_id)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END)::BIGINT AS n_affected,
+         |       sum(n_spans)::BIGINT AS sum_spans,
+         |       sum(covered)::BIGINT AS sum_covered,
+         |       sum(n_dup_windows)::BIGINT AS sum_dup_windows,
+         |       sum(n_tokens)::BIGINT AS sum_tokens
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Dedup.dupSpanProfile(docsSpread(s, dir), n, carryCols = Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("n_affected"),
+          sum(col("n_spans")).as("sum_spans"),
+          sum(col("covered_tokens")).as("sum_covered"),
+          sum(col("n_dup_windows")).as("sum_dup_windows"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("lang")
+    }
+  }
+
   /** Mixture-weight resampling audit: per-language keep counts under a
     * rate table (en kept in full, zh heavily downsampled, default 500‰).
     * The keep verdict is row-local (salted hash mod 1000 vs the stratum
@@ -1969,6 +2032,7 @@ object PipelineQueries {
     packSequences, chunkOverlap,
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
-    dupClusters, rateSample, rateUpsampleQ, corpusFreqQuality, lengthBatching,
-    dupGramProfileQ, bigramLmQuality, weightedSampleQ)
+    dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
+    lengthBatching, dupGramProfileQ, dupSpans, bigramLmQuality,
+    weightedSampleQ)
 }

@@ -180,6 +180,24 @@ object StreamingPipeline {
     docs.withColumn("z", TextPipeline.classifierScore(col(textCol), beta))
       .withColumn("kept", col("z") >= lit(zThreshold))
 
+  /** Streaming duplicated-span profile (P45's stream twin): the corpus's
+    * cross-doc duplicated-gram set — built ONCE offline by
+    * `Dedup.dupGramArray` from a batch snapshot — rides into the stream
+    * as a driver-held sorted array, and the whole span geometry (window
+    * flags, island merge, covered-token mass) evaluates row-locally via
+    * `Dedup.dupSpanCols`. Zero state, append mode: incoming docs are
+    * scored against yesterday's dup profile at ingest, the ExactSubstr
+    * analogue of [[decontaminateStream]].
+    */
+  def dupSpanProfileStream(docs: DataFrame, dupGrams: Array[Long], n: Int,
+                           textCol: String = "text"): DataFrame = {
+    val sp = graft.pipeline.Dedup.dupSpanCols(col(textCol), dupGrams, n)
+    docs.withColumn("n_tokens", sp.getField("n_tokens"))
+      .withColumn("n_dup_windows", sp.getField("n_dup_windows"))
+      .withColumn("n_spans", sp.getField("n_spans"))
+      .withColumn("covered_tokens", sp.getField("covered_tokens"))
+  }
+
   /** Gap-based user sessionization with CUSTOM state
     * (`flatMapGroupsWithState`, the engine's stateful-streaming extension
     * point): events of a user belong to one session while consecutive gaps

@@ -704,6 +704,61 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L).getAs[Boolean]("kept"))
   }
 
+  test("dupSpanProfile: overlap and adjacency merge, gaps split, within-doc repeats ignored") {
+    val sp = spark; import sp.implicits._
+    // n=2 windows. docs 0/1 share bigrams (a b),(b c),(c d),(f g),(g h):
+    // doc 0 dup windows at i=0,1,2 (overlap-merge → tokens 0..3) and
+    // i=6,7 (→ tokens 6..8): 2 spans, 7 covered tokens of 9.
+    val df = Seq(
+      (0L, "a b c d e q f g h"),
+      (1L, "a b c d x x f g h"),
+      (2L, "zz yy"),            // nothing shared → zeros
+      (3L, "solo"),             // shorter than the gram order → zero windows
+      (4L, "p q p q p q")).toDF("doc_id", "text") // within-doc repeats only
+    val out = Dedup.dupSpanProfile(df, n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (d <- Seq(0L, 1L)) {
+      assert(out(d).getAs[Long]("n_tokens") == 9)
+      assert(out(d).getAs[Long]("n_dup_windows") == 5)
+      assert(out(d).getAs[Long]("n_spans") == 2)
+      assert(out(d).getAs[Long]("covered_tokens") == 7)
+    }
+    assert(out(2L).getAs[Long]("n_spans") == 0)
+    assert(out(2L).getAs[Long]("covered_tokens") == 0)
+    assert(out(3L).getAs[Long]("n_tokens") == 1)
+    assert(out(3L).getAs[Long]("n_dup_windows") == 0)
+    // doc 4 repeats (p q)/(q p) only within itself → not cross-doc
+    assert(out(4L).getAs[Long]("n_dup_windows") == 0)
+
+    // adjacency merges (windows [0,1] and [2,3] touch → ONE span of 4);
+    // a 1-token gap splits (windows [0,1] and [3,4] → TWO spans).
+    val adj = Seq(
+      (0L, "a b c d z"), (1L, "a b q"), (2L, "q c d"),
+      (10L, "e f x g h"), (11L, "e f w"), (12L, "w g h"))
+      .toDF("doc_id", "text")
+    val o2 = Dedup.dupSpanProfile(adj, n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(o2(0L).getAs[Long]("n_spans") == 1)      // [0,1]+[2,3] adjacent
+    assert(o2(0L).getAs[Long]("covered_tokens") == 4)
+    assert(o2(10L).getAs[Long]("n_spans") == 2)     // [0,1], gap, [3,4]
+    assert(o2(10L).getAs[Long]("covered_tokens") == 4)
+  }
+
+  test("keepBest: highest quality wins, ties break to lowest id, cluster sizes exact") {
+    val sp = spark; import sp.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("v", "lbl")
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 20L), (5L, 7L), (6L, 7L))
+      .toDF("doc_id", "q")
+    val out = Dedup.keepBest(clusters, docs, col("q"))
+      .collect().map(r => r.getAs[Long]("cluster_rep") -> r).toMap
+    assert(out(1L).getAs[Long]("keep_id") == 2L)      // quality tie → min id
+    assert(out(1L).getAs[Long]("keep_quality") == 20L)
+    assert(out(1L).getAs[Long]("n_docs") == 3L)
+    assert(out(5L).getAs[Long]("keep_id") == 5L)
+    assert(out(5L).getAs[Long]("n_docs") == 2L)
+  }
+
   test("bigramLmProfile: exact bit-length surprisal vs hand computation; short docs zeroed") {
     val sp = spark; import sp.implicits._
     // corpus: "a b" x3 docs + one "a c" doc + one single-token doc.

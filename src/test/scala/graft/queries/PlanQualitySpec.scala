@@ -355,6 +355,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-doc aggregate must map-side combine")
   }
 
+  test("dup spans: island fold is row-local — no window function, joins keyed on the gram hash") {
+    val p = planOf("p_dup_spans")
+    // the gaps-and-islands merge must NOT be a window function over
+    // (doc, position) rows — it folds inside one row after collect_list
+    assert(!p.contains("Window"), "span merge must fold row-locally, not window")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "dup-span profile must join by key only")
+    assert(p.contains("LeftSemi"), "dup-set membership must be a semi join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-lang aggregate must map-side combine")
+  }
+
   test("bigram LM: vocab-size broadcasts as a 1-row table; count joins are keyed, no window") {
     val p = planOf("p_bigram_lm_quality")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -254,6 +254,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally pq.stop()
   }
 
+  test("streaming dup-span profile: row-local islands match the batch semi-join profile") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val n = 2
+    // snapshot corpus: docs 0/1 share (a b),(b c),(c d) and (f g),(g h);
+    // doc 2 shares nothing; doc 3 too short for a bigram
+    val corpus = Seq(
+      (0L, "a b c d e q f g h"),
+      (1L, "a b c d x x f g h"),
+      (2L, "zz yy"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val dupGrams = graft.pipeline.Dedup.dupGramArray(corpus, n)
+    assert(dupGrams.length == 5) // (a b),(b c),(c d),(f g),(g h)
+    val batch = graft.pipeline.Dedup.dupSpanProfile(corpus, n)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("covered_tokens"))).toMap
+
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.dupSpanProfileStream(
+      input.toDF().toDF("doc_id", "text"), dupGrams, n)
+    val q = out.writeStream.format("memory").queryName("spans_out")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, "a b c d e q f g h"), (1L, "a b c d x x f g h"))
+      q.processAllAvailable()
+      input.addData((2L, "zz yy"), (3L, "solo")) // second micro-batch
+      q.processAllAvailable()
+      val got = sp.sql(
+        """SELECT doc_id, n_tokens, n_dup_windows, n_spans, covered_tokens
+          |FROM spans_out""".stripMargin)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == batch, "stream and batch span profiles must agree row-for-row")
+      assert(got(0L) == ((9L, 5L, 2L, 7L))) // tokens 0..3 and 6..8 covered
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: MG state across batches, heavy-token superset, fixed memory") {
     val sp = spark
     import sp.implicits._
