@@ -230,6 +230,68 @@ object Dedup {
     NearDupFrames(spread, candSh, jaccardVerify(cand, candSh, threshold))
   }
 
+  /** Incremental near-duplicate detection against a pre-built LSH index —
+    * the daily-crawl twin of [[nearDupPairs]] (which rescans the whole
+    * corpus every run): the CORPUS side's structure — exact-dup reps, band
+    * table, doc store — is built once and persisted in deployment, and
+    * each INCREMENT pays only its own shingle → minhash → band chain, one
+    * equi-join against the index buckets, and a candidate-driven exact
+    * verify that re-reads only the (few) matched corpus docs. Returns
+    * verified cross-side pairs (new_id, idx_id, jaccard ≥ threshold);
+    * increment-internal near-dups are deliberately NOT reported (dedup
+    * within a batch is [[nearDupPairs]]' job).
+    *
+    * Both sides collapse to exact-dup representatives first (same
+    * bucket-blowup guard as [[nearDupFrames]]: N copies of boilerplate
+    * in either side would otherwise expand N candidate pairs per match).
+    * REQUIRES globally disjoint doc_ids across the two sides — the
+    * verification shingle table unions both sides on doc_id.
+    *
+    * Scale shape: the index band table is nBands rows per corpus doc
+    * (compact enough to bucket by (band, bh) on a lake, making the probe
+    * join co-located); the increment side is O(\|incoming\|); nothing
+    * rescans the corpus — candidate corpus docs are recovered by a
+    * left-semi join on the doc store, a vanishing fraction of the index.
+    */
+  def incrementalNearDup(incoming: DataFrame, corpus: DataFrame,
+      k: Int = 5, nHashes: Int = 18, rowsPerBand: Int = 6,
+      threshold: Double = 0.7): DataFrame = {
+    def side(df: DataFrame): (DataFrame, DataFrame) = {
+      val reps = df
+        .select(col("doc_id"), col("text"),
+          TextPipeline.fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
+        .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
+      val spread = reps.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (spread,
+        bands(minhash(shingles(spread, k = k, dedup = false), nHashes),
+          rowsPerBand))
+    }
+    val (incSpread, incBands) = side(incoming)
+    val (corSpread, corBands) = side(corpus)
+    // cross-side candidates only: an increment doc and an index doc
+    // sharing any (band, band-hash) bucket
+    val cand = incBands.select(col("doc_id").as("d1"), col("band"), col("bh"))
+      .join(corBands.select(col("doc_id").as("d2"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("d1", "d2").distinct()
+    val candSh = shingles(
+        incSpread.join(cand.select(col("d1").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi"), k = k)
+      .unionByName(shingles(
+        corSpread.join(cand.select(col("d2").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi"), k = k))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = jaccardVerify(cand, candSh, threshold).localCheckpoint()
+    incSpread.unpersist(blocking = false)
+    corSpread.unpersist(blocking = false)
+    candSh.unpersist(blocking = false)
+    out
+  }
+
   /** Duplicate-cluster resolution: connected components over verified
     * near-dup pairs — each doc ends up labeled with the smallest doc_id
     * reachable from it, so "keep one per cluster" is `label == doc_id`.

@@ -220,6 +220,67 @@ object PipelineQueries {
       |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
       |WHERE nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE >= 0.7""".stripMargin
 
+  /** One side of the incremental near-dup oracle: exact-dup rep collapse,
+    * 5-char shingles, 18 affine minhashes, 3 bands of 6 — the same
+    * pipeline as [[minhashPairsSql]], restricted to one doc_id parity and
+    * CTE-prefixed so two sides compose in a single WITH chain.
+    */
+  private def mhSideSql(p: String, parity: Int): String =
+    s"""${p}reps AS (
+       |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+       |  FROM (SELECT doc_id, text,
+       |          ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
+       |        FROM documents WHERE doc_id % 2 = $parity)
+       |  GROUP BY fp),
+       |${p}docs AS (SELECT doc_id, lower(text) AS t FROM ${p}reps WHERE len(text) >= 5),
+       |${p}pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM ${p}docs),
+       |${p}sh AS (SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS sh FROM ${p}pos),
+       |${p}hb AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashPrime} AS hb FROM ${p}sh),
+       |${p}mh AS (
+       |  SELECT doc_id, s.seed, min((hb * s.a + s.b) % ${Dedup.MinhashPrime}) AS minhash
+       |  FROM ${p}hb, (VALUES ${Dedup.minhashSeeds(18).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")}) s(seed, a, b)
+       |  GROUP BY doc_id, s.seed),
+       |${p}bands AS (
+       |  SELECT doc_id, (seed // 6)::INT AS band,
+       |         ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15))::BIGINT AS bh
+       |  FROM ${p}mh GROUP BY doc_id, seed // 6)""".stripMargin
+
+  /** Incremental near-dup: odd doc_ids are the INCREMENT, even doc_ids the
+    * INDEXED CORPUS; verified cross-side pairs only (an increment doc vs
+    * its nearest indexed near-duplicates). The Spark side probes the
+    * corpus band table with the increment's bands and verifies candidates
+    * exactly (`Dedup.incrementalNearDup`).
+    */
+  val incrementalNearDupQ: Q = Q.sql(
+    "p_incremental_neardup",
+    s"""WITH ${mhSideSql("i_", 1)},
+       |${mhSideSql("c_", 0)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM i_bands a JOIN c_bands b ON a.band = b.band AND a.bh = b.bh),
+       |i_sizes AS (SELECT doc_id, count(*) AS sz FROM i_sh GROUP BY doc_id),
+       |c_sizes AS (SELECT doc_id, count(*) AS sz FROM c_sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS nab
+       |  FROM cand c JOIN i_sh a ON a.doc_id = c.d1
+       |              JOIN c_sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY c.d1, c.d2)
+       |SELECT d1 AS new_id, d2 AS idx_id,
+       |       round(nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE, 9) AS jaccard
+       |FROM inter JOIN i_sizes s1 ON s1.doc_id = d1
+       |           JOIN c_sizes s2 ON s2.doc_id = d2
+       |WHERE nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE >= 0.7
+       |ORDER BY new_id, idx_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    Dedup.incrementalNearDup(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0))
+      .select(col("d1").as("new_id"), col("d2").as("idx_id"),
+        round(col("jaccard"), 9).as("jaccard"))
+      .orderBy("new_id", "idx_id")
+  }
+
   val minhashLshDedup: Q = Q.sql(
     "p_minhash_lsh_dedup",
     s"$minhashPairsSql\nORDER BY d1, d2") { (s, dir) =>
@@ -2032,6 +2093,7 @@ object PipelineQueries {
     packSequences, chunkOverlap,
     decontaminate,
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
+    incrementalNearDupQ,
     dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
     lengthBatching, dupGramProfileQ, dupSpans, bigramLmQuality,
     weightedSampleQ)

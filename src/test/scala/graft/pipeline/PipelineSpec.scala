@@ -744,6 +744,67 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o2(10L).getAs[Long]("covered_tokens") == 4)
   }
 
+  test("dupSpanProfile: randomized corpora match a brute-force island computation") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 1 + rnd.nextInt(3)
+      // tiny vocab forces cross-doc gram collisions; lengths straddle n
+      val corpus = (0L until 40L).map { id =>
+        val len = rnd.nextInt(25)
+        (id, (0 until len).map(_ => "w" + rnd.nextInt(6)).mkString(" "))
+      }
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector
+      }.toMap
+      val gramsOf = toks.map { case (id, ts) =>
+        id -> (if (ts.size >= n) ts.sliding(n).map(_.mkString(" ")).toVector
+               else Vector.empty[String])
+      }
+      val crossDoc = gramsOf.toSeq
+        .flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+        .groupBy(_._1).filter(_._2.size >= 2).keySet
+      val expected = gramsOf.map { case (id, gs) =>
+        val hits = gs.zipWithIndex.collect { case (g, i) if crossDoc(g) => i }
+        val covered = Array.fill(toks(id).size)(false)
+        hits.foreach(i => (i until i + n).foreach(covered(_) = true))
+        val spans = covered.foldLeft((0, false)) { case ((c, in), b) =>
+          (if (b && !in) c + 1 else c, b)
+        }._1
+        id -> ((toks(id).size.toLong, hits.size.toLong, spans.toLong,
+          covered.count(identity).toLong))
+      }
+      val got = Dedup.dupSpanProfile(corpus.toDF("doc_id", "text"), n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+            r.getAs[Long]("n_spans"), r.getAs[Long]("covered_tokens")))).toMap
+      assert(got == expected, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("incrementalNearDup: planted cross-side pair found; within-batch pairs suppressed") {
+    val sp = spark; import sp.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // corpus (even ids): doc 0 = base, doc 2 = unrelated; increment (odd):
+    // doc 1 = near-dup of 0, doc 3 = unrelated, docs 5/7 = near-dups of
+    // EACH OTHER but of nothing indexed (must not be reported)
+    val inTwin = "zzz completely different text with nothing shared at all one"
+    val corpus = Seq((0L, base), (2L, "some entirely unrelated corpus document text here"))
+    val incoming = Seq(
+      (1L, base + " x"),
+      (3L, "another unrelated incoming document nothing in common truly"),
+      (5L, inTwin), (7L, inTwin + " two"))
+    val out = Dedup.incrementalNearDup(
+        incoming.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 0L)), s"planted cross-side pair missing: $out")
+    assert(!out.exists { case (a, b) => a % 2 == b % 2 },
+      s"same-side pair reported: $out")
+    assert(!out.exists { case (a, b) => Set(a, b).subsetOf(Set(5L, 7L)) },
+      "increment-internal near-dup must not be reported")
+  }
+
   test("keepBest: highest quality wins, ties break to lowest id, cluster sizes exact") {
     val sp = spark; import sp.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
