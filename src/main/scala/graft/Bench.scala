@@ -82,8 +82,14 @@ object Bench {
       }
     }
 
-    // warm-up: JVM + codegen + parquet footers (not reported)
-    force("q1_pricing_summary")
+    // warm-up: JVM + codegen + parquet footers (not reported). On a
+    // documents-only rehearsal corpus (the ×100 dedup decade) q1 fails
+    // instantly — missing lineitem — and whichever query ran first then
+    // absorbed the whole cold start (measured: p_dup_clusters 95.8 s as
+    // the accidental warm-up vs ~36 s warmed, while its superset
+    // p_dup_keep_best measured 30.1 s in the same run); fall back to a
+    // cheap documents-based warm-up so that never lands on a scored query.
+    if (force("q1_pricing_summary") < 0) force("p_exact_dedup")
 
     // two runs per query, min reported: single-shot numbers at this scale
     // are dominated by JIT/GC/codegen noise (measured 0.8 s vs 9 s for the
