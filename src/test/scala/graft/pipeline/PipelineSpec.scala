@@ -805,6 +805,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "increment-internal near-dup must not be reported")
   }
 
+  test("incrementalNearDup equals the cross-side restriction of the full pipeline (randomized)") {
+    val sp = spark; import sp.implicits._
+    // On an exact-dup-free corpus, per-side rep collapse is the identity
+    // and both pipelines see identical band keys, so the incremental
+    // output must equal nearDupPairs(all) restricted to cross-parity
+    // pairs, jaccard included. Seeded mutation corpus: base docs with
+    // per-doc random char edits at varying edit rates.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia")
+    val base = (0 until 12).map(_ =>
+      (0 until 20).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docsSeq = (0L until 36L).map { id =>
+      val t = base((id / 3).toInt) // consecutive ids share a base → both parities per group
+      // unique suffix prevents exact dups; small random edit varies jaccard
+      val edited = if (rnd.nextBoolean()) t.replace(vocab(rnd.nextInt(10)),
+        vocab(rnd.nextInt(10))) else t
+      (id, edited + " uid" + id)
+    }
+    val df = docsSeq.toDF("doc_id", "text")
+    val full = Dedup.nearDupPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val crossFull = full.collect {
+      case ((a, b), j) if a % 2 != b % 2 =>
+        // orient as (odd incoming, even index) to match incremental output
+        (if (a % 2 == 1) (a, b) else (b, a)) -> j
+    }.toMap
+    val inc = Dedup.incrementalNearDup(
+        df.filter(col("doc_id") % 2 === 1), df.filter(col("doc_id") % 2 === 0),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc.keySet == crossFull.keySet,
+      s"pair sets differ: only-inc=${inc.keySet -- crossFull.keySet} " +
+        s"only-full=${crossFull.keySet -- inc.keySet}")
+    inc.foreach { case (k, j) =>
+      assert(math.abs(j - crossFull(k)) < 1e-12, s"jaccard differs at $k")
+    }
+    assert(inc.nonEmpty, "mutation corpus must produce cross-side pairs")
+  }
+
   test("keepBest: highest quality wins, ties break to lowest id, cluster sizes exact") {
     val sp = spark; import sp.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
