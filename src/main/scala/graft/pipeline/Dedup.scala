@@ -532,6 +532,61 @@ object Dedup {
       .na.fill(0L, Seq("n_dup_windows", "n_spans", "covered_tokens"))
   }
 
+  /** Island intervals as DATA: the same overlap-or-adjacency merge as
+    * [[islandFold]] but emitting every maximal interval `[st, en]`
+    * (inclusive token coordinates) instead of aggregate counts — the form
+    * downstream consumers (loss masking, span cutting) need. Row-local.
+    */
+  private[pipeline] def islandIntervals(ps: Column, n: Int): Column = {
+    val emptyArr = array().cast("array<struct<st:bigint,en:bigint>>")
+    aggregate(
+      ps,
+      struct(emptyArr.as("arr"), lit(-1L).as("cur_st"), lit(-2L).as("cur_end")),
+      (a, i) => {
+        val end = i.cast("long") + lit((n - 1).toLong)
+        val flushed = when(a.getField("cur_st") >= 0L,
+          array_append(a.getField("arr"),
+            struct(a.getField("cur_st").as("st"), a.getField("cur_end").as("en"))))
+          .otherwise(a.getField("arr"))
+        when(i.cast("long") > a.getField("cur_end") + 1L,
+          struct(flushed.as("arr"), i.cast("long").as("cur_st"), end.as("cur_end")))
+          .otherwise(struct(a.getField("arr").as("arr"),
+            a.getField("cur_st").as("cur_st"), end.as("cur_end")))
+      },
+      a => when(a.getField("cur_st") >= 0L,
+        array_append(a.getField("arr"),
+          struct(a.getField("cur_st").as("st"), a.getField("cur_end").as("en"))))
+        .otherwise(a.getField("arr")))
+  }
+
+  /** Per-doc duplicated-span INTERVALS — the data form of
+    * [[dupSpanProfile]]: `(doc_id, n_tokens, islands)` where `islands` is
+    * the array of maximal merged `[st, en]` token intervals (0-based,
+    * inclusive; empty for span-free docs). Same substrate and join shape
+    * as the profile; the only difference is the fold emits geometry.
+    */
+  def dupSpanIntervals(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"gram order must be >= 1, got $n")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextPipeline.wordGramArray(col(textCol), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        Det.md5Hash60(col("col")).as("g"))
+    val dupSet = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val spans = grams.join(dupSet, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("ps"))
+      .select(col("doc_id"), islandIntervals(col("ps"), n).as("islands"))
+    docs.select(col(idCol).as("doc_id"),
+        TextPipeline.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("islands", coalesce(col("islands"),
+        array().cast("array<struct<st:bigint,en:bigint>>")))
+  }
+
   /** The corpus's cross-doc-duplicated gram hashes as a SORTED primitive
     * array — the driver-held substrate of [[dupSpanCols]] (binary-search
     * probes, 8 bytes/gram). Duplicated grams are a small fraction of a

@@ -105,6 +105,57 @@ object Packing {
         expr(s"(end_tok - 1) div $seqLen").as("last_chunk"))
   }
 
+  /** Dedup-aware LOSS MASKS for packed sequences: duplicated-span
+    * intervals ([[Dedup.dupSpanIntervals]], the ExactSubstr removal
+    * geometry) mapped through the packing offsets ([[packChunks]]) into
+    * the concatenated stream, split at chunk boundaries, and audited per
+    * shard — the "train on it but don't learn it twice" shape: a trainer
+    * masks the loss on duplicated spans instead of cutting them (cutting
+    * shifts every offset and breaks document integrity; masking doesn't).
+    *
+    * Token definition is the word tokenizer on BOTH sides — span
+    * coordinates and packing offsets must agree (deliberately unlike
+    * `p_pack_sequences`, which audits BPE-ish counts).
+    *
+    * Scale shape: the span substrate is [[Dedup.dupSpanIntervals]]'
+    * (gram-keyed joins, row-local folds); packing is the sharded prefix
+    * sum; the mask mapping is a row-local explode bounded by islands ×
+    * chunks-per-island. Output per shard (shards with no masked tokens
+    * are absent): `n_mask_tokens` (Σ masked), `n_masked_chunks` (chunks
+    * containing any mask), `max_chunk_mask` (worst chunk), and
+    * `n_mask_pieces` (boundary-clipped intervals — what a dataloader
+    * would consume). All-integer arithmetic.
+    */
+  def spanMaskReport(docs: DataFrame, n: Int, nShards: Int, seqLen: Int,
+      salt: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val spans = Dedup.dupSpanIntervals(docs, n, idCol, textCol)
+      .filter(col("n_tokens") > 0)
+    val packed = packChunks(spans, "doc_id", "n_tokens", nShards, seqLen, salt)
+    val pieces = packed
+      .join(spans.select(col("doc_id"), col("islands")), Seq("doc_id"))
+      .select(col("shard"), col("start_tok"), explode(col("islands")).as("isl"))
+      .select(col("shard"),
+        (col("start_tok") + col("isl.st")).as("gst"),
+        (col("start_tok") + col("isl.en")).as("gen"))
+      .select(col("shard"), col("gst"), col("gen"),
+        explode(sequence(expr(s"gst div $seqLen"), expr(s"gen div $seqLen")))
+          .as("chunk"))
+      .select(col("shard"), col("chunk"),
+        (least(col("gen"), (col("chunk") + 1) * seqLen - 1) -
+          greatest(col("gst"), col("chunk") * lit(seqLen.toLong)) + 1)
+          .as("masked"))
+    pieces
+      .groupBy("shard", "chunk")
+      .agg(sum(col("masked")).as("chunk_mask"), count(lit(1)).as("n_pieces"))
+      .groupBy("shard")
+      .agg(sum(col("chunk_mask")).as("n_mask_tokens"),
+        count(lit(1)).as("n_masked_chunks"),
+        max(col("chunk_mask")).as("max_chunk_mask"),
+        sum(col("n_pieces")).as("n_mask_pieces"))
+  }
+
   /** Shard-level packing report: documents, tokens, emitted chunks, and
     * how many documents span a chunk boundary.
     */

@@ -1521,6 +1521,69 @@ object PipelineQueries {
     }
   }
 
+  /** Dedup-aware loss masks for packed sequences (P45 ∘ P15): duplicated
+    * spans mapped through pack offsets into chunk-local masks, audited
+    * per shard. The oracle recomputes islands via the window-function
+    * chain AND the pack prefix sums in SQL, then does the same integer
+    * interval clipping — coordinates (not just counts) must agree across
+    * engines, which pins the 0-based/1-based bookkeeping exactly.
+    */
+  val packSpanMasks: Q = {
+    val (n, nShards, seqLen, salt) = (8, 4, 128, "mask0")
+    val h = Det.md5Hash60Sql(s"array_to_string(toks[i:i+${n - 1}], ' ')")
+    val hShard = Det.md5Hash60Sql(s"'$salt-shard-' || doc_id::VARCHAR")
+    val hOrder = Det.md5Hash60Sql(s"'$salt-order-' || doc_id::VARCHAR")
+    Q.sql(
+      "p_pack_span_masks",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, i, $h AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS i) s),
+         |d AS (SELECT g FROM (SELECT doc_id, g FROM gr GROUP BY doc_id, g) o
+         |      GROUP BY g HAVING count(*) >= 2),
+         |w AS (SELECT doc_id, i FROM gr WHERE g IN (SELECT g FROM d)),
+         |m AS (SELECT doc_id, i, i + ${n - 1} AS e,
+         |        max(i + ${n - 1}) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM w),
+         |s AS (SELECT doc_id, i, e,
+         |        sum(CASE WHEN prev_max IS NULL OR i > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY i
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |isle AS (SELECT doc_id, min(i) - 1 AS st, max(e) - 1 AS en
+         |        FROM s GROUP BY doc_id, isl),
+         |pk AS (
+         |  SELECT doc_id, len(toks) AS n_tok,
+         |         $hShard % $nShards AS shard, $hOrder AS h
+         |  FROM t WHERE len(toks) > 0),
+         |c AS (SELECT shard, doc_id, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+         |      FROM pk),
+         |g2 AS (SELECT c.shard, c.end_tok - c.n_tok + i.st AS gst,
+         |              c.end_tok - c.n_tok + i.en AS gen
+         |       FROM isle i JOIN c ON c.doc_id = i.doc_id),
+         |pieces AS (
+         |  SELECT shard, k.k AS chunk,
+         |         least(gen, (k.k + 1) * $seqLen - 1)
+         |           - greatest(gst, k.k * $seqLen) + 1 AS masked
+         |  FROM g2, LATERAL (SELECT unnest(range((gst // $seqLen)::BIGINT, (gen // $seqLen + 1)::BIGINT)) AS k) k),
+         |ch AS (SELECT shard, chunk, sum(masked) AS cm, count(*) AS np
+         |       FROM pieces GROUP BY shard, chunk)
+         |SELECT shard, sum(cm)::BIGINT AS n_mask_tokens,
+         |       count(*)::BIGINT AS n_masked_chunks,
+         |       max(cm)::BIGINT AS max_chunk_mask,
+         |       sum(np)::BIGINT AS n_mask_pieces
+         |FROM ch GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      Packing.spanMaskReport(docsSpread(s, dir), n, nShards, seqLen, salt)
+        .orderBy("shard")
+    }
+  }
+
   /** Mixture-weight resampling audit: per-language keep counts under a
     * rate table (en kept in full, zh heavily downsampled, default 500‰).
     * The keep verdict is row-local (salted hash mod 1000 vs the stratum
@@ -2095,6 +2158,6 @@ object PipelineQueries {
     heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
     incrementalNearDupQ,
     dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
-    lengthBatching, dupGramProfileQ, dupSpans, bigramLmQuality,
-    weightedSampleQ)
+    lengthBatching, dupGramProfileQ, dupSpans, packSpanMasks,
+    bigramLmQuality, weightedSampleQ)
 }

@@ -845,6 +845,75 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.nonEmpty, "mutation corpus must produce cross-side pairs")
   }
 
+  test("spanMaskReport: masks match an end-to-end brute force (hash order, islands, clipping)") {
+    val sp = spark; import sp.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val (n, nShards, seqLen, salt) = (2, 2, 8, "tmask")
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 30L).map { id =>
+      val len = rnd.nextInt(20)
+      (id, (0 until len).map(_ => "w" + rnd.nextInt(5)).mkString(" "))
+    }
+    // brute force, sharing NO code with the operator
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toVector }.toMap
+    val gramsOf = toks.map { case (id, ts) =>
+      id -> (if (ts.size >= n) ts.sliding(n).map(_.mkString(" ")).toVector
+             else Vector.empty[String]) }
+    val crossDoc = gramsOf.toSeq
+      .flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+      .groupBy(_._1).filter(_._2.size >= 2).keySet
+    def islands(id: Long): Vector[(Long, Long)] = {
+      val hits = gramsOf(id).zipWithIndex.collect { case (g, i) if crossDoc(g) => i }
+      hits.foldLeft(Vector.empty[(Long, Long)]) { case (acc, i) =>
+        val (st, en) = (i.toLong, (i + n - 1).toLong)
+        acc.lastOption match {
+          case Some((ps, pe)) if st <= pe + 1 => acc.init :+ ((ps, math.max(pe, en)))
+          case _ => acc :+ ((st, en))
+        }
+      }
+    }
+    val packedIds = corpus.map(_._1).filter(toks(_).nonEmpty)
+    val startTok = packedIds
+      .groupBy(id => h60(s"$salt-shard-$id") % nShards)
+      .flatMap { case (shard, ids) =>
+        val ordered = ids.sortBy(id => (h60(s"$salt-order-$id"), id))
+        val starts = ordered.scanLeft(0L)((acc, id) => acc + toks(id).size).init
+        ordered.zip(starts).map { case (id, st) => id -> (shard, st) }
+      }
+    val chunkMask = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for (id <- packedIds; (st, en) <- islands(id)) {
+      val (shard, off) = startTok(id)
+      val (gst, gen) = (off + st, off + en)
+      for (k <- gst / seqLen to gen / seqLen) {
+        val masked = math.min(gen, (k + 1) * seqLen - 1) - math.max(gst, k * seqLen) + 1
+        val (m0, p0) = chunkMask.getOrElse((shard, k), (0L, 0L))
+        chunkMask((shard, k)) = (m0 + masked, p0 + 1)
+      }
+    }
+    val expected = chunkMask.toSeq.groupBy(_._1._1).map { case (shard, rows) =>
+      shard -> ((rows.map(_._2._1).sum, rows.size.toLong,
+        rows.map(_._2._1).max, rows.map(_._2._2).sum))
+    }
+    val got = Packing.spanMaskReport(corpus.toDF("doc_id", "text"),
+        n, nShards, seqLen, salt)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_mask_tokens"), r.getAs[Long]("n_masked_chunks"),
+          r.getAs[Long]("max_chunk_mask"), r.getAs[Long]("n_mask_pieces")))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.nonEmpty, "corpus must produce masked chunks")
+    // at least one island must cross a chunk boundary, or the clipping
+    // arithmetic was never exercised (pieces > islands ⟺ some split)
+    val totalIslands = packedIds.map(islands(_).size).sum.toLong
+    val totalPieces = chunkMask.values.map(_._2).sum
+    assert(totalPieces > totalIslands,
+      s"no boundary-clipped pieces (islands=$totalIslands pieces=$totalPieces) — reseed")
+  }
+
   test("keepBest: highest quality wins, ties break to lowest id, cluster sizes exact") {
     val sp = spark; import sp.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))

@@ -82,8 +82,8 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pipeline queries contain no cartesian product") {
     for (name <- Seq("p_minhash_lsh_dedup", "p_simhash_hamming", "p_ann_lsh_topk",
       "p_exact_dedup", "p_winnow_fingerprint", "p_decontaminate",
-      "p_incremental_dedup", "p_incremental_neardup", "p_repetition_quality",
-      "p_semantic_dedup", "p_ann_pq_topk")) {
+      "p_incremental_dedup", "p_incremental_neardup", "p_pack_span_masks",
+      "p_repetition_quality", "p_semantic_dedup", "p_ann_pq_topk")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
