@@ -89,4 +89,48 @@ object Sketch {
       .filter(col("cnt") * k > n)
       .orderBy(col("cnt").desc, col(tokCol))
   }
+
+  /** Count-Min sketch over a token column — the OTHER classic mergeable
+    * frequency sketch next to Misra–Gries: `d` hash rows × `w` buckets
+    * of counters; an item's estimate is the MIN over its d buckets and
+    * never underestimates (Cormode–Muthukrishnan 2005; overestimate
+    * ≤ 2N/w with prob ≥ 1−2⁻ᵈ). Where MG's sketch depends on partition
+    * order (hence the exact second pass above), CM bucket counts are
+    * plain sums — the map-side-combinable groupBy IS the distributed
+    * sketch merge, the result is bit-deterministic, and the shuffle
+    * after partial aggregation carries at most d·w rows per task
+    * regardless of corpus size. Hash row j salts the shared md5₆₀
+    * recipe with `cms{j}-`, so a SQL oracle reproduces the exact bucket
+    * layout. Output: (r, b, cnt) for non-empty buckets.
+    */
+  def countMinSketch(tokens: DataFrame, d: Int, w: Int,
+      tokCol: String = "tok"): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d >= 1, w >= 1; got d=$d w=$w")
+    tokens.select(col(tokCol).as("t"))
+      .select(explode(expr(s"sequence(0, ${d - 1})")).as("r"), col("t"))
+      .select(col("r"),
+        (graft.util.Det.md5Hash60(
+          concat(lit("cms"), col("r").cast("string"), lit("-"), col("t"))) % w).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]]: min over the d bucket
+    * counters of each probe (absent buckets count 0). The probe set is a
+    * driver-held literal — the deployment shape is "query yesterday's
+    * sketch", and the sketch itself is d·w rows, broadcastable at any
+    * corpus size.
+    */
+  def countMinEstimate(sketch: DataFrame, probes: Seq[String], d: Int,
+      w: Int): DataFrame = {
+    require(probes.nonEmpty, "probe set is empty")
+    val sp = sketch.sparkSession
+    import sp.implicits._
+    val pdf = (for { p <- probes; j <- 0 until d } yield (p, j))
+      .toDF("probe", "r")
+      .withColumn("b", graft.util.Det.md5Hash60(
+        concat(lit("cms"), col("r").cast("string"), lit("-"), col("probe"))) % w)
+    pdf.join(sketch, Seq("r", "b"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("probe").agg(min(col("cnt")).as("est_cnt"))
+  }
 }

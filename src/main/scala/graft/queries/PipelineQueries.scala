@@ -1521,6 +1521,55 @@ object PipelineQueries {
     }
   }
 
+  /** Count-Min sketch build + point queries: d×w bucket counters over the
+    * corpus token stream (the partition-independent mergeable sketch —
+    * bucket sums ARE the merge, so the build is one map-side-combinable
+    * groupBy), estimates = min over d buckets, compared against exact
+    * counts for a fixed probe set (incl. an absent token). CM never
+    * underestimates, so `overest >= 0` is a structural invariant the
+    * oracle pins row by row.
+    */
+  val countMinQ: Q = {
+    val (d, w) = (4, 1024)
+    val probes = Seq("the", "data", "spark", "window", "zzznotatoken")
+    val probeVals = probes.map(p => s"('$p')").mkString(", ")
+    val hSk = Det.md5Hash60Sql("'cms' || r.r::VARCHAR || '-' || t")
+    val hPb = Det.md5Hash60Sql("'cms' || r.r::VARCHAR || '-' || probe")
+    Q.sql(
+      "p_countmin_tokens",
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+         |  FROM documents),
+         |sk AS (
+         |  SELECT r.r, $hSk % $w AS b, count(*) AS cnt
+         |  FROM toks, (SELECT unnest(range($d)) AS r) r
+         |  GROUP BY r.r, b),
+         |probes(probe) AS (VALUES $probeVals),
+         |pb AS (SELECT probe, r.r, $hPb % $w AS b
+         |       FROM probes, (SELECT unnest(range($d)) AS r) r),
+         |est AS (SELECT probe, min(coalesce(sk.cnt, 0))::BIGINT AS est_cnt
+         |        FROM pb LEFT JOIN sk ON sk.r = pb.r AND sk.b = pb.b
+         |        GROUP BY probe),
+         |tru AS (SELECT probe,
+         |          (SELECT count(*) FROM toks WHERE t = probe)::BIGINT AS true_cnt
+         |        FROM probes)
+         |SELECT e.probe, e.est_cnt, tr.true_cnt,
+         |       (e.est_cnt - tr.true_cnt)::BIGINT AS overest
+         |FROM est e JOIN tru tr ON tr.probe = e.probe
+         |ORDER BY e.probe""".stripMargin) { (s, dir) =>
+      val toks = docsSpread(s, dir)
+        .select(explode(TextPipeline.tokens(col("text"))).as("tok"))
+      val sketch = Sketch.countMinSketch(toks, d, w)
+      val truth = toks.filter(col("tok").isin(probes: _*))
+        .groupBy(col("tok").as("probe")).agg(count(lit(1)).as("true_cnt"))
+      Sketch.countMinEstimate(sketch, probes, d, w)
+        .join(truth, Seq("probe"), "left")
+        .na.fill(0L, Seq("true_cnt"))
+        .withColumn("overest", col("est_cnt") - col("true_cnt"))
+        .orderBy("probe")
+    }
+  }
+
   /** Dedup-aware loss masks for packed sequences (P45 ∘ P15): duplicated
     * spans mapped through pack offsets into chunk-local masks, audited
     * per shard. The oracle recomputes islands via the window-function
@@ -2155,8 +2204,8 @@ object PipelineQueries {
     modelQualityFilter,
     packSequences, chunkOverlap,
     decontaminate,
-    heavyHitters, lengthQuantiles, repetitionQuality, incrementalDedup,
-    incrementalNearDupQ,
+    heavyHitters, countMinQ, lengthQuantiles, repetitionQuality,
+    incrementalDedup, incrementalNearDupQ,
     dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
     lengthBatching, dupGramProfileQ, dupSpans, packSpanMasks,
     bigramLmQuality, weightedSampleQ)

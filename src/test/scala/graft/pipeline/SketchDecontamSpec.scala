@@ -79,6 +79,36 @@ class SketchDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("countMin: never underestimates, exact sans collisions, partition-independent") {
+    val sp = spark; import sp.implicits._
+    val rnd = new Random(31)
+    val toks = Seq.fill(2000)(s"t${(rnd.nextGaussian().abs * 4).toInt}")
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (d, w) = (4, 64) // small w forces some collisions
+    val probes = exact.keys.toSeq.sorted ++ Seq("absent_token")
+    var first: Map[String, Long] = null
+    for (parts <- Seq(1, 7)) {
+      val df = sp.sparkContext.parallelize(toks, parts).toDF("tok")
+      val sketch = Sketch.countMinSketch(df, d, w)
+      // total mass per hash row == N (every occurrence lands in one bucket)
+      val rowMass = sketch.groupBy("r").agg(sum("cnt").as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(rowMass.values.forall(_ == toks.size.toLong), s"parts=$parts $rowMass")
+      val est = Sketch.countMinEstimate(sketch, probes, d, w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      probes.foreach { p =>
+        assert(est(p) >= exact.getOrElse(p, 0L), s"CM underestimated $p")
+      }
+      if (first == null) first = est
+      else assert(est == first, "sketch estimates depend on partitioning")
+    }
+    // single-distinct-token corpus: no collision possible → estimate exact
+    val solo = Seq.fill(17)("only").toDF("tok")
+    val soloEst = Sketch.countMinEstimate(
+      Sketch.countMinSketch(solo, d, w), Seq("only"), d, w).collect()
+    assert(soloEst.head.getLong(1) == 17L)
+  }
+
   test("heavyHittersExact: empty input") {
     val sp = spark; import sp.implicits._
     val df = Seq.empty[String].toDF("tok")
