@@ -32,35 +32,57 @@ class ReadmeCountersSpec extends AnyFunSuite {
         s"${SparkEntry.oracleSql.size} — run tools/update_readme.py")
   }
 
-  test("README bench headline equals BENCH_LOCAL.json (seconds, steal, count)") {
+  /** The headline must match the working-tree artifact OR the committed
+    * one (`git show HEAD:BENCH_LOCAL.json`). Two legitimate states exist:
+    * pre-commit after a fresh regen (README tracks the working tree, HEAD
+    * is stale) and post-commit after the DRIVER re-benches (the working
+    * tree drifts, README tracks HEAD — the round-8 red). Hand-edit drift
+    * matches neither side and still fails. */
+  test("README bench headline equals BENCH_LOCAL.json (working tree or HEAD)") {
     val path = java.nio.file.Paths.get("BENCH_LOCAL.json")
     assume(java.nio.file.Files.exists(path), "no BENCH_LOCAL.json artifact yet")
-    val json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-    def jNum(key: String): Option[String] =
-      (s""""$key"\\s*:\\s*([0-9.]+|null)""").r.findFirstMatchIn(json).map(_.group(1))
-    val value = jNum("value")
-    assert(value.nonEmpty && value.get != "null", "BENCH_LOCAL.json lacks value")
-    val steal = jNum("steal_pct").getOrElse("null")
-    val nQueries = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
-      .map(_.group(1).count(_ == ':')).getOrElse(0)
+    val workingTree = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val committed: Option[String] =
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_LOCAL.json").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      } catch { case _: Exception => None }
 
     val pat = """bench headline: (\d+) queries in ([0-9.]+) s at \S+, local\[32\], steal (\S+) %""".r
     val m = pat.findFirstMatchIn(readme)
     assert(m.nonEmpty,
       "README.md lacks the generated bench-headline line — run tools/update_readme.py")
-    assert(m.get.group(1).toInt == nQueries,
-      s"README headline counts ${m.get.group(1)} queries but the artifact has " +
-        s"$nQueries — run tools/update_readme.py")
-    assert(math.abs(m.get.group(2).toDouble - value.get.toDouble) <= 0.06,
-      s"README headline says ${m.get.group(2)} s but BENCH_LOCAL.json says " +
-        s"${value.get} s — run tools/update_readme.py")
-    (m.get.group(3), steal) match {
-      case ("n/a", "null") => // both absent — fine
-      case (r, a) if r != "n/a" && a != "null" =>
-        assert(math.abs(r.toDouble - a.toDouble) < 0.005,
-          s"README headline steal $r != artifact $a — run tools/update_readme.py")
-      case (r, a) =>
-        fail(s"README headline steal '$r' vs artifact '$a' — run tools/update_readme.py")
+
+    def mismatch(json: String): Option[String] = {
+      def jNum(key: String): Option[String] =
+        (s""""$key"\\s*:\\s*([0-9.]+|null)""").r.findFirstMatchIn(json).map(_.group(1))
+      val value = jNum("value")
+      if (value.isEmpty || value.get == "null") return Some("artifact lacks value")
+      val steal = jNum("steal_pct").getOrElse("null")
+      val nQueries = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
+        .map(_.group(1).count(_ == ':')).getOrElse(0)
+      if (m.get.group(1).toInt != nQueries)
+        return Some(s"README counts ${m.get.group(1)} queries, artifact has $nQueries")
+      if (math.abs(m.get.group(2).toDouble - value.get.toDouble) > 0.06)
+        return Some(s"README says ${m.get.group(2)} s, artifact says ${value.get} s")
+      (m.get.group(3), steal) match {
+        case ("n/a", "null") => None
+        case (r, a) if r != "n/a" && a != "null" =>
+          if (math.abs(r.toDouble - a.toDouble) < 0.005) None
+          else Some(s"README steal $r != artifact $a")
+        case (r, a) => Some(s"README steal '$r' vs artifact '$a'")
+      }
+    }
+
+    val wtErr = mismatch(workingTree)
+    if (wtErr.nonEmpty) {
+      val headErr = committed.map(mismatch)
+      assert(headErr.contains(None),
+        s"README headline matches neither the working-tree artifact " +
+          s"(${wtErr.get}) nor HEAD's " +
+          s"(${headErr.flatten.getOrElse("no committed artifact readable")}) — " +
+          "run tools/update_readme.py and commit README with the artifact")
     }
   }
 }
