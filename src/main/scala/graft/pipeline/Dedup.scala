@@ -256,38 +256,87 @@ object Dedup {
   def incrementalNearDup(incoming: DataFrame, corpus: DataFrame,
       k: Int = 5, nHashes: Int = 18, rowsPerBand: Int = 6,
       threshold: Double = 0.7): DataFrame = {
-    def side(df: DataFrame): (DataFrame, DataFrame) = {
-      val reps = df
-        .select(col("doc_id"), col("text"),
-          TextPipeline.fingerprint(col("text")).as("fp"))
-        .groupBy("fp")
-        .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
-        .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
-      val spread = reps.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      (spread,
-        bands(minhash(shingles(spread, k = k, dedup = false), nHashes),
-          rowsPerBand))
+    val idx = buildNearDupIndex(corpus, k, nHashes, rowsPerBand)
+    try incrementalNearDup(incoming, idx, threshold)
+    finally idx.unpersist()
+  }
+
+  /** A pre-built LSH index over a corpus snapshot — the persisted
+    * corpus-side structure [[incrementalNearDup]]'s deployment story
+    * promises: exact-dup representative `docStore` (doc_id, text) and its
+    * banded-minhash `bands` table (doc_id, band, bh), both persisted
+    * MEMORY_AND_DISK so daily increments probe without re-running the
+    * corpus-side rep-collapse/shingle/minhash/band chain. The signature
+    * parameters (`k`, `nHashes`, `rowsPerBand`) ride along because the
+    * probe side MUST hash with the identical scheme or no bucket ever
+    * matches. Call [[NearDupIndex.unpersist]] when retiring the index.
+    */
+  final case class NearDupIndex(docStore: DataFrame, bands: DataFrame,
+      k: Int, nHashes: Int, rowsPerBand: Int) {
+    def unpersist(): Unit = {
+      docStore.unpersist(blocking = false)
+      bands.unpersist(blocking = false)
     }
-    val (incSpread, incBands) = side(incoming)
-    val (corSpread, corBands) = side(corpus)
+  }
+
+  /** Build the corpus-side [[NearDupIndex]] once; probe it with
+    * [[incrementalNearDup]] per increment. On a lake the bands table
+    * would additionally be bucketed by (band, bh) to co-locate the probe
+    * join; here both frames persist across calls, which is the property
+    * the convenience entry point (corpus `DataFrame` arg) cannot offer —
+    * it rebuilds this chain every call.
+    */
+  def buildNearDupIndex(corpus: DataFrame, k: Int = 5, nHashes: Int = 18,
+      rowsPerBand: Int = 6): NearDupIndex = {
+    val reps = corpus
+      .select(col("doc_id"), col("text"),
+        TextPipeline.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
+      .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
+    val spread = reps.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val b = bands(minhash(shingles(spread, k = k, dedup = false), nHashes),
+        rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    NearDupIndex(spread, b, k, nHashes, rowsPerBand)
+  }
+
+  /** The amortized form: probe a prebuilt [[NearDupIndex]]. Only the
+    * increment pays a signature chain; the index frames are reused as-is
+    * and are NOT unpersisted here (the caller owns their lifecycle).
+    */
+  def incrementalNearDup(incoming: DataFrame, index: NearDupIndex,
+      threshold: Double): DataFrame = {
+    val k = index.k
+    val incReps = incoming
+      .select(col("doc_id"), col("text"),
+        TextPipeline.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
+      .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
+    val incSpread = incReps.repartition(
+      incoming.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val incBands = bands(
+      minhash(shingles(incSpread, k = k, dedup = false), index.nHashes),
+      index.rowsPerBand)
     // cross-side candidates only: an increment doc and an index doc
     // sharing any (band, band-hash) bucket
     val cand = incBands.select(col("doc_id").as("d1"), col("band"), col("bh"))
-      .join(corBands.select(col("doc_id").as("d2"), col("band"), col("bh")),
+      .join(index.bands.select(col("doc_id").as("d2"), col("band"), col("bh")),
         Seq("band", "bh"))
       .select("d1", "d2").distinct()
     val candSh = shingles(
         incSpread.join(cand.select(col("d1").as("doc_id")).distinct(),
           Seq("doc_id"), "left_semi"), k = k)
       .unionByName(shingles(
-        corSpread.join(cand.select(col("d2").as("doc_id")).distinct(),
+        index.docStore.join(cand.select(col("d2").as("doc_id")).distinct(),
           Seq("doc_id"), "left_semi"), k = k))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val out = jaccardVerify(cand, candSh, threshold).localCheckpoint()
     incSpread.unpersist(blocking = false)
-    corSpread.unpersist(blocking = false)
     candSh.unpersist(blocking = false)
     out
   }
@@ -629,7 +678,17 @@ object Dedup {
     */
   def dupSpanCols(textCol: Column, dupGrams: Array[Long], n: Int): Column = {
     require(n >= 1, s"gram order must be >= 1, got $n")
-    require(dupGrams.nonEmpty, "duplicated-gram set is empty")
+    // An EMPTY gram set is a legitimate state (a duplicate-free corpus
+    // snapshot): no window can flag, so the profile is identically zero —
+    // matching what the batch dupSpanProfile emits, instead of refusing
+    // (the refusal made dupSpanProfileStream throw on clean corpora).
+    if (dupGrams.isEmpty) {
+      return struct(
+        TextPipeline.tokenCount(textCol).cast("long").as("n_tokens"),
+        lit(0L).as("n_dup_windows"),
+        lit(0L).as("n_spans"),
+        lit(0L).as("covered_tokens"))
+    }
     val grams = TextPipeline.wordGramArray(textCol, n)
     // flagged window starts, ascending by construction (transform
     // preserves positions; filter preserves order)

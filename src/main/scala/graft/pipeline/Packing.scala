@@ -130,8 +130,15 @@ object Packing {
       salt: String, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    // spans fans out to TWO consumers (packChunks' prefix sum and the
+    // islands join) whose column pruning gives them different subtrees —
+    // exchange reuse will not fire, so without persistence the expensive
+    // gram explode/distinct/semi-join substrate executes twice. Same
+    // discipline as nearDupPairs: persist across the fan-out, materialize
+    // the (tiny, per-shard) result eagerly, unpersist before returning.
     val spans = Dedup.dupSpanIntervals(docs, n, idCol, textCol)
       .filter(col("n_tokens") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val packed = packChunks(spans, "doc_id", "n_tokens", nShards, seqLen, salt)
     val pieces = packed
       .join(spans.select(col("doc_id"), col("islands")), Seq("doc_id"))
@@ -146,7 +153,7 @@ object Packing {
         (least(col("gen"), (col("chunk") + 1) * seqLen - 1) -
           greatest(col("gst"), col("chunk") * lit(seqLen.toLong)) + 1)
           .as("masked"))
-    pieces
+    val out = pieces
       .groupBy("shard", "chunk")
       .agg(sum(col("masked")).as("chunk_mask"), count(lit(1)).as("n_pieces"))
       .groupBy("shard")
@@ -154,6 +161,9 @@ object Packing {
         count(lit(1)).as("n_masked_chunks"),
         max(col("chunk_mask")).as("max_chunk_mask"),
         sum(col("n_pieces")).as("n_mask_pieces"))
+      .localCheckpoint()
+    spans.unpersist(blocking = false)
+    out
   }
 
   /** Shard-level packing report: documents, tokens, emitted chunks, and

@@ -845,6 +845,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.nonEmpty, "mutation corpus must produce cross-side pairs")
   }
 
+  test("incrementalNearDup(prebuilt index): two probes equal the convenience path; index stays persisted") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia")
+    val base = (0 until 8).map(_ =>
+      (0 until 20).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val corpusDf = (0L until 16L).map { id =>
+      (id, base((id / 2).toInt) + " uid" + id)
+    }.toDF("doc_id", "text")
+    def mkInc(off: Long) = (0L until 8L).map { i =>
+      val id = 100L * off + i
+      (id, base(rnd.nextInt(base.size)) + " uid" + id)
+    }
+    val incA = mkInc(1).toDF("doc_id", "text")
+    val incB = mkInc(2).toDF("doc_id", "text")
+
+    val idx = Dedup.buildNearDupIndex(corpusDf)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val viaIdxA = pairs(Dedup.incrementalNearDup(incA, idx, 0.5))
+      val viaIdxB = pairs(Dedup.incrementalNearDup(incB, idx, 0.5))
+      // the second probe must see an index unharmed by the first
+      assert(idx.docStore.storageLevel.useMemory || idx.docStore.storageLevel.useDisk,
+        "doc store lost its persistence between probes")
+      assert(idx.bands.storageLevel.useMemory || idx.bands.storageLevel.useDisk,
+        "bands table lost its persistence between probes")
+      val viaCorpusA = pairs(Dedup.incrementalNearDup(incA, corpusDf, threshold = 0.5))
+      val viaCorpusB = pairs(Dedup.incrementalNearDup(incB, corpusDf, threshold = 0.5))
+      assert(viaIdxA == viaCorpusA, "probe A differs from convenience path")
+      assert(viaIdxB == viaCorpusB, "probe B differs from convenience path")
+      assert(viaIdxA.nonEmpty && viaIdxB.nonEmpty,
+        "seeded corpora must produce cross-side pairs")
+    } finally idx.unpersist()
+  }
+
+  test("dupSpanCols: EMPTY duplicated-gram set yields all-zero profiles, not a refusal") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((0L, "a b c d e"), (1L, "f g h i j k")).toDF("doc_id", "text")
+    // duplicate-free corpus snapshot → dupGramArray legitimately empty
+    val empty = Dedup.dupGramArray(docs, n = 3)
+    assert(empty.isEmpty, "corpus was built duplicate-free")
+    val got = docs.select(col("doc_id"),
+        Dedup.dupSpanCols(col("text"), empty, n = 3).as("p"))
+      .select("doc_id", "p.n_tokens", "p.n_dup_windows", "p.n_spans",
+        "p.covered_tokens")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(0L -> (5L, 0L, 0L, 0L), 1L -> (6L, 0L, 0L, 0L)))
+  }
+
   test("spanMaskReport: masks match an end-to-end brute force (hash order, islands, clipping)") {
     val sp = spark; import sp.implicits._
     def h60(s: String): Long = {
