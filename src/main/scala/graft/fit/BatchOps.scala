@@ -130,6 +130,8 @@ final class LocalOps(
     }
     val yRow = new Array[Double](mC)
     val lpRow = new Array[Double](mC)
+    val gRow = new Array[Double](mC)
+    val accPD = new Array[Double](2) // (primal, dual) fused accumulator
     val pg = if (wantDualPg) new Array[Double](rows * mC) else null
     var primalAcc = 0.0
     var dualAcc = 0.0
@@ -141,16 +143,20 @@ final class LocalOps(
         lpRow(j2) = lp(j2 * rows + r)
         j2 += 1
       }
-      primalAcc += family.rowPrimal(yRow, lpRow)
       if (wantDualPg) {
-        dualAcc += family.rowDual(yRow, lpRow)
-        val g = family.rowPseudoGradient(yRow, lpRow)
+        // fused triple: one transcendental pass, no per-row allocation
+        // (bit-identical to the three row methods — see Family.rowFusedInto)
+        family.rowFusedInto(yRow, lpRow, gRow, accPD)
         j2 = 0
-        while (j2 < mC) { pg(j2 * rows + r) = g(j2); j2 += 1 }
+        while (j2 < mC) { pg(j2 * rows + r) = gRow(j2); j2 += 1 }
+      } else {
+        primalAcc += family.rowPrimal(yRow, lpRow)
       }
       r += 1
     }
     if (!wantDualPg) return (primalAcc, 0.0, null)
+    primalAcc = accPD(0)
+    dualAcc = accPD(1)
     // grad partial: gP(c, j) = Σ_r x(lo+r, c) · pg(r, j)
     val gP = new Array[Double](pC * mC)
     j = 0

@@ -181,9 +181,11 @@ final class RddOps(
         val (y, x) = row
         val lp = plan.linPred(x)
         val ya = plan.centeredY(y)
-        buf(0) += fam.rowPrimal(ya, lp)
-        buf(1) += fam.rowDual(ya, lp)
-        val pg = fam.rowPseudoGradient(ya, lp)
+        // fused triple (one transcendental pass — Family.rowFusedInto is
+        // bit-identical to the three row methods); buf slots 0/1 ARE the
+        // primal/dual accumulators, so they take the fused adds directly
+        val pg = new Array[Double](plan.m)
+        fam.rowFusedInto(ya, lp, pg, buf)
         var j = 0
         while (j < plan.m) { buf(2 + j) += pg(j); j += 1 }
         plan.accumulate(x, pg, buf, 2 + plan.m)

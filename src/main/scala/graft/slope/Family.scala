@@ -35,6 +35,27 @@ sealed trait Family extends Serializable {
     */
   def nullModelFromMeans(yMean: Array[Double]): Array[Double]
 
+  /** Fused per-row evaluation — ONE transcendental pass for the whole
+    * (primal, dual, pseudo-gradient) triple: adds this row's primal into
+    * acc(0) and dual into acc(1), writes the pseudo-gradient into `gOut`
+    * (length m), allocates nothing. The three separate row methods each
+    * recompute the expensive intermediate (logsumexp for multinomial,
+    * exp(y·lp) for binomial, exp(lp) for poisson); the overrides compute
+    * it once and feed the SAME arithmetic expressions, so results are
+    * bit-identical to composing the methods — which is also what the
+    * default here does for any family without an override. This is the
+    * hot path of every iterative solve: LocalOps' blocked pass and
+    * RddOps' treeAggregate call it once per row per iteration.
+    */
+  def rowFusedInto(y: Array[Double], lp: Array[Double], gOut: Array[Double],
+      acc: Array[Double]): Unit = {
+    acc(0) += rowPrimal(y, lp)
+    acc(1) += rowDual(y, lp)
+    val g = rowPseudoGradient(y, lp)
+    var j = 0
+    while (j < g.length) { gOut(j) = g(j); j += 1 }
+  }
+
   // ---- matrix forms (rows = observations), driver/test-side ----
 
   final def primal(y: DenseMatrix[Double], lp: DenseMatrix[Double]): Double = {
@@ -82,6 +103,13 @@ case object Gaussian extends Family {
   def rowPseudoGradient(y: Array[Double], lp: Array[Double]): Array[Double] =
     Array(lp(0) - y(0))
   def nullModelFromMeans(yMean: Array[Double]): Array[Double] = yMean.clone()
+  override def rowFusedInto(y: Array[Double], lp: Array[Double],
+      gOut: Array[Double], acc: Array[Double]): Unit = {
+    val r = y(0) - lp(0)
+    acc(0) += 0.5 * r * r
+    acc(1) += 0.5 * y(0) * y(0) - 0.5 * lp(0) * lp(0)
+    gOut(0) = lp(0) - y(0)
+  }
 }
 
 /** Binomial with y ∈ {−1,+1} (reference src/families/binomial.h:15-39;
@@ -97,6 +125,17 @@ case object Binomial extends Family {
   }
   def rowPseudoGradient(y: Array[Double], lp: Array[Double]): Array[Double] =
     Array(-y(0) / (1.0 + truncExp(y(0) * lp(0))))
+  override def rowFusedInto(y: Array[Double], lp: Array[Double],
+      gOut: Array[Double], acc: Array[Double]): Unit = {
+    // dual and gradient share exp(y·lp); the primal's exp(−y·lp) is NOT
+    // bit-identical to its reciprocal, so it stays its own call (2 exps
+    // for the triple instead of 3, zero allocations)
+    val e = truncExp(y(0) * lp(0))
+    acc(0) += truncLog(1.0 + truncExp(-y(0) * lp(0)))
+    val r = 1.0 / (1.0 + e)
+    acc(1) += (r - 1.0) * truncLog(1.0 - r) - r * truncLog(r)
+    gOut(0) = -y(0) / (1.0 + e)
+  }
   def nullModelFromMeans(yMean: Array[Double]): Array[Double] = {
     val pmin = 1e-9
     val mu = clamp(0.5 * yMean(0) + 0.5, pmin, 1.0 - pmin)
@@ -115,6 +154,15 @@ case object Poisson extends Family {
     Array(truncExp(lp(0)) - y(0))
   def nullModelFromMeans(yMean: Array[Double]): Array[Double] =
     Array(truncLog(yMean(0)))
+  override def rowFusedInto(y: Array[Double], lp: Array[Double],
+      gOut: Array[Double], acc: Array[Double]): Unit = {
+    // all three outputs share exp(lp); primal and dual share logΓ(y+1)
+    val e = truncExp(lp(0))
+    val lg = logGamma(y(0) + 1.0)
+    acc(0) += -(y(0) * lp(0) - e - lg)
+    acc(1) += -(e * (lp(0) - 1.0) - lg)
+    gOut(0) = e - y(0)
+  }
 }
 
 /** Multinomial, m−1 full-rank softmax with logsumexp stabilization
@@ -141,6 +189,25 @@ case object Multinomial extends Family {
     var j = 0
     while (j < lp.length) { out(j) = truncExp(lp(j) - lse) - y(j); j += 1 }
     out
+  }
+  override def rowFusedInto(y: Array[Double], lp: Array[Double],
+      gOut: Array[Double], acc: Array[Double]): Unit = {
+    // ONE logsumexp + m exps for the whole triple (vs 3 lse + 3m exps
+    // composing the row methods): primal, dual and gradient all consume
+    // the same lse and the same per-class softmax term
+    val lse = logSumExp0(lp)
+    var dot = 0.0
+    var lpe = 0.0
+    var j = 0
+    while (j < lp.length) {
+      val e = truncExp(lp(j) - lse)
+      dot += y(j) * lp(j)
+      lpe += lp(j) * e
+      gOut(j) = e - y(j)
+      j += 1
+    }
+    acc(0) += lse - dot
+    acc(1) += lse - lpe
   }
   /** Exact intercept-only MLE in the m−1 logsumexp0 parametrization:
     * η_k = ln(μ_k / μ_last), the softmax inverse with the implicit-zero

@@ -39,11 +39,43 @@ object FitDiag {
           Seq("l_tax"), "qty", cfg("poisson"))
       case "multinomial" =>
         SlopeEstimator.fit(df, Seq("l_tax"), "l_returnflag", cfg("multinomial"))
+      // kkt-<family>: the certificate queries' exact fit shape (user-σ
+      // ratio grid, forced FISTA, kktExport) with per-step pass counts —
+      // the breakdown that says WHICH path step burns the passes.
+      case kf if kf.startsWith("kkt-") =>
+        val family = kf.stripPrefix("kkt-")
+        val features = Seq("l_quantity", "l_discount", "l_tax")
+        // optional 4th arg: tolRelGap override, for measuring how the gap
+        // tolerance trades passes against certificate margin
+        val gapTol = args.lift(3).map(_.toDouble).getOrElse(1e-8)
+        val solver = SolverConfig(tolRelGap = gapTol, tolInfeas = 1e-8)
+        val ratios = Array(0.7, 0.35, 0.15, 0.05, 0.01)
+        val (d2, feats, lab) = family match {
+          case "gaussian" => (df, features, "l_extendedprice")
+          case "binomial" =>
+            (df.withColumn("is_r",
+              when(col("l_returnflag") === "R", "R").otherwise("NR")),
+              features, "is_r")
+          case "multinomial" => (df, features, "l_returnflag")
+          case "poisson" =>
+            (df.withColumn("qty", col("l_quantity").cast("double")),
+              Seq("l_discount", "l_tax", "l_extendedprice"), "qty")
+        }
+        SlopeEstimator.fit(d2, feats, lab,
+          SlopeConfig(family = family, sigmaRatios = ratios,
+            kktExport = true, maxGramCols = 0, solver = solver,
+            localFitThreshold = thr))
       case other => sys.error(s"unknown family $other")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"[fitdiag] family=$fam wall=${dt}s dataPasses=${model.fit.dataPasses} " +
-      s"solverPasses=${model.fit.passes.toSeq} intercept=${model.fit.betas.head(0, 0)}")
+      s"solverPasses=${model.fit.passes.toSeq} intercept=${model.fit.betas.head(0, 0)} " +
+      s"stallExits=${model.fit.stallExits.toSeq}")
+    if (model.fit.kktState.nonEmpty)
+      KktCertificate.infeasibilities(model.fit).foreach { case (k, inf, lam0) =>
+        println(f"[fitdiag] step=$k infeas=$inf%.3e lam0=$lam0%.3e " +
+          f"infeas/lam0=${inf / lam0}%.3e (cert tol 1e-6)")
+      }
     spark.stop()
   }
 }
