@@ -85,4 +85,58 @@ class ReadmeCountersSpec extends AnyFunSuite {
           "run tools/update_readme.py and commit README with the artifact")
     }
   }
+
+  /** The DuckDB-comparison ratios are generated from BENCHCMP.json (the
+    * round-8 verdict's "make the 0.62×/0.55×/3.0× claims a committed
+    * artifact" item); pin them with the same working-tree-or-HEAD rule as
+    * the headline.
+    */
+  test("README benchcmp ratios equal BENCHCMP.json (working tree or HEAD)") {
+    val path = java.nio.file.Paths.get("BENCHCMP.json")
+    assume(java.nio.file.Files.exists(path), "no BENCHCMP.json artifact yet")
+    val workingTree = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val committed: Option[String] =
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCHCMP.json").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      } catch { case _: Exception => None }
+
+    val pat =
+      ("""([0-9.]+)× total\*\* over (\d+) oracled\s+queries; ([0-9.]+)× excluding the\s+\d+ certificate queries; ([0-9.]+)× excluding certificates""").r
+    val m = pat.findFirstMatchIn(readme)
+    assert(m.nonEmpty,
+      "README.md lacks the generated benchcmp line — run tools/update_readme.py")
+
+    def mismatch(json: String): Option[String] = {
+      // "ratio" appears in every per-query row too — scope the totals
+      // lookups to the "totals" object
+      val totals = """"totals"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("")
+      def jNum(key: String, in: String): Option[Double] =
+        (s""""$key"\\s*:\\s*([0-9.]+)""").r.findFirstMatchIn(in)
+          .map(_.group(1).toDouble)
+      val checks = Seq(
+        ("ratio", totals, m.get.group(1).toDouble),
+        ("n_compared", json, m.get.group(2).toDouble),
+        ("ratio_ex_certificates", totals, m.get.group(3).toDouble),
+        ("ratio_ex_cert_and_cc", totals, m.get.group(4).toDouble))
+      checks.collectFirst {
+        case (key, in, readmeVal) if jNum(key, in).isEmpty =>
+          s"artifact lacks $key"
+        case (key, in, readmeVal) if math.abs(jNum(key, in).get - readmeVal) > 0.006 =>
+          s"README $key $readmeVal != artifact ${jNum(key, in).get}"
+      }
+    }
+
+    val wtErr = mismatch(workingTree)
+    if (wtErr.nonEmpty) {
+      val headErr = committed.map(mismatch)
+      assert(headErr.contains(None),
+        s"README benchcmp ratios match neither the working-tree artifact " +
+          s"(${wtErr.get}) nor HEAD's " +
+          s"(${headErr.flatten.getOrElse("no committed artifact readable")}) — " +
+          "run tools/benchcmp.py then tools/update_readme.py")
+    }
+  }
 }

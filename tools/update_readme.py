@@ -22,6 +22,8 @@ import xml.etree.ElementTree as ET
 
 BEGIN = "<!-- AUTOGEN-COUNTERS (tools/update_readme.py) -->"
 END = "<!-- /AUTOGEN-COUNTERS -->"
+CMP_BEGIN = "<!-- AUTOGEN-BENCHCMP (tools/update_readme.py) -->"
+CMP_END = "<!-- /AUTOGEN-BENCHCMP -->"
 
 
 def block(root: str) -> str:
@@ -50,6 +52,30 @@ def block(root: str) -> str:
     return "\n".join(lines)
 
 
+def cmp_block(root: str) -> str:
+    """Throughput-vs-DuckDB headline, generated from BENCHCMP.json so every
+    ratio in README traces to a committed artifact (round-8 verdict item:
+    the previous numbers came from an uncommitted one-off run)."""
+    cmp_ = json.load(open(f"{root}/BENCHCMP.json"))
+    t = cmp_["totals"]
+    sf = cmp_["sf"].rstrip("/").rsplit("/", 1)[-1]
+    duck_steal = cmp_.get("duck_steal_pct")
+    bench_steal = cmp_.get("bench_steal_pct")
+    return "\n".join([
+        CMP_BEGIN,
+        f"- vs DuckDB on the same oracle SQL at {sf}: "
+        f"**{t['ratio']:.2f}× total** over {cmp_['n_compared']} oracled "
+        f"queries; {t['ratio_ex_certificates']:.2f}× excluding the "
+        f"{len(cmp_['excluded_certificates'])} certificate queries; "
+        f"{t['ratio_ex_cert_and_cc']:.2f}× excluding certificates + the "
+        f"connected-components pair (BENCHCMP.json; spark side "
+        f"{cmp_['bench_artifact']} at steal "
+        f"{'n/a' if bench_steal is None else bench_steal} %, duck side at "
+        f"steal {'n/a' if duck_steal is None else duck_steal} %)",
+        CMP_END,
+    ])
+
+
 def main() -> int:
     root = "."
     readme = open(f"{root}/README.md").read()
@@ -58,6 +84,9 @@ def main() -> int:
         return 1
     new = re.sub(re.escape(BEGIN) + ".*?" + re.escape(END), lambda _: block(root),
                  readme, flags=re.S)
+    if CMP_BEGIN in new and CMP_END in new:
+        new = re.sub(re.escape(CMP_BEGIN) + ".*?" + re.escape(CMP_END),
+                     lambda _: cmp_block(root), new, flags=re.S)
     if "--check" in sys.argv:
         if new != readme:
             print("README counters are stale — run tools/update_readme.py",
