@@ -552,6 +552,103 @@ object Dedup {
       a => struct(a.getField("spans").as("n_spans"),
         a.getField("covered").as("covered_tokens")))
 
+  /** Folds an array of `[st, en]` intervals SORTED ascending by (st, en)
+    * into maximal merged islands, counting only islands of length >=
+    * `minLen` tokens: the policy knob of Lee et al.'s ExactSubstr removal
+    * ("only duplicated substrings of at least 50 tokens are cut"), applied
+    * to MERGED geometry so adjacent shorter matches that chain into a long
+    * island count. Same merge rule as [[islandFold]] (overlap OR
+    * adjacency); intervals here carry their own ends because the inputs
+    * mix gram orders. Returns struct(n_spans, covered_tokens,
+    * longest_span) over the KEPT islands only; row-local.
+    */
+  private[pipeline] def intervalFold(iv: Column, minLen: Int): Column = {
+    val mL = lit(minLen.toLong)
+    // close the open island: fold it into the kept counters iff long enough
+    def close(a: Column): (Column, Column, Column) = {
+      val len = a.getField("cur_en") - a.getField("cur_st") + 1L
+      val keep = a.getField("cur_st") >= 0L && len >= mL
+      (a.getField("spans") + when(keep, 1L).otherwise(0L),
+        a.getField("covered") + when(keep, len).otherwise(0L),
+        greatest(a.getField("longest"), when(keep, len).otherwise(lit(0L))))
+    }
+    aggregate(
+      iv,
+      struct(lit(0L).as("spans"), lit(0L).as("covered"), lit(0L).as("longest"),
+        lit(-2L).as("cur_st"), lit(-2L).as("cur_en")),
+      (a, x) => {
+        val st = x.getField("st").cast("long")
+        val en = x.getField("en").cast("long")
+        val (cs, cc, cl) = close(a)
+        when(st > a.getField("cur_en") + 1L,
+          struct(cs.as("spans"), cc.as("covered"), cl.as("longest"),
+            st.as("cur_st"), en.as("cur_en")))
+          .otherwise(struct(a.getField("spans").as("spans"),
+            a.getField("covered").as("covered"),
+            a.getField("longest").as("longest"),
+            a.getField("cur_st").as("cur_st"),
+            greatest(a.getField("cur_en"), en).as("cur_en")))
+      },
+      a => {
+        val (cs, cc, cl) = close(a)
+        struct(cs.as("n_spans"), cc.as("covered_tokens"), cl.as("longest_span"))
+      })
+  }
+
+  /** VARIABLE-LENGTH duplicated-span geometry — the bounded multi-order
+    * composition of [[dupSpanProfile]]: cross-doc duplicated windows at
+    * EVERY gram order in `ns` (e.g. 8/16/32) become `[st, en]` token
+    * intervals, merge into maximal islands across orders, and only
+    * islands of >= `minLen` tokens are reported — approximating the
+    * >= 50-token removal policy of Lee et al.'s suffix-array ExactSubstr
+    * (P41/P45 emulate it at a single fixed order, where a long threshold
+    * must be faked by a long gram) without leaving the gram substrate.
+    * Shorter orders add recall at island BOUNDARIES (a 50-token dup whose
+    * tail mutated every 32 tokens still chains 8-gram islands), longer
+    * orders add precision inside long duplications.
+    *
+    * Scale shape: per order, exactly the [[dupSpanProfile]] substrate
+    * (row-local windows, per-gram distinct-doc count, left-semi against
+    * the small dup set); the union across orders is |ns| such passes, the
+    * merge is one row-local fold after a single shuffle by doc_id, and
+    * the per-doc collect is bounded by |ns| × doc length — never corpus
+    * size. Output per input doc: n_tokens, n_spans, covered_tokens,
+    * longest_span (zeros when nothing clears `minLen`).
+    */
+  def dupSpanProfileMulti(docs: DataFrame, ns: Seq[Int], minLen: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"gram orders must be >= 1, got $ns")
+    require(ns.distinct.length == ns.length, s"duplicate gram orders in $ns")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val intervals = ns.map { n =>
+      val grams = base
+        .select(col("doc_id"),
+          posexplode(TextPipeline.wordGramArray(col("text"), n)))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          Det.md5Hash60(col("col")).as("g"))
+      val dupSet = grams.select("doc_id", "g").distinct()
+        .groupBy("g").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("g")
+      grams.join(dupSet, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("i").as("st"),
+          (col("i") + lit((n - 1).toLong)).as("en"))
+    }.reduce(_.unionByName(_))
+    val spans = intervals
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("iv"))
+      .select(col("doc_id"), intervalFold(col("iv"), minLen).as("sp"))
+    docs.select(col(idCol).as("doc_id") +:
+        (carryCols.map(col) :+
+          TextPipeline.tokenCount(col(textCol)).cast("long").as("n_tokens")): _*)
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("n_spans", coalesce(col("sp.n_spans"), lit(0L)))
+      .withColumn("covered_tokens", coalesce(col("sp.covered_tokens"), lit(0L)))
+      .withColumn("longest_span", coalesce(col("sp.longest_span"), lit(0L)))
+      .drop("sp")
+  }
+
   def dupSpanProfile(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text",
       carryCols: Seq[String] = Nil): DataFrame = {

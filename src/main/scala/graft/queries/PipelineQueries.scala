@@ -1521,6 +1521,78 @@ object PipelineQueries {
     }
   }
 
+  /** VARIABLE-LENGTH duplicated-span geometry — the multi-order
+    * composition (P45's depth extension, VERDICT r8 "what's missing" #2):
+    * cross-doc duplicated windows at gram orders 8/16/32 merge into
+    * maximal islands ACROSS orders, and only islands of >= 50 tokens are
+    * reported — the Lee et al. ExactSubstr removal-length policy computed
+    * on merged geometry instead of faked by one long gram. The Spark side
+    * folds sorted `[st, en]` intervals row-locally
+    * ([[graft.pipeline.Dedup.dupSpanProfileMulti]]); the oracle re-derives
+    * the same islands on a different substrate — a per-order
+    * gram/dup-set/flag chain unioned, then a gaps-and-islands window
+    * chain with the length filter applied to the merged islands.
+    */
+  val dupSpansMulti: Q = {
+    val ns = Seq(8, 16, 32)
+    val minLen = 50
+    val perN = ns.map { n =>
+      val h = Det.md5Hash60Sql(s"array_to_string(toks[i:i+${n - 1}], ' ')")
+      s"""gr$n AS (
+         |  SELECT doc_id, i, $h AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS i) s),
+         |d$n AS (SELECT g FROM (SELECT doc_id, g FROM gr$n GROUP BY doc_id, g) o
+         |        GROUP BY g HAVING count(*) >= 2),
+         |iv$n AS (SELECT doc_id, i AS st, i + ${n - 1} AS en
+         |         FROM gr$n WHERE g IN (SELECT g FROM d$n))""".stripMargin
+    }.mkString(",\n")
+    val unionIv = ns.map(n => s"SELECT * FROM iv$n").mkString(" UNION ALL ")
+    Q.sql(
+      "p_dup_spans_multi",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |$perN,
+         |iv AS ($unionIv),
+         |m AS (SELECT doc_id, st, en,
+         |        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |s AS (SELECT doc_id, st, en,
+         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY st, en
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |isle AS (SELECT doc_id, isl, min(st) AS st, max(en) AS en
+         |         FROM s GROUP BY doc_id, isl),
+         |keep AS (SELECT doc_id, count(*) AS n_spans,
+         |               sum(en - st + 1) AS covered,
+         |               max(en - st + 1) AS longest
+         |        FROM isle WHERE en - st + 1 >= $minLen GROUP BY doc_id),
+         |k AS (SELECT dd.lang,
+         |             coalesce(keep.n_spans, 0) AS n_spans,
+         |             coalesce(keep.covered, 0) AS covered,
+         |             coalesce(keep.longest, 0) AS longest
+         |      FROM documents dd LEFT JOIN keep ON dd.doc_id = keep.doc_id)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END)::BIGINT AS n_affected,
+         |       sum(n_spans)::BIGINT AS sum_spans,
+         |       sum(covered)::BIGINT AS sum_covered,
+         |       max(longest)::BIGINT AS max_longest
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Dedup.dupSpanProfileMulti(docsSpread(s, dir), ns, minLen,
+          carryCols = Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("n_affected"),
+          sum(col("n_spans")).as("sum_spans"),
+          sum(col("covered_tokens")).as("sum_covered"),
+          max(col("longest_span")).as("max_longest"))
+        .orderBy("lang")
+    }
+  }
+
   /** Count-Min sketch build + point queries: d×w bucket counters over the
     * corpus token stream (the partition-independent mergeable sketch —
     * bucket sums ARE the merge, so the build is one map-side-combinable
@@ -2207,6 +2279,6 @@ object PipelineQueries {
     heavyHitters, countMinQ, lengthQuantiles, repetitionQuality,
     incrementalDedup, incrementalNearDupQ,
     dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
-    lengthBatching, dupGramProfileQ, dupSpans, packSpanMasks,
+    lengthBatching, dupGramProfileQ, dupSpans, dupSpansMulti, packSpanMasks,
     bigramLmQuality, weightedSampleQ)
 }

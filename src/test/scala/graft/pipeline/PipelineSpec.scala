@@ -782,6 +782,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dupSpanProfileMulti: randomized corpora match a brute-force multi-order bitmap") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val ns = Seq(Seq(1, 2), Seq(2, 3), Seq(1, 2, 4))(trial)
+      val minLen = 1 + rnd.nextInt(5)
+      val corpus = (0L until 40L).map { id =>
+        val len = rnd.nextInt(25)
+        (id, (0 until len).map(_ => "w" + rnd.nextInt(6)).mkString(" "))
+      }
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector
+      }.toMap
+      // coverage bitmap across ALL orders, then maximal true runs >= minLen
+      // (bit-contiguity IS the overlap-or-adjacency merge rule)
+      val expected = toks.map { case (id, ts) =>
+        val covered = Array.fill(ts.size)(false)
+        for (n <- ns) {
+          val gramsOf = toks.map { case (i2, t2) =>
+            i2 -> (if (t2.size >= n) t2.sliding(n).map(_.mkString(" ")).toVector
+                   else Vector.empty[String])
+          }
+          val crossDoc = gramsOf.toSeq
+            .flatMap { case (i2, gs) => gs.distinct.map(g => (g, i2)) }
+            .groupBy(_._1).filter(_._2.size >= 2).keySet
+          gramsOf(id).zipWithIndex.foreach { case (g, i) =>
+            if (crossDoc(g)) (i until i + n).foreach(covered(_) = true)
+          }
+        }
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var cur = 0
+        covered.foreach { b =>
+          if (b) cur += 1 else { if (cur > 0) runs += cur; cur = 0 }
+        }
+        if (cur > 0) runs += cur
+        val kept = runs.filter(_ >= minLen)
+        id -> ((ts.size.toLong, kept.size.toLong, kept.map(_.toLong).sum,
+          if (kept.isEmpty) 0L else kept.max.toLong))
+      }
+      val got = Dedup.dupSpanProfileMulti(corpus.toDF("doc_id", "text"), ns, minLen)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+            r.getAs[Long]("covered_tokens"), r.getAs[Long]("longest_span")))).toMap
+      assert(got == expected, s"trial $trial (ns=$ns, minLen=$minLen)")
+    }
+  }
+
   test("incrementalNearDup: planted cross-side pair found; within-batch pairs suppressed") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
