@@ -367,6 +367,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-lang aggregate must map-side combine")
   }
 
+  test("dup spans multi: interval fold is row-local across ALL gram orders — no window, keyed joins") {
+    val p = planOf("p_dup_spans_multi")
+    // three gram orders, one merge: the cross-order island merge must
+    // still fold inside one row after a single collect_list — a window
+    // over (doc, position) rows here would serialize every hot doc's
+    // interval set through one task per doc
+    assert(!p.contains("Window"), "multi-order span merge must fold row-locally")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "multi-order spans must join by key only")
+    assert(p.contains("LeftSemi"), "per-order dup-set membership must be a semi join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-lang aggregate must map-side combine")
+  }
+
   test("bigram LM: vocab-size broadcasts as a 1-row table; count joins are keyed, no window") {
     val p = planOf("p_bigram_lm_quality")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
