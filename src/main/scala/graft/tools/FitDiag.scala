@@ -22,8 +22,11 @@ object FitDiag {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.util.Tables.t(spark, sfDir, "lineitem")
+    // optional 4th arg: tolRelGap/tolInfeas override for the MLE modes
+    // (the kkt- modes read the same slot)
+    val mleTol = args.lift(3).map(_.toDouble)
     val tight = SolverConfig(tolAbs = 1e-13, tolRel = 1e-12,
-      tolRelGap = 1e-12, tolInfeas = 1e-12)
+      tolRelGap = mleTol.getOrElse(1e-12), tolInfeas = mleTol.getOrElse(1e-12))
     def cfg(f: String) = SlopeConfig(family = f, sigma = Array(1e6),
       lambdaType = "user",
       userLambda = Array.fill(if (f == "multinomial") 2 else 1)(1.0),
