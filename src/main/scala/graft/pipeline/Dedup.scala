@@ -773,6 +773,46 @@ object Dedup {
     * identical to the batch profile whenever `dupGrams` is the same
     * corpus's duplicated-gram set.
     */
+  /** Row-local MULTI-ORDER twin of [[dupSpanProfileMulti]] against FIXED
+    * per-order duplicated-gram sets (each built offline by
+    * [[dupGramArray]] at its order from a corpus snapshot): per order,
+    * flagged windows become `[st, en]` intervals inside the row; the
+    * concatenated interval set sorts and folds through the same
+    * [[intervalFold]] (merge across orders + the >= `minLen` policy). No
+    * explode, no join, no state — batch or STREAMING append mode, like
+    * [[dupSpanCols]]. Returns struct(n_tokens, n_spans, covered_tokens,
+    * longest_span), identical to the batch multi profile whenever the
+    * gram sets are the same corpus's. Orders with empty sets contribute
+    * nothing (a duplicate-free corpus snapshot at that order).
+    */
+  def dupSpanColsMulti(textCol: Column,
+      dupGramsByOrder: Seq[(Int, Array[Long])], minLen: Int): Column = {
+    require(dupGramsByOrder.nonEmpty, "need at least one gram order")
+    require(dupGramsByOrder.forall(_._1 >= 1),
+      s"gram orders must be >= 1, got ${dupGramsByOrder.map(_._1)}")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val perOrder = dupGramsByOrder.collect {
+      case (n, dupGrams) if dupGrams.nonEmpty =>
+        val grams = TextPipeline.wordGramArray(textCol, n)
+        val ps = filter(
+          transform(grams, (g, i) =>
+            when(graft.functions.BroadcastLookup.inLongSet(
+              Det.md5Hash60(g), dupGrams), i.cast("long")).otherwise(lit(-1L))),
+          x => x >= 0L)
+        transform(ps, i =>
+          struct(i.as("st"), (i + lit((n - 1).toLong)).as("en")))
+    }
+    val emptyIv = array().cast("array<struct<st:bigint,en:bigint>>")
+    val iv = sort_array(
+      perOrder.reduceOption((a, b) => concat(a, b)).getOrElse(emptyIv))
+    val sp = intervalFold(iv, minLen)
+    struct(
+      TextPipeline.tokenCount(textCol).cast("long").as("n_tokens"),
+      sp.getField("n_spans").as("n_spans"),
+      sp.getField("covered_tokens").as("covered_tokens"),
+      sp.getField("longest_span").as("longest_span"))
+  }
+
   def dupSpanCols(textCol: Column, dupGrams: Array[Long], n: Int): Column = {
     require(n >= 1, s"gram order must be >= 1, got $n")
     // An EMPTY gram set is a legitimate state (a duplicate-free corpus

@@ -198,6 +198,24 @@ object StreamingPipeline {
       .withColumn("covered_tokens", sp.getField("covered_tokens"))
   }
 
+  /** Streaming VARIABLE-LENGTH duplicated-span profile (P49's stream
+    * twin): per-order duplicated-gram sets — each built ONCE offline by
+    * `Dedup.dupGramArray` at its order — ride in as driver-held sorted
+    * arrays, and the whole multi-order geometry (flag per order, merge
+    * across orders, >= minLen policy) evaluates row-locally via
+    * `Dedup.dupSpanColsMulti`. Zero state, append mode.
+    */
+  def dupSpanProfileMultiStream(docs: DataFrame,
+      dupGramsByOrder: Seq[(Int, Array[Long])], minLen: Int,
+      textCol: String = "text"): DataFrame = {
+    val sp = graft.pipeline.Dedup.dupSpanColsMulti(
+      col(textCol), dupGramsByOrder, minLen)
+    docs.withColumn("n_tokens", sp.getField("n_tokens"))
+      .withColumn("n_spans", sp.getField("n_spans"))
+      .withColumn("covered_tokens", sp.getField("covered_tokens"))
+      .withColumn("longest_span", sp.getField("longest_span"))
+  }
+
   /** Gap-based user sessionization with CUSTOM state
     * (`flatMapGroupsWithState`, the engine's stateful-streaming extension
     * point): events of a user belong to one session while consecutive gaps

@@ -86,6 +86,39 @@ class FamilySpec extends AnyFunSuite {
     assert(MathUtil.truncLog(math.E) == 1.0)
   }
 
+  test("rowFusedInto is BIT-identical to composing the three row methods (all families)") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 0 until 2000) {
+      val (fam, m): (Family, Int) = rnd.nextInt(4) match {
+        case 0 => (Gaussian, 1)
+        case 1 => (Binomial, 1)
+        case 2 => (Poisson, 1)
+        case _ => (Multinomial, 1 + rnd.nextInt(4))
+      }
+      val y: Array[Double] = fam match {
+        case Binomial => Array(if (rnd.nextBoolean()) 1.0 else -1.0)
+        case Poisson  => Array(rnd.nextInt(20).toDouble)
+        case Multinomial =>
+          val k = rnd.nextInt(m + 1) // last class = all-zeros row
+          Array.tabulate(m)(j => if (j == k) 1.0 else 0.0)
+        case _ => Array(rnd.nextGaussian() * 10)
+      }
+      // include extreme linear predictors — the truncExp/truncLog
+      // saturation branches must fuse identically too
+      val lp = Array.fill(m)(rnd.nextInt(10) match {
+        case 0 => 800.0 * (if (rnd.nextBoolean()) 1 else -1)
+        case _ => rnd.nextGaussian() * 5
+      })
+      val gOut = new Array[Double](m)
+      val acc = new Array[Double](2)
+      fam.rowFusedInto(y, lp, gOut, acc)
+      val g = fam.rowPseudoGradient(y, lp)
+      assert(acc(0) == fam.rowPrimal(y, lp), s"$fam primal: y=${y.toSeq} lp=${lp.toSeq}")
+      assert(acc(1) == fam.rowDual(y, lp), s"$fam dual: y=${y.toSeq} lp=${lp.toSeq}")
+      assert(gOut.toSeq == g.toSeq, s"$fam gradient: y=${y.toSeq} lp=${lp.toSeq}")
+    }
+  }
+
   test("family factory") {
     assert(Family("gaussian") == Gaussian)
     assert(Family("binomial") == Binomial)

@@ -293,6 +293,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming MULTI-ORDER dup-span profile matches the batch multi-order profile") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val ns = Seq(2, 3)
+    val minLen = 3
+    // docs 0/1 share long runs at both orders; doc 2 shares a SHORT run
+    // (must be filtered by minLen); doc 3 shares nothing
+    val corpus = Seq(
+      (0L, "a b c d e q f g h"),
+      (1L, "a b c d x x f g h"),
+      (2L, "q q pp qq rr"),
+      (3L, "nothing shared here")).toDF("doc_id", "text")
+    val gramsByOrder = ns.map(n =>
+      n -> graft.pipeline.Dedup.dupGramArray(corpus, n))
+    val batch = graft.pipeline.Dedup.dupSpanProfileMulti(corpus, ns, minLen)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("covered_tokens"), r.getAs[Long]("longest_span"))).toMap
+
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.dupSpanProfileMultiStream(
+      input.toDF().toDF("doc_id", "text"), gramsByOrder, minLen)
+    val q = out.writeStream.format("memory").queryName("spans_multi_out")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, "a b c d e q f g h"), (1L, "a b c d x x f g h"))
+      q.processAllAvailable()
+      input.addData((2L, "q q pp qq rr"), (3L, "nothing shared here"))
+      q.processAllAvailable()
+      val got = sp.sql(
+        """SELECT doc_id, n_tokens, n_spans, covered_tokens, longest_span
+          |FROM spans_multi_out""".stripMargin)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == batch, "stream and batch multi-order profiles must agree")
+      assert(got(0L)._2 >= 1L && got(0L)._4 >= minLen.toLong,
+        "doc 0 must carry a kept span")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: MG state across batches, heavy-token superset, fixed memory") {
     val sp = spark
     import sp.implicits._
