@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
@@ -301,6 +301,43 @@ object Dedup {
         rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
     NearDupIndex(spread, b, k, nHashes, rowsPerBand)
+  }
+
+  /** Persist a [[NearDupIndex]] to `dir` as parquet — the cross-restart
+    * half of the daily-crawl amortization story: `doc_store/` plain,
+    * `bands/` clustered into `nBuckets` files by (band, bh) (on a real
+    * warehouse this is a bucketed table so the probe equi-join co-locates
+    * against the index without shuffling it; plain parquet keeps the
+    * clustering physical so bucket-local reads stay cheap), `meta/`
+    * pinning the signature parameters so a reloaded probe can never hash
+    * with a mismatched scheme.
+    */
+  def writeNearDupIndex(index: NearDupIndex, dir: String,
+      nBuckets: Int = 64): Unit = {
+    index.docStore.write.mode("overwrite").parquet(s"$dir/doc_store")
+    index.bands.repartition(nBuckets, col("band"), col("bh"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    val spark = index.docStore.sparkSession
+    import spark.implicits._
+    Seq((index.k, index.nHashes, index.rowsPerBand))
+      .toDF("k", "n_hashes", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a disk-persisted index ([[writeNearDupIndex]]) in a fresh
+    * session. Both frames persist MEMORY_AND_DISK lazily: the FIRST probe
+    * pays the parquet scan (the cold cost `IncrementalProbe` measures as
+    * `cold_probe_sec`), steady-state probes run against the cache.
+    */
+  def readNearDupIndex(spark: SparkSession, dir: String): NearDupIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    NearDupIndex(
+      spark.read.parquet(s"$dir/doc_store")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$dir/bands")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      meta.getAs[Int]("k"), meta.getAs[Int]("n_hashes"),
+      meta.getAs[Int]("rows_per_band"))
   }
 
   /** The amortized form: probe a prebuilt [[NearDupIndex]]. Only the
@@ -618,14 +655,51 @@ object Dedup {
   def dupSpanProfileMulti(docs: DataFrame, ns: Seq[Int], minLen: Int,
       idCol: String = "doc_id", textCol: String = "text",
       carryCols: Seq[String] = Nil): DataFrame = {
+    val f = dupSpanMultiFrames(docs, ns, minLen, idCol, textCol)
+    // EAGER up to the per-affected-doc span table (one 4-long row per doc
+    // that has any cross-doc interval — a vanishing fraction of corpus
+    // bytes), so the persisted token substrate can be released; the final
+    // per-doc join stays LAZY and re-tokenizes the source exactly once.
+    val spans = f.spans.localCheckpoint()
+    f.base.unpersist(blocking = false)
+    docs.select(col(idCol).as("doc_id") +:
+        (carryCols.map(col) :+
+          TextPipeline.tokenCount(col(textCol)).cast("long").as("n_tokens")): _*)
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("n_spans", coalesce(col("sp.n_spans"), lit(0L)))
+      .withColumn("covered_tokens", coalesce(col("sp.covered_tokens"), lit(0L)))
+      .withColumn("longest_span", coalesce(col("sp.longest_span"), lit(0L)))
+      .drop("sp")
+  }
+
+  /** The lazy internals of [[dupSpanProfileMulti]], exposed for plan-quality
+    * tests (the public entry checkpoints `spans`, hiding the per-order
+    * semi-join substrate from the final plan): `base` is the persisted
+    * shared token substrate, `spans` the lazy per-affected-doc fold.
+    */
+  private[graft] case class DupSpanMultiFrames(base: DataFrame, spans: DataFrame)
+
+  private[graft] def dupSpanMultiFrames(docs: DataFrame, ns: Seq[Int],
+      minLen: Int, idCol: String, textCol: String): DupSpanMultiFrames = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"gram orders must be >= 1, got $ns")
     require(ns.distinct.length == ns.length, s"duplicate gram orders in $ns")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // tokenize ONCE: every order's gram chain fans out to TWO consumers
+    // (the dup-set groupBy and the left-semi probe), and each consumer
+    // subtree re-evaluates from the scan — unpersisted, the regexp
+    // tokenization pass runs 2|ns| times. Persisting the token arrays
+    // (same order of bytes as the text) collapses that to one pass;
+    // per-order grams build from the array via the native `WordGrams`,
+    // which is literally the same expression `wordGramArray` wraps, so
+    // gram hashes are bit-identical to the per-order tokenize form
+    // (pinned in PipelineSpec).
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val intervals = ns.map { n =>
       val grams = base
         .select(col("doc_id"),
-          posexplode(TextPipeline.wordGramArray(col("text"), n)))
+          posexplode(graft.functions.WordGrams.wordGrams(col("toks"), n)))
         .select(col("doc_id"), col("pos").cast("long").as("i"),
           Det.md5Hash60(col("col")).as("g"))
       val dupSet = grams.select("doc_id", "g").distinct()
@@ -639,14 +713,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("iv"))
       .select(col("doc_id"), intervalFold(col("iv"), minLen).as("sp"))
-    docs.select(col(idCol).as("doc_id") +:
-        (carryCols.map(col) :+
-          TextPipeline.tokenCount(col(textCol)).cast("long").as("n_tokens")): _*)
-      .join(spans, Seq("doc_id"), "left")
-      .withColumn("n_spans", coalesce(col("sp.n_spans"), lit(0L)))
-      .withColumn("covered_tokens", coalesce(col("sp.covered_tokens"), lit(0L)))
-      .withColumn("longest_span", coalesce(col("sp.longest_span"), lit(0L)))
-      .drop("sp")
+    DupSpanMultiFrames(base, spans)
   }
 
   def dupSpanProfile(docs: DataFrame, n: Int,
@@ -731,6 +798,160 @@ object Dedup {
       .join(spans, Seq("doc_id"), "left")
       .withColumn("islands", coalesce(col("islands"),
         array().cast("array<struct<st:bigint,en:bigint>>")))
+  }
+
+  /** Folds an array of `[st, en]` intervals SORTED ascending by (st, en)
+    * into maximal merged islands — [[intervalFold]]'s geometry-emitting
+    * twin: returns the array of merged islands whose merged length is
+    * >= `minLen` tokens (the Lee et al. removal-length policy), each as
+    * struct(st, en) in ascending order. Row-local.
+    */
+  private[pipeline] def keptIntervalIslands(iv: Column, minLen: Int): Column = {
+    val emptyArr = array().cast("array<struct<st:bigint,en:bigint>>")
+    val mL = lit(minLen.toLong)
+    // flush the open island into the kept array iff it clears the policy
+    def flush(a: Column): Column = {
+      val len = a.getField("cur_en") - a.getField("cur_st") + 1L
+      when(a.getField("cur_st") >= 0L && len >= mL,
+        array_append(a.getField("arr"),
+          struct(a.getField("cur_st").as("st"), a.getField("cur_en").as("en"))))
+        .otherwise(a.getField("arr"))
+    }
+    aggregate(
+      iv,
+      struct(emptyArr.as("arr"), lit(-2L).as("cur_st"), lit(-2L).as("cur_en")),
+      (a, x) => {
+        val st = x.getField("st").cast("long")
+        val en = x.getField("en").cast("long")
+        when(st > a.getField("cur_en") + 1L,
+          struct(flush(a).as("arr"), st.as("cur_st"), en.as("cur_en")))
+          .otherwise(struct(a.getField("arr").as("arr"),
+            a.getField("cur_st").as("cur_st"),
+            greatest(a.getField("cur_en"), en).as("cur_en")))
+      },
+      a => flush(a))
+  }
+
+  /** Complement of the sorted, disjoint cut islands over the token range
+    * `[0, nTokens-1]`: the surviving pieces as struct(st, en) in document
+    * order (empty when the whole doc is cut, one full-range piece when
+    * nothing is). Row-local.
+    */
+  private[pipeline] def complementPieces(cuts: Column, nTokens: Column): Column = {
+    val emptyArr = array().cast("array<struct<st:bigint,en:bigint>>")
+    aggregate(
+      cuts,
+      struct(emptyArr.as("arr"), lit(0L).as("cursor")),
+      (a, x) => {
+        val st = x.getField("st").cast("long")
+        val en = x.getField("en").cast("long")
+        val withGap = when(st > a.getField("cursor"),
+          array_append(a.getField("arr"),
+            struct(a.getField("cursor").as("st"), (st - 1L).as("en"))))
+          .otherwise(a.getField("arr"))
+        struct(withGap.as("arr"), (en + 1L).as("cursor"))
+      },
+      a => when(a.getField("cursor") <= nTokens - 1L,
+        array_append(a.getField("arr"),
+          struct(a.getField("cursor").as("st"), (nTokens - 1L).as("en"))))
+        .otherwise(a.getField("arr")))
+  }
+
+  /** Duplicated-span REMOVAL — the final, corpus-emitting step of the
+    * ExactSubstr pipeline (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2021): where [[dupSpanProfileMulti]] measures
+    * the >= `minLen`-token duplicated islands, this CUTS them out of the
+    * token stream and re-emits the surviving pieces, one row per piece:
+    * `(doc_id, piece_idx, st, en, n_tokens, cut_tokens, text)` with `st`/
+    * `en` the piece's 0-based inclusive token coordinates, `cut_tokens`
+    * the doc-level count of removed tokens (0 for untouched docs, which
+    * emit exactly one full-range piece), and `text` the piece's tokens
+    * re-joined with single spaces (removal is defined over the token
+    * stream, so output text is normalized: lowercased `[a-z0-9]+` runs —
+    * exactly [[TextPipeline.tokens]]). Docs whose token stream is empty,
+    * or fully cut, emit no rows.
+    *
+    * ONE CANONICAL COPY SURVIVES: a window is cut-eligible only when its
+    * gram appears in >= 2 docs AND this doc is not the gram's KEEPER (the
+    * smallest doc_id containing it) — so content is never deleted from
+    * everywhere it appears, per-order and deterministically. Cut geometry
+    * is then the >= `minLen` merged islands over the non-keeper windows of
+    * all orders in `ns` (merge across orders, policy on merged length —
+    * same geometry rules as [[dupSpanProfileMulti]], restricted to
+    * non-keeper occurrences).
+    *
+    * Scale shape: per order, a row-local gram explode over the persisted
+    * shared token substrate, a per-gram (distinct-doc count, min doc)
+    * aggregate, and one equi-join of window rows against that small dup
+    * set; islands merge and pieces cut INSIDE one row (no window
+    * function). The small per-affected-doc cut table is checkpointed so
+    * the token substrate releases; the final pass — tokenize, left-join
+    * cuts, slice pieces — is LAZY and row-local, so a 100 TB run streams
+    * straight to its sink without materializing the cleaned corpus twice.
+    */
+  def removeDupSpans(docs: DataFrame, ns: Seq[Int], minLen: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val f = removeDupSpansFrames(docs, ns, minLen, idCol, textCol)
+    val cuts = f.cuts.localCheckpoint() // eager: affected docs only
+    f.base.unpersist(blocking = false)
+    val emptyIv = array().cast("array<struct<st:bigint,en:bigint>>")
+    docs
+      .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("cut", coalesce(col("cut"), emptyIv))
+      .withColumn("cut_tokens",
+        aggregate(col("cut"), lit(0L),
+          (a, x) => a + x.getField("en") - x.getField("st") + 1L))
+      .select(col("doc_id"), col("toks"), col("cut_tokens"),
+        posexplode(complementPieces(col("cut"), size(col("toks")).cast("long"))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("piece_idx"),
+        col("col.st").as("st"), col("col.en").as("en"),
+        (col("col.en") - col("col.st") + 1L).as("n_tokens"),
+        col("cut_tokens"),
+        array_join(slice(col("toks"), (col("col.st") + 1L).cast("int"),
+          (col("col.en") - col("col.st") + 1L).cast("int")), " ").as("text"))
+  }
+
+  /** The lazy internals of [[removeDupSpans]]: persisted token substrate
+    * `base` plus the lazy per-affected-doc cut-island table `cuts`
+    * (doc_id, cut = sorted array of merged >= minLen non-keeper islands).
+    * Exposed for plan-quality tests (the public entry checkpoints `cuts`).
+    */
+  private[graft] case class RemoveSpanFrames(base: DataFrame, cuts: DataFrame)
+
+  private[graft] def removeDupSpansFrames(docs: DataFrame, ns: Seq[Int],
+      minLen: Int, idCol: String, textCol: String): RemoveSpanFrames = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"gram orders must be >= 1, got $ns")
+    require(ns.distinct.length == ns.length, s"duplicate gram orders in $ns")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val intervals = ns.map { n =>
+      val grams = base
+        .select(col("doc_id"),
+          posexplode(graft.functions.WordGrams.wordGrams(col("toks"), n)))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          Det.md5Hash60(col("col")).as("g"))
+      // keeper = min doc_id containing the gram: its occurrences are NOT
+      // cut-eligible, so one canonical copy of every duplicated gram
+      // survives removal. The dup set is small (duplicated grams are a
+      // small corpus fraction), so the join broadcasts under AQE.
+      val dupSet = grams.select("doc_id", "g").distinct()
+        .groupBy("g").agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
+        .filter(col("nd") >= 2).select("g", "keeper")
+      grams.join(dupSet, Seq("g"))
+        .filter(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), col("i").as("st"),
+          (col("i") + lit((n - 1).toLong)).as("en"))
+    }.reduce(_.unionByName(_))
+    val cuts = intervals
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("iv"))
+      .select(col("doc_id"), keptIntervalIslands(col("iv"), minLen).as("cut"))
+      .filter(size(col("cut")) > 0)
+    RemoveSpanFrames(base, cuts)
   }
 
   /** The corpus's cross-doc-duplicated gram hashes as a SORTED primitive

@@ -226,20 +226,42 @@ object Similarity {
     * only run-deterministic, not layout-deterministic).
     *
     * The centroid table is k×d longs — driver-held, like the solver's β.
-    * At 100 TB the build costs `iters` full scans and the index state
-    * stays tiny; queries then touch only `nProbe` inverted lists.
+    *
+    * SCALE GUARD: Lloyd passes aggregate over a BOUNDED deterministic
+    * sample — the `trainSampleCap` vectors with the lowest
+    * md5₆₀('ivfs-' || id), ties by id (layout-independent and
+    * oracle-reproducible, the `Det.md5Hash60` recipe every sampler here
+    * uses). Centroid quality needs a representative sample, not the
+    * corpus: training cost is one top-N hash scan plus `iters`·O(cap)
+    * on the cached sample, instead of `iters` full corpus scans — the
+    * scans stay O(corpus) only where the work is (assignment). Under the
+    * cap the sample IS the corpus, merely reordered, and the exact-long
+    * accumulation is combine-order-free, so centroids are bit-identical
+    * to full-corpus training (which keeps the sf-scale oracles pinned).
     */
   def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Array[Array[Long]] = {
+                   vecCol: String = "embedding",
+                   trainSampleCap: Int = 8192): Array[Array[Long]] = {
     val init: Array[Array[Long]] = embeddings
       .orderBy(col(idCol)).limit(k).select(vecCol).collect()
       .map(r => gridVec(r.getSeq[Float](0).map(_.toDouble).toArray))
     require(init.nonEmpty, "ivfCentroids: empty input")
+    require(trainSampleCap >= init.length,
+      s"trainSampleCap=$trainSampleCap smaller than k=${init.length}")
     val kk = init.length
     val d = init.head.length
-    val rows = graft.util.Tables.spread(embeddings.select(vecCol)).rdd
+    val rows = embeddings
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .orderBy(Det.md5Hash60(concat(lit("ivfs-"), col("_id").cast("string"))),
+        col("_id"))
+      .limit(trainSampleCap)
+      .select(col("_v"))
+      // the top-N lands in one partition; spread the Lloyd work back out
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .rdd
       .map(r => gridVec(r.getSeq[Float](0).map(_.toDouble).toArray))
+      .cache() // iterated `iters` times; bounded at cap rows
     var centroids = init
     for (_ <- 0 until iters) {
       val bc = rows.sparkContext.broadcast(centroids)
@@ -268,6 +290,7 @@ object Similarity {
         else prev(c)
       }
     }
+    rows.unpersist(blocking = false)
     centroids
   }
 

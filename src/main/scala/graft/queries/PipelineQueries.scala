@@ -468,51 +468,88 @@ object PipelineQueries {
         .orderBy("v1", "v2")
   }
 
-  /** SemDeDup over the embeddings table: literal centroids = the 8
-    * lowest-id nonzero-norm vectors (the p_ann_ivf_assign recipe, so the
-    * oracle can name them by id), threshold 0.4 — the corpus's planted
-    * near-dup level (see p_embedding_near_dup). Per-cluster totals keep
-    * the output small while pinning every keep/drop verdict: one flipped
-    * verdict moves a unit between a cluster's n_kept and its complement.
+  /** SemDeDup over the embeddings table, with SAMPLE-TRAINED k-means
+    * centroids (k=32, two Lloyd passes over the bounded deterministic
+    * hash sample — [[Similarity.ivfCentroids]]): the paper's shape is
+    * many clusters so the within-cluster pair stage stays near-linear —
+    * fixed tiny centroid sets (the previous 8 literal vectors) make that
+    * stage quadratic-per-cluster at corpus scale, and full-corpus Lloyd
+    * training would make the BUILD the bottleneck instead. The oracle
+    * replays the whole build — grid quantization, lowest-id init, the
+    * hash-sample CTE, two exact-integer Lloyd passes — then assigns raw
+    * embeddings by rounded cosine and re-derives every keep/drop verdict.
+    * Threshold 0.4 = the corpus's planted near-dup level (see
+    * p_embedding_near_dup). Per-cluster totals keep the output small
+    * while pinning every verdict: one flip moves a unit between a
+    * cluster's n_kept and its complement.
     */
-  val semanticDedupQ: Q = Q.sql(
-    "p_semantic_dedup",
-    """WITH nz AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
-      |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-      |c AS (SELECT vec_id AS cid, ev AS cv FROM nz WHERE vec_id < 8),
-      |s AS (SELECT n.vec_id, c.cid,
-      |             round(list_dot_product(n.ev, c.cv) /
-      |                   (sqrt(list_dot_product(n.ev, n.ev)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos
-      |      FROM nz n, c),
-      |r AS (SELECT vec_id, cid,
-      |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |      FROM s),
-      |asg AS (SELECT n.vec_id, r.cid AS cluster, n.ev
-      |        FROM nz n JOIN r ON n.vec_id = r.vec_id AND r.rn = 1),
-      |drops AS (
-      |  SELECT DISTINCT hi.vec_id
-      |  FROM asg lo JOIN asg hi
-      |    ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
-      |  WHERE round(list_dot_product(lo.ev, hi.ev) /
-      |              (sqrt(list_dot_product(lo.ev, lo.ev)) * sqrt(list_dot_product(hi.ev, hi.ev))), 9) >= 0.4)
-      |SELECT asg.cluster, count(*)::BIGINT AS n_vecs,
-      |       sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
-      |FROM asg LEFT JOIN drops d ON asg.vec_id = d.vec_id
-      |GROUP BY asg.cluster ORDER BY cluster""".stripMargin) { (s, dir) =>
-    val e = emb(s, dir)
-    // bounded driver pull: 8 centroid rows, the ivfTopK probe-collect shape
-    val cents = e
-      .filter(Similarity.dot(col("embedding"), col("embedding")) > 0.0 &&
-        col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
-      .toSeq
-    Similarity.semanticDedup(e, cents, 0.4)
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("cluster")
+  val semanticDedupQ: Q = {
+    val (k, iters) = (32, 2)
+    def gcos(v: String, c: String) =
+      s"list_dot_product($v, $c) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)))"
+    def lloydIter(t: Int): String =
+      s"""a$t AS (
+         |  SELECT v.vec_id, v.vq, c.cid, ${gcos("v.vq", "c.cq")} AS cos
+         |  FROM samp v, c${t - 1} c),
+         |b$t AS (SELECT vec_id, vq, cid,
+         |               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |        FROM a$t),
+         |s$t AS (SELECT cid, generate_subscripts(vq, 1) AS d, unnest(vq) AS x
+         |        FROM b$t WHERE rn = 1),
+         |m$t AS (SELECT cid, d, sum(x) AS s, count(*) AS n FROM s$t GROUP BY cid, d),
+         |u$t AS (SELECT cid, list(floor(s / n + 0.5) ORDER BY d) AS cq FROM m$t GROUP BY cid),
+         |c$t AS (SELECT p.cid, COALESCE(u.cq, p.cq) AS cq
+         |        FROM c${t - 1} p LEFT JOIN u$t u ON p.cid = u.cid)""".stripMargin
+    Q.sql(
+      "p_semantic_dedup",
+      s"""WITH vq AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0 + 0.5)) AS vq
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vq AS cq
+         |  FROM (SELECT vec_id, vq FROM vq ORDER BY vec_id LIMIT $k)),
+         |samp AS (
+         |  SELECT vec_id, vq FROM vq
+         |  ORDER BY ${Det.md5Hash60Sql("'ivfs-' || vec_id::VARCHAR")}, vec_id
+         |  LIMIT 8192),
+         |${(1 to iters).map(lloydIter).mkString(",\n")},
+         |cf AS (SELECT cid, cq FROM c$iters
+         |       WHERE list_dot_product(cq, cq) > 0),
+         |nz AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+         |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |sc AS (SELECT n.vec_id, c.cid,
+         |             round(${gcos("n.ev", "c.cq")}, 9) AS cos
+         |      FROM nz n, cf c),
+         |r AS (SELECT vec_id, cid,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |      FROM sc),
+         |asg AS (SELECT n.vec_id, r.cid AS cluster, n.ev
+         |        FROM nz n JOIN r ON n.vec_id = r.vec_id AND r.rn = 1),
+         |drops AS (
+         |  SELECT DISTINCT hi.vec_id
+         |  FROM asg lo JOIN asg hi
+         |    ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+         |  WHERE round(list_dot_product(lo.ev, hi.ev) /
+         |              (sqrt(list_dot_product(lo.ev, lo.ev)) * sqrt(list_dot_product(hi.ev, hi.ev))), 9) >= 0.4)
+         |SELECT asg.cluster, count(*)::BIGINT AS n_vecs,
+         |       sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |FROM asg LEFT JOIN drops d ON asg.vec_id = d.vec_id
+         |GROUP BY asg.cluster ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      // k×d driver-held longs, like ivfTopK's index state; gridded values
+      // pass through exactly as doubles (|grid| « 2^53)
+      val cents = Similarity.ivfCentroids(e, k = k, iters = iters)
+        .zipWithIndex.collect {
+          case (c, i) if c.exists(_ != 0L) => (i.toLong, c.map(_.toDouble).toSeq)
+        }.toSeq
+      Similarity.semanticDedup(e, cents, 0.4)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("cluster")
+    }
   }
 
   /** PQ-ADC ANN, fully oracled: codebook = subvectors of the 16 lowest-id
@@ -1025,7 +1062,7 @@ object PipelineQueries {
     def lloydIter(t: Int): String =
       s"""a$t AS (
          |  SELECT v.vec_id, v.vq, c.cid, ${gcos("v.vq", "c.cq")} AS cos
-         |  FROM vq v, c${t - 1} c),
+         |  FROM samp v, c${t - 1} c),
          |b$t AS (SELECT vec_id, vq, cid,
          |               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
          |        FROM a$t),
@@ -1044,6 +1081,10 @@ object PipelineQueries {
          |c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vq AS cq
          |  FROM (SELECT vec_id, vq FROM vq ORDER BY vec_id LIMIT $k)),
+         |samp AS (
+         |  SELECT vec_id, vq FROM vq
+         |  ORDER BY ${Det.md5Hash60Sql("'ivfs-' || vec_id::VARCHAR")}, vec_id
+         |  LIMIT 8192),
          |${(1 to iters).map(lloydIter).mkString(",\n")},
          |fa AS (SELECT v.vec_id, c.cid, ${gcos("v.vq", "c.cq")} AS cos
          |       FROM vq v, c$iters c),
@@ -1590,6 +1631,88 @@ object PipelineQueries {
           sum(col("covered_tokens")).as("sum_covered"),
           max(col("longest_span")).as("max_longest"))
         .orderBy("lang")
+    }
+  }
+
+  /** Duplicated-span REMOVAL (the corpus-emitting final step of Lee et
+    * al.'s ExactSubstr pipeline): >= 50-token merged islands of NON-KEEPER
+    * duplicated windows (the gram's min-doc keeps its copy) are cut from
+    * the token stream and the surviving pieces re-emitted. The check pins
+    * GEOMETRY AND CONTENT, not counts: one row per piece of every affected
+    * doc with its 0-based token boundaries and the md5 of the re-assembled
+    * piece text. The oracle re-derives the cut islands on the
+    * gaps-and-islands window substrate, computes pieces via lag() gaps +
+    * a per-doc tail, and re-assembles the same strings with
+    * array_to_string over 1-based list slices — so the piece-boundary
+    * bookkeeping (0- vs 1-based, inclusive ends, adjacency merges, the
+    * >= minLen policy on MERGED length, keeper exclusion) must agree
+    * across engines to the hash. The policy knob is 20 here (Lee et al.'s
+    * production default is 50) so the sf0.01 check pins 3x the affected
+    * docs — the operator semantics are identical at any value.
+    */
+  val dupSpanRemoval: Q = {
+    val ns = Seq(8, 16, 32)
+    val minLen = 20
+    val perN = ns.map { n =>
+      val h = Det.md5Hash60Sql(s"array_to_string(toks[i:i+${n - 1}], ' ')")
+      s"""gr$n AS (
+         |  SELECT doc_id, i, $h AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS i) s),
+         |d$n AS (SELECT g, min(doc_id) AS keeper
+         |        FROM (SELECT doc_id, g FROM gr$n GROUP BY doc_id, g) o
+         |        GROUP BY g HAVING count(*) >= 2),
+         |iv$n AS (SELECT gr.doc_id, gr.i AS st, gr.i + ${n - 1} AS en
+         |         FROM gr$n gr JOIN d$n d ON d.g = gr.g
+         |         WHERE gr.doc_id <> d.keeper)""".stripMargin
+    }.mkString(",\n")
+    val unionIv = ns.map(n => s"SELECT * FROM iv$n").mkString(" UNION ALL ")
+    Q.sql(
+      "p_dup_span_removal",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |$perN,
+         |iv AS ($unionIv),
+         |m AS (SELECT doc_id, st, en,
+         |        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |s AS (SELECT doc_id, st, en,
+         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY st, en
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |cut AS (SELECT doc_id, isl, min(st) AS st, max(en) AS en
+         |        FROM s GROUP BY doc_id, isl
+         |        HAVING max(en) - min(st) + 1 >= $minLen),
+         |nt AS (SELECT doc_id, len(toks) AS n FROM t),
+         |b AS (SELECT doc_id, st, en,
+         |        lag(en) OVER (PARTITION BY doc_id ORDER BY st) AS prev_en
+         |      FROM cut),
+         |gaps AS (
+         |  SELECT doc_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
+         |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
+         |  UNION ALL
+         |  SELECT tl.doc_id, tl.pst, nt.n AS pen
+         |  FROM (SELECT doc_id, max(en) + 1 AS pst FROM cut GROUP BY doc_id) tl
+         |  JOIN nt ON nt.doc_id = tl.doc_id WHERE nt.n >= tl.pst),
+         |pieces AS (SELECT doc_id,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY pst) - 1
+         |               AS piece_idx,
+         |             pst, pen
+         |           FROM gaps)
+         |SELECT p.doc_id, p.piece_idx::BIGINT AS piece_idx,
+         |       (p.pst - 1)::BIGINT AS st, (p.pen - 1)::BIGINT AS en,
+         |       (p.pen - p.pst + 1)::BIGINT AS n_tokens,
+         |       md5(array_to_string(t.toks[p.pst:p.pen], ' ')) AS text_hash
+         |FROM pieces p JOIN t ON t.doc_id = p.doc_id
+         |ORDER BY p.doc_id, p.piece_idx""".stripMargin) { (s, dir) =>
+      Dedup.removeDupSpans(docsSpread(s, dir), ns, minLen)
+        .filter(col("cut_tokens") > 0)
+        .select(col("doc_id"), col("piece_idx"), col("st"), col("en"),
+          col("n_tokens"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id", "piece_idx")
     }
   }
 
@@ -2279,6 +2402,7 @@ object PipelineQueries {
     heavyHitters, countMinQ, lengthQuantiles, repetitionQuality,
     incrementalDedup, incrementalNearDupQ,
     dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
-    lengthBatching, dupGramProfileQ, dupSpans, dupSpansMulti, packSpanMasks,
+    lengthBatching, dupGramProfileQ, dupSpans, dupSpansMulti, dupSpanRemoval,
+    packSpanMasks,
     bigramLmQuality, weightedSampleQ)
 }

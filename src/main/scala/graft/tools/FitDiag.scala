@@ -63,6 +63,7 @@ object FitDiag {
           case "poisson" =>
             (df.withColumn("qty", col("l_quantity").cast("double")),
               Seq("l_discount", "l_tax", "l_extendedprice"), "qty")
+          case other => sys.error(s"unknown family $other")
         }
         SlopeEstimator.fit(d2, feats, lab,
           SlopeConfig(family = family, sigmaRatios = ratios,

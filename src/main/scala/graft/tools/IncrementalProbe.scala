@@ -17,11 +17,23 @@ import java.nio.file.{Files, Paths}
   *   - `build_sec`: `buildNearDupIndex(corpus)` + materialization
   *   - `probe_sec`: `incrementalNearDup(inc, index)` against the warm
   *     index (min of 2 — the second probe is the steady state)
+  *   - `write_sec`: `writeNearDupIndex` to parquet (the once-per-rebuild
+  *     cost of making the index survive a restart)
   *
-  * The deployed per-batch cost is `probe_sec`; `build_sec` amortizes over
-  * every batch until the index is rebuilt. Writes INCPROBE.json.
+  * The deployed per-batch cost is `probe_sec`; `build_sec` + `write_sec`
+  * amortize over every batch until the index is rebuilt. Writes
+  * INCPROBE.json.
   *
-  * Usage: runMain graft.tools.IncrementalProbe <sfDir> [outPath]
+  * The daily-crawl story crosses JVMs, so the COLD leg runs as a SEPARATE
+  * invocation (a genuinely fresh session — no block-manager cache, no
+  * reused exchange): `cold` reloads the written index and measures the
+  * first probe (parquet scan + persist fill) and the re-warmed second,
+  * merging `cold_probe_sec`/`cold_rewarm_sec`/`cold_n_pairs` into the
+  * existing artifact. `cold_n_pairs` must equal the warm run's `n_pairs`
+  * or the merge aborts.
+  *
+  * Usage: runMain graft.tools.IncrementalProbe <sfDir> [outPath] [indexDir]
+  *        runMain graft.tools.IncrementalProbe cold <sfDir> <indexDir> [outPath]
   */
 object IncrementalProbe {
 
@@ -34,9 +46,7 @@ object IncrementalProbe {
       } finally src.close()
     } catch { case _: Throwable => None }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outPath = args.lift(1).getOrElse("INCPROBE.json")
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,14 +54,30 @@ object IncrementalProbe {
     graft.util.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** 90/10 corpus/increment split on a HASHED doc_id (sequential ids make
+    * a bare modulo a stride split; xxhash64 first so the split mixes) —
+    * deterministic and id-disjoint by construction (the operator's
+    * contract). Shared by the warm and cold legs, which MUST agree.
+    */
+  private def split(docs: org.apache.spark.sql.DataFrame) = {
+    val bucket = pmod(xxhash64(col("doc_id")), lit(10))
+    (docs.filter(bucket =!= 0), docs.filter(bucket === 0))
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cold")) return coldMain(args.drop(1))
+    val sfDir = args(0)
+    val outPath = args.lift(1).getOrElse("INCPROBE.json")
+    val idxDir = args.lift(2).getOrElse("/tmp/graft_neardup_index")
+    val spark = session()
     val stat0 = cpuStat()
 
     val docs = graft.util.Tables.t(spark, sfDir, "documents")
       .filter(length(col("text")) >= 5)
-    // 90/10 split on a doc_id hash — deterministic, id-disjoint by
-    // construction (the operator's contract)
-    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val inc = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val (corpus, inc) = split(docs)
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -85,6 +111,10 @@ object IncrementalProbe {
       graft.pipeline.Dedup.incrementalNearDup(inc, idx, 0.7).count()
     }
     require(n1 == n2, s"probe results differ across runs: $n1 vs $n2")
+    // build-to-disk: the once-per-rebuild cost of surviving a restart
+    val (_, writeSec) = timed {
+      graft.pipeline.Dedup.writeNearDupIndex(idx, idxDir)
+    }
     idx.unpersist()
 
     val steal = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
@@ -93,10 +123,56 @@ object IncrementalProbe {
       s"""{"metric":"incremental_neardup_probe","sf":"$sfDir",""" +
         s""""n_pairs":$n1,"convenience_sec":$convenience,""" +
         s""""build_sec":$build,"probe_sec":${math.min(probe1, probe2)},""" +
-        s""""probe_runs":[$probe1,$probe2],""" +
+        s""""probe_runs":[$probe1,$probe2],"write_sec":$writeSec,""" +
+        s""""index_dir":"$idxDir",""" +
         s""""steal_pct":${steal.map(_.toString).getOrElse("null")}}"""
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")
+    spark.stop()
+  }
+
+  /** The cross-JVM leg: reload the written index in this (fresh) session
+    * and measure the first probe cold. Merges its rows into the existing
+    * artifact so one file carries the whole amortization story.
+    */
+  private def coldMain(args: Array[String]): Unit = {
+    val Array(sfDir, idxDir) = args.take(2)
+    val outPath = args.lift(2).getOrElse("INCPROBE.json")
+    val spark = session()
+    val stat0 = cpuStat()
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = graft.util.Tables.t(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 5)
+    val (_, inc) = split(docs)
+    val (idx, reload) = timed {
+      graft.pipeline.Dedup.readNearDupIndex(spark, idxDir)
+    }
+    val (nC, cold) = timed {
+      graft.pipeline.Dedup.incrementalNearDup(inc, idx, 0.7).count()
+    }
+    val (nW, warm) = timed {
+      graft.pipeline.Dedup.incrementalNearDup(inc, idx, 0.7).count()
+    }
+    require(nC == nW, s"cold/rewarmed probe results differ: $nC vs $nW")
+    idx.unpersist()
+    val steal = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
+      yield math.round(10000.0 * (s1 - s0) / (t1 - t0)) / 100.0)
+    val prev = Files.readString(Paths.get(outPath)).trim
+    require(prev.endsWith("}"), s"$outPath is not a JSON object")
+    val warmPairs = """"n_pairs":(\d+)""".r.findFirstMatchIn(prev)
+      .map(_.group(1).toLong)
+    require(warmPairs.contains(nC),
+      s"cold pairs $nC != warm run's n_pairs $warmPairs — split drifted")
+    val merged = prev.dropRight(1) +
+      s""","cold_reload_sec":$reload,"cold_probe_sec":$cold,""" +
+      s""""cold_rewarm_sec":$warm,"cold_n_pairs":$nC,""" +
+      s""""cold_steal_pct":${steal.map(_.toString).getOrElse("null")}}"""
+    println(merged)
+    Files.writeString(Paths.get(outPath), merged + "\n")
     spark.stop()
   }
 }

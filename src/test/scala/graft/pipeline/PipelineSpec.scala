@@ -829,6 +829,110 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shared-token gram substrate is bit-identical to per-order tokenization") {
+    // dupSpanMultiFrames/removeDupSpansFrames build per-order grams from
+    // ONE persisted token array via the native WordGrams — pin that the
+    // hashes equal the wordGramArray(text, n) form they replaced
+    val df = docsDf(
+      0L -> "The quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs", 2L -> "tiny")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val viaText = df.select(col("doc_id"),
+        transform(TextPipeline.wordGramArray(col("text"), n),
+          g => graft.util.Det.md5Hash60(g)).as("hs"))
+      val viaToks = df
+        .select(col("doc_id"), TextPipeline.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          transform(graft.functions.WordGrams.wordGrams(col("toks"), n),
+            g => graft.util.Det.md5Hash60(g)).as("hs"))
+      val a = viaText.orderBy("doc_id").collect().map(_.getSeq[Long](1))
+      val b = viaToks.orderBy("doc_id").collect().map(_.getSeq[Long](1))
+      assert(a.toSeq == b.toSeq, s"gram hash mismatch at n=$n")
+    }
+  }
+
+  test("removeDupSpans: keeper survives, non-keepers cut, minLen policy, exact piece geometry and text") {
+    val df = docsDf(
+      0L -> "a b c d e f",          // keeper of every shared gram: uncut
+      1L -> "x x a b c d e y z",    // shares a-e with doc 0: [2,6] cut
+      2L -> "",                     // empty token stream: no rows
+      3L -> "a b c d e f",          // exact copy of doc 0: fully cut
+      4L -> "p q a b r s")          // shares only "a b" (len 2 < minLen): uncut
+    val got = Dedup.removeDupSpans(df, ns = Seq(2), minLen = 3)
+      .orderBy("doc_id", "piece_idx")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cut_tokens"), r.getAs[String]("text")))
+    val expected = Seq(
+      (0L, 0L, 0L, 5L, 6L, 0L, "a b c d e f"),
+      (1L, 0L, 0L, 1L, 2L, 5L, "x x"),
+      (1L, 1L, 7L, 8L, 2L, 5L, "y z"),
+      (4L, 0L, 0L, 5L, 6L, 0L, "p q a b r s"))
+    assert(got.toSeq == expected)
+  }
+
+  test("removeDupSpans: randomized corpora match a brute-force keeper-aware cut-and-reassemble") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 0 until 3) {
+      val ns = Seq(Seq(1, 2), Seq(2, 3), Seq(1, 2, 4))(trial)
+      val minLen = 1 + rnd.nextInt(5)
+      val corpus = (0L until 40L).map { id =>
+        val len = rnd.nextInt(25)
+        (id, (0 until len).map(_ => "w" + rnd.nextInt(6)).mkString(" "))
+      }
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector
+      }.toMap
+      val expected = corpus.flatMap { case (id, _) =>
+        val ts = toks(id)
+        val covered = Array.fill(ts.size)(false)
+        for (n <- ns) {
+          val gramsOf = toks.map { case (i2, t2) =>
+            i2 -> (if (t2.size >= n) t2.sliding(n).map(_.mkString(" ")).toVector
+                   else Vector.empty[String])
+          }
+          val byGram = gramsOf.toSeq
+            .flatMap { case (i2, gs) => gs.distinct.map(g => (g, i2)) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          gramsOf(id).zipWithIndex.foreach { case (g, i) =>
+            val docs = byGram(g)
+            if (docs.size >= 2 && id != docs.min)
+              (i until i + n).foreach(covered(_) = true)
+          }
+        }
+        // cut = maximal true runs >= minLen; pieces = the complement
+        val cutRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var runSt = -1
+        for (i <- covered.indices) {
+          if (covered(i) && runSt < 0) runSt = i
+          if (!covered(i) && runSt >= 0) { cutRuns += ((runSt, i - 1)); runSt = -1 }
+        }
+        if (runSt >= 0) cutRuns += ((runSt, covered.length - 1))
+        val cuts = cutRuns.filter { case (s0, e0) => e0 - s0 + 1 >= minLen }
+        val cutTok = cuts.map { case (s0, e0) => e0 - s0 + 1 }.sum.toLong
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var cursor = 0
+        cuts.foreach { case (s0, e0) =>
+          if (s0 > cursor) pieces += ((cursor, s0 - 1)); cursor = e0 + 1
+        }
+        if (cursor <= ts.size - 1) pieces += ((cursor, ts.size - 1))
+        pieces.zipWithIndex.map { case ((s0, e0), idx) =>
+          (id, idx.toLong, s0.toLong, e0.toLong, (e0 - s0 + 1).toLong, cutTok,
+            ts.slice(s0, e0 + 1).mkString(" "))
+        }
+      }
+      val got = Dedup.removeDupSpans(corpus.toDF("doc_id", "text"), ns, minLen)
+        .orderBy("doc_id", "piece_idx")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+          r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cut_tokens"), r.getAs[String]("text")))
+      assert(got.toSeq == expected.toSeq, s"trial $trial (ns=$ns, minLen=$minLen)")
+    }
+  }
+
   test("incrementalNearDup: planted cross-side pair found; within-batch pairs suppressed") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"

@@ -368,17 +368,59 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dup spans multi: interval fold is row-local across ALL gram orders — no window, keyed joins") {
+    // white-box: the public entry checkpoints the per-affected-doc span
+    // table (releasing the persisted token substrate), so the per-order
+    // semi-join substrate must be asserted on the lazy internals — same
+    // pattern as the near-dup frames guard above
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+    val f = graft.pipeline.Dedup.dupSpanMultiFrames(
+      docs, Seq(8, 16, 32), 50, "doc_id", "text")
+    try {
+      import org.apache.spark.storage.StorageLevel
+      assert(f.base.storageLevel != StorageLevel.NONE,
+        "shared token substrate not persisted")
+      // three gram orders, one merge: the cross-order island merge must
+      // still fold inside one row after a single collect_list — a window
+      // over (doc, position) rows here would serialize every hot doc's
+      // interval set through one task per doc
+      val p = f.spans.queryExecution.executedPlan.toString()
+      assert(!p.contains("Window"), "multi-order span merge must fold row-locally")
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        "multi-order spans must join by key only")
+      assert(p.contains("LeftSemi"),
+        "per-order dup-set membership must be a semi join")
+      assert(p.contains("partial_count"),
+        "per-gram distinct-doc counts must map-side combine")
+    } finally f.base.unpersist(blocking = true)
+    // black-box: the published plan is the checkpointed span table joined
+    // to one fresh tokenize pass plus the per-lang rollup
     val p = planOf("p_dup_spans_multi")
-    // three gram orders, one merge: the cross-order island merge must
-    // still fold inside one row after a single collect_list — a window
-    // over (doc, position) rows here would serialize every hot doc's
-    // interval set through one task per doc
-    assert(!p.contains("Window"), "multi-order span merge must fold row-locally")
-    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
-      "multi-order spans must join by key only")
-    assert(p.contains("LeftSemi"), "per-order dup-set membership must be a semi join")
+    assert(!p.contains("Window"), "final profile join must not window")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
-      "per-lang aggregate must map-side combine")
+      "per-lang rollup must map-side combine")
+  }
+
+  test("dup span removal: keyed cut-geometry joins, row-local folds, one lazy tokenize-join-slice to emit pieces") {
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+    val f = graft.pipeline.Dedup.removeDupSpansFrames(
+      docs, Seq(8, 16, 32), 50, "doc_id", "text")
+    try {
+      import org.apache.spark.storage.StorageLevel
+      assert(f.base.storageLevel != StorageLevel.NONE,
+        "shared token substrate not persisted")
+      val p = f.cuts.queryExecution.executedPlan.toString()
+      assert(!p.contains("Window"), "cut-island merge must fold row-locally")
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        "keeper lookup must be an equi-join on the gram hash")
+      assert(p.contains("partial_count") || p.contains("partial_min"),
+        "per-gram (count, keeper) aggregate must map-side combine")
+    } finally f.base.unpersist(blocking = true)
+    // the published plan: checkpointed cuts left-joined to one tokenize
+    // pass, pieces cut by row-local fold + posexplode — never a window
+    val p = planOf("p_dup_span_removal")
+    assert(!p.contains("Window"), "piece cutting must be row-local, not a window")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "the cuts join must be keyed on doc_id")
   }
 
   test("bigram LM: vocab-size broadcasts as a 1-row table; count joins are keyed, no window") {

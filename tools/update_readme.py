@@ -16,6 +16,7 @@ Usage: python3 tools/update_readme.py [--check]
 """
 import glob
 import json
+import os
 import re
 import sys
 import xml.etree.ElementTree as ET
@@ -85,8 +86,13 @@ def main() -> int:
     new = re.sub(re.escape(BEGIN) + ".*?" + re.escape(END), lambda _: block(root),
                  readme, flags=re.S)
     if CMP_BEGIN in new and CMP_END in new:
-        new = re.sub(re.escape(CMP_BEGIN) + ".*?" + re.escape(CMP_END),
-                     lambda _: cmp_block(root), new, flags=re.S)
+        if os.path.exists(f"{root}/BENCHCMP.json"):
+            new = re.sub(re.escape(CMP_BEGIN) + ".*?" + re.escape(CMP_END),
+                         lambda _: cmp_block(root), new, flags=re.S)
+        else:
+            print("BENCHCMP.json missing — run tools/benchcmp.py to refresh "
+                  "the throughput-vs-DuckDB block; leaving it as committed",
+                  file=sys.stderr)
     if "--check" in sys.argv:
         if new != readme:
             print("README counters are stale — run tools/update_readme.py",
