@@ -779,6 +779,23 @@ object Dedup {
     * as the profile; the only difference is the fold emits geometry.
     */
   def dupSpanIntervals(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextPipeline.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(dupIslands(docs, n, idCol, textCol), Seq("doc_id"), "left")
+      .withColumn("islands", coalesce(col("islands"),
+        array().cast("array<struct<st:bigint,en:bigint>>")))
+
+  /** The expensive inner aggregate of [[dupSpanIntervals]]: `(doc_id,
+    * islands)` for AFFECTED docs only — docs holding at least one
+    * cross-doc-duplicated gram window (a small corpus fraction; islands
+    * is never empty here by construction). Consumers that also need
+    * per-doc token counts for unaffected docs should compute those with
+    * a separate cheap tokenize scan and join against this — bundling
+    * both into one frame is what forced the fan-out double execution
+    * `spanMaskReport` used to pay (see its scale note).
+    */
+  def dupIslands(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"gram order must be >= 1, got $n")
     val grams = docs
@@ -789,15 +806,10 @@ object Dedup {
     val dupSet = grams.select("doc_id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("g")
-    val spans = grams.join(dupSet, Seq("g"), "left_semi")
+    grams.join(dupSet, Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("i"))).as("ps"))
       .select(col("doc_id"), islandIntervals(col("ps"), n).as("islands"))
-    docs.select(col(idCol).as("doc_id"),
-        TextPipeline.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .join(spans, Seq("doc_id"), "left")
-      .withColumn("islands", coalesce(col("islands"),
-        array().cast("array<struct<st:bigint,en:bigint>>")))
   }
 
   /** Folds an array of `[st, en]` intervals SORTED ascending by (st, en)

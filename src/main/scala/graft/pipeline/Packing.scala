@@ -117,9 +117,18 @@ object Packing {
     * coordinates and packing offsets must agree (deliberately unlike
     * `p_pack_sequences`, which audits BPE-ish counts).
     *
-    * Scale shape: the span substrate is [[Dedup.dupSpanIntervals]]'
-    * (gram-keyed joins, row-local folds); packing is the sharded prefix
-    * sum; the mask mapping is a row-local explode bounded by islands ×
+    * Scale shape — FAN-OUT-FREE: packing needs only `(doc_id, n_tokens)`,
+    * which a cheap tokenize scan provides; the expensive gram
+    * explode/distinct/semi-join substrate ([[Dedup.dupIslands]], affected
+    * docs only) feeds ONLY the islands join, so it is evaluated exactly
+    * once and nothing needs persisting. (The round-8 shape bundled both
+    * columns into one [[Dedup.dupSpanIntervals]] frame consumed twice;
+    * the persist that patched the resulting fan-out was adjudicated by
+    * rotated-interleave A/B/C at ×10/×100 — SPANMASK_AB.json, SCALING.md
+    * round-10: this shape wins both scales, and the persist LOSES to
+    * plain recompute at ×100 — caching the full per-doc islands table
+    * costs more than what it saves.)
+    * The mask mapping is a row-local explode bounded by islands ×
     * chunks-per-island. Output per shard (shards with no masked tokens
     * are absent): `n_mask_tokens` (Σ masked), `n_masked_chunks` (chunks
     * containing any mask), `max_chunk_mask` (worst chunk), and
@@ -130,18 +139,24 @@ object Packing {
       salt: String, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    // spans fans out to TWO consumers (packChunks' prefix sum and the
-    // islands join) whose column pruning gives them different subtrees —
-    // exchange reuse will not fire, so without persistence the expensive
-    // gram explode/distinct/semi-join substrate executes twice. Same
-    // discipline as nearDupPairs: persist across the fan-out, materialize
-    // the (tiny, per-shard) result eagerly, unpersist before returning.
-    val spans = Dedup.dupSpanIntervals(docs, n, idCol, textCol)
+    val counts = docs
+      .select(col(idCol).as("doc_id"),
+        TextPipeline.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val packed = packChunks(spans, "doc_id", "n_tokens", nShards, seqLen, salt)
+    val packed = packChunks(counts, "doc_id", "n_tokens", nShards, seqLen, salt)
+    // inner join: unaffected docs carry no islands — identical output to
+    // the old left-join-then-explode-empty, minus the join traffic
+    maskRollup(packed, Dedup.dupIslands(docs, n, idCol, textCol), seqLen)
+  }
+
+  /** Maps per-doc span `islands` through `packed` offsets into per-shard
+    * chunk-mask stats — [[spanMaskReport]]'s final stage, also the shared
+    * kernel of the `SpanMaskAB` measurement harness's legacy variants.
+    */
+  private[graft] def maskRollup(packed: DataFrame, islands: DataFrame,
+      seqLen: Int): DataFrame = {
     val pieces = packed
-      .join(spans.select(col("doc_id"), col("islands")), Seq("doc_id"))
+      .join(islands.select(col("doc_id"), col("islands")), Seq("doc_id"))
       .select(col("shard"), col("start_tok"), explode(col("islands")).as("isl"))
       .select(col("shard"),
         (col("start_tok") + col("isl.st")).as("gst"),
@@ -153,7 +168,7 @@ object Packing {
         (least(col("gen"), (col("chunk") + 1) * seqLen - 1) -
           greatest(col("gst"), col("chunk") * lit(seqLen.toLong)) + 1)
           .as("masked"))
-    val out = pieces
+    pieces
       .groupBy("shard", "chunk")
       .agg(sum(col("masked")).as("chunk_mask"), count(lit(1)).as("n_pieces"))
       .groupBy("shard")
@@ -161,9 +176,6 @@ object Packing {
         count(lit(1)).as("n_masked_chunks"),
         max(col("chunk_mask")).as("max_chunk_mask"),
         sum(col("n_pieces")).as("n_mask_pieces"))
-      .localCheckpoint()
-    spans.unpersist(blocking = false)
-    out
   }
 
   /** Shard-level packing report: documents, tokens, emitted chunks, and

@@ -423,6 +423,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the cuts join must be keyed on doc_id")
   }
 
+  test("span masks: fan-out-free — the gram substrate appears once, nothing persisted") {
+    // round-10 adjudication (SPANMASK_AB.json): packing consumes a cheap
+    // tokenize scan, the expensive gram explode/distinct/semi-join chain
+    // feeds only the islands join — so the plan holds exactly ONE dup-set
+    // semi join (the bundled round-8/9 shape evaluated it once per
+    // consumer, and the persist that patched that lost the ×100 A/B)
+    val p = planOf("p_pack_span_masks")
+    assert(p.linesIterator.count(_.contains("LeftSemi")) == 1,
+      s"gram dup-set semi join must appear exactly once:\n$p")
+    assert(!p.contains("InMemoryTableScan") && !p.contains("InMemoryRelation"),
+      "fan-out-free span masks need no persisted substrate")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "mask mapping must join by doc_id only")
+  }
+
   test("bigram LM: vocab-size broadcasts as a 1-row table; count joins are keyed, no window") {
     val p = planOf("p_bigram_lm_quality")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
