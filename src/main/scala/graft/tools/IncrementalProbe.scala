@@ -161,7 +161,10 @@ object IncrementalProbe {
     idx.unpersist()
     val steal = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
       yield math.round(10000.0 * (s1 - s0) / (t1 - t0)) / 100.0)
+    // idempotent merge: strip any prior cold_* fields so a re-run (e.g.
+    // retrying a steal-noisy window) replaces them instead of duplicating
     val prev = Files.readString(Paths.get(outPath)).trim
+      .replaceAll(""","cold_[a-z_]+":(null|[0-9.]+)""", "")
     require(prev.endsWith("}"), s"$outPath is not a JSON object")
     val warmPairs = """"n_pairs":(\d+)""".r.findFirstMatchIn(prev)
       .map(_.group(1).toLong)
