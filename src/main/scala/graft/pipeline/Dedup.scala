@@ -906,6 +906,16 @@ object Dedup {
     val f = removeDupSpansFrames(docs, ns, minLen, idCol, textCol)
     val cuts = f.cuts.localCheckpoint() // eager: affected docs only
     f.base.unpersist(blocking = false)
+    emitPieces(docs, cuts, idCol, textCol)
+  }
+
+  /** The shared corpus-emitting tail of the removal operators: left-join
+    * the (small, eager) per-affected-doc cut table against a fresh
+    * tokenize scan, slice the surviving pieces, re-join their text.
+    * Row-local and LAZY, so a 100 TB run streams straight to its sink.
+    */
+  private def emitPieces(docs: DataFrame, cuts: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val emptyIv = array().cast("array<struct<st:bigint,en:bigint>>")
     docs
       .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
@@ -923,6 +933,99 @@ object Dedup {
         col("cut_tokens"),
         array_join(slice(col("toks"), (col("col.st") + 1L).cast("int"),
           (col("col.en") - col("col.st") + 1L).cast("int")), " ").as("text"))
+  }
+
+  /** EXACT duplicated-substring removal — suffix-array-grade ExactSubstr
+    * geometry (Lee et al. 2021) on the gram substrate, single pass, no
+    * suffix array. The identity that makes this exact: the union of all
+    * duplicated token substrings of length >= `minLen` EQUALS the union
+    * of all duplicated windows of length EXACTLY `minLen` —
+    *
+    *   (⊇) a duplicated window IS a duplicated substring of length
+    *       `minLen`;
+    *   (⊆) any token t inside a duplicated substring S of length
+    *       L >= minLen lies inside some minLen-window of S (take start
+    *       j = clamp(pos(t) − minLen + 1, st(S), st(S) + L − minLen)),
+    *       and every minLen-window of S occurs wherever S occurs, so it
+    *       is itself duplicated.
+    *
+    * So islands of duplicated minLen-windows are EXACTLY the removable
+    * region — [[removeDupSpans]]'s multi-order merge (8/16/32 + policy on
+    * merged length) approximates this geometry; a single order equal to
+    * the policy length computes it exactly, in ONE substrate pass instead
+    * of |ns|. Duplication here is >= 2 OCCURRENCES corpus-wide — unlike
+    * the multi-order form's distinct-doc count, a substring repeated
+    * twice inside one document (boilerplate) is flagged too, matching the
+    * suffix-array semantics.
+    *
+    * `keepFirst = true` (default) retains one canonical copy per window:
+    * the first occurrence in (doc_id, position) order is never cut, so
+    * content survives somewhere; `false` is the literal Lee et al. policy
+    * (every occurrence of a duplicated substring is removed — the paper
+    * accepts deleting all copies). Both are single-pass: removal is
+    * computed against the ORIGINAL corpus, not re-derived iteratively.
+    *
+    * Substrate cost: windows hash via [[graft.functions.RollingGramHashes]]
+    * — two independent rolling polynomials over per-token xxhash64 values,
+    * O(L) per document instead of the O(L·minLen) gram-string
+    * concatenation (at minLen≈50, a ~50× corpus-scan CPU term). 128-bit
+    * joint keys make false window pairs ~10⁻¹⁵-grade at 10¹² windows (see
+    * the expression's collision contract; hostile corpora should use the
+    * md5 substrate).
+    *
+    * Scale shape: one row-local window-hash explode, one per-gram
+    * (occurrence count, min (doc, pos)) aggregate — map-side combinable —
+    * one equi-join of window rows against the small dup set (broadcasts
+    * under AQE), islands and cuts INSIDE one row, and the same lazy
+    * [[emitPieces]] tail as [[removeDupSpans]]. Output schema identical
+    * to [[removeDupSpans]].
+    */
+  def removeDupSpansExact(docs: DataFrame, minLen: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      keepFirst: Boolean = true): DataFrame = {
+    val f = exactSubstrFrames(docs, minLen, idCol, textCol, keepFirst)
+    val cuts = f.cuts.localCheckpoint() // eager: affected docs only
+    f.base.unpersist(blocking = false)
+    emitPieces(docs, cuts, idCol, textCol)
+  }
+
+  /** The lazy internals of [[removeDupSpansExact]], exposed for plan-quality
+    * tests (same contract as [[removeDupSpansFrames]]).
+    */
+  private[graft] def exactSubstrFrames(docs: DataFrame, minLen: Int,
+      idCol: String, textCol: String, keepFirst: Boolean): RemoveSpanFrames = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(graft.functions.RollingGramHashes
+          .rollingGramHashes(col("toks"), minLen)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col.h1").as("g1"), col("col.h2").as("g2"))
+    // >= 2 occurrences ANYWHERE (within-doc repeats count); keeper = the
+    // first occurrence in (doc_id, position) order. min(struct) is
+    // map-side combinable, and the dup set is a small corpus fraction, so
+    // the join back broadcasts under AQE.
+    val dupSet = grams
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("nocc"),
+        min(struct(col("doc_id"), col("i"))).as("keeper"))
+      .filter(col("nocc") >= 2)
+      .select("g1", "g2", "keeper")
+    val joined = grams.join(dupSet, Seq("g1", "g2"))
+    val cutWins =
+      if (keepFirst) joined.filter(struct(col("doc_id"), col("i")) =!= col("keeper"))
+      else joined
+    // every window has length exactly minLen, so every merged island
+    // already clears the >= minLen policy — islandIntervals needs no
+    // length filter.
+    val cuts = cutWins
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("ps"))
+      .select(col("doc_id"), islandIntervals(col("ps"), minLen).as("cut"))
+    RemoveSpanFrames(base, cuts)
   }
 
   /** The lazy internals of [[removeDupSpans]]: persisted token substrate
