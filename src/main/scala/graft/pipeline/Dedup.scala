@@ -169,10 +169,11 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, k: Int = 5, nHashes: Int = 18,
                    rowsPerBand: Int = 6, threshold: Double = 0.7): DataFrame = {
     val f = nearDupFrames(docs, k, nHashes, rowsPerBand, threshold)
-    val out = f.verified.localCheckpoint() // eager: runs the whole pipeline
-    f.spread.unpersist(blocking = false)
-    f.candShingles.unpersist(blocking = false)
-    out
+    try f.verified.localCheckpoint() // eager: runs the whole pipeline
+    finally {
+      f.spread.unpersist(blocking = false)
+      f.candShingles.unpersist(blocking = false)
+    }
   }
 
   /** The lazy internals of [[nearDupPairs]], exposed for plan-quality tests:
@@ -372,10 +373,11 @@ object Dedup {
         index.docStore.join(cand.select(col("d2").as("doc_id")).distinct(),
           Seq("doc_id"), "left_semi"), k = k))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = jaccardVerify(cand, candSh, threshold).localCheckpoint()
-    incSpread.unpersist(blocking = false)
-    candSh.unpersist(blocking = false)
-    out
+    try jaccardVerify(cand, candSh, threshold).localCheckpoint()
+    finally {
+      incSpread.unpersist(blocking = false)
+      candSh.unpersist(blocking = false)
+    }
   }
 
   /** Duplicate-cluster resolution: connected components over verified
@@ -654,14 +656,17 @@ object Dedup {
     */
   def dupSpanProfileMulti(docs: DataFrame, ns: Seq[Int], minLen: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      carryCols: Seq[String] = Nil): DataFrame = {
-    val f = dupSpanMultiFrames(docs, ns, minLen, idCol, textCol)
+      carryCols: Seq[String] = Nil, md5Substrate: Boolean = false): DataFrame = {
+    val f = dupSpanMultiFrames(docs, ns, minLen, idCol, textCol, md5Substrate)
     // EAGER up to the per-affected-doc span table (one 4-long row per doc
     // that has any cross-doc interval — a vanishing fraction of corpus
     // bytes), so the persisted token substrate can be released; the final
     // per-doc join stays LAZY and re-tokenizes the source exactly once.
-    val spans = f.spans.localCheckpoint()
-    f.base.unpersist(blocking = false)
+    // finally: a failed checkpoint job must not leak the MEMORY_AND_DISK
+    // token substrate for the session lifetime
+    val spans =
+      try f.spans.localCheckpoint()
+      finally f.base.unpersist(blocking = false)
     docs.select(col(idCol).as("doc_id") +:
         (carryCols.map(col) :+
           TextPipeline.tokenCount(col(textCol)).cast("long").as("n_tokens")): _*)
@@ -679,8 +684,35 @@ object Dedup {
     */
   private[graft] case class DupSpanMultiFrames(base: DataFrame, spans: DataFrame)
 
+  /** Per-order window rows `(doc_id, i, g1, g2)` over the persisted token
+    * substrate — the shared keying step of the multi-order span family.
+    * Default substrate: [[graft.functions.RollingGramHashes]], two rolled
+    * 64-bit polynomials per window in O(L) per document (the CPU shape
+    * [[removeDupSpansExact]] proved out; the md5-on-gram-string form paid
+    * O(L·n) concatenation — ~32× token bytes at n=32). `md5 = true` keeps
+    * that literal-string form for ADVERSARIAL corpora (fixed-base mod-2⁶⁴
+    * polynomials can be attacked — see the expression's collision
+    * contract); there `g2` is the constant 0, so grouping/joining on
+    * `(g1, g2)` degenerates to the 60-bit md5 key. Cut/span geometry is
+    * bit-identical across substrates on non-hostile corpora (pinned in
+    * PipelineSpec).
+    */
+  private def windowRows(base: DataFrame, n: Int, md5: Boolean): DataFrame =
+    if (md5)
+      base.select(col("doc_id"),
+          posexplode(graft.functions.WordGrams.wordGrams(col("toks"), n)))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          Det.md5Hash60(col("col")).as("g1"), lit(0L).as("g2"))
+    else
+      base.select(col("doc_id"),
+          posexplode(graft.functions.RollingGramHashes
+            .rollingGramHashes(col("toks"), n)))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          col("col.h1").as("g1"), col("col.h2").as("g2"))
+
   private[graft] def dupSpanMultiFrames(docs: DataFrame, ns: Seq[Int],
-      minLen: Int, idCol: String, textCol: String): DupSpanMultiFrames = {
+      minLen: Int, idCol: String, textCol: String,
+      md5Substrate: Boolean = false): DupSpanMultiFrames = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"gram orders must be >= 1, got $ns")
     require(ns.distinct.length == ns.length, s"duplicate gram orders in $ns")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
@@ -689,23 +721,16 @@ object Dedup {
     // subtree re-evaluates from the scan — unpersisted, the regexp
     // tokenization pass runs 2|ns| times. Persisting the token arrays
     // (same order of bytes as the text) collapses that to one pass;
-    // per-order grams build from the array via the native `WordGrams`,
-    // which is literally the same expression `wordGramArray` wraps, so
-    // gram hashes are bit-identical to the per-order tokenize form
-    // (pinned in PipelineSpec).
+    // per-order window keys come from the substrate in [[windowRows]].
     val base = docs
       .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val intervals = ns.map { n =>
-      val grams = base
-        .select(col("doc_id"),
-          posexplode(graft.functions.WordGrams.wordGrams(col("toks"), n)))
-        .select(col("doc_id"), col("pos").cast("long").as("i"),
-          Det.md5Hash60(col("col")).as("g"))
-      val dupSet = grams.select("doc_id", "g").distinct()
-        .groupBy("g").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2).select("g")
-      grams.join(dupSet, Seq("g"), "left_semi")
+      val grams = windowRows(base, n, md5Substrate)
+      val dupSet = grams.select("doc_id", "g1", "g2").distinct()
+        .groupBy("g1", "g2").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("g1", "g2")
+      grams.join(dupSet, Seq("g1", "g2"), "left_semi")
         .select(col("doc_id"), col("i").as("st"),
           (col("i") + lit((n - 1).toLong)).as("en"))
     }.reduce(_.unionByName(_))
@@ -902,10 +927,12 @@ object Dedup {
     * straight to its sink without materializing the cleaned corpus twice.
     */
   def removeDupSpans(docs: DataFrame, ns: Seq[Int], minLen: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val f = removeDupSpansFrames(docs, ns, minLen, idCol, textCol)
-    val cuts = f.cuts.localCheckpoint() // eager: affected docs only
-    f.base.unpersist(blocking = false)
+      idCol: String = "doc_id", textCol: String = "text",
+      md5Substrate: Boolean = false): DataFrame = {
+    val f = removeDupSpansFrames(docs, ns, minLen, idCol, textCol, md5Substrate)
+    val cuts = // eager: affected docs only; finally: no substrate leak on failure
+      try f.cuts.localCheckpoint()
+      finally f.base.unpersist(blocking = false)
     emitPieces(docs, cuts, idCol, textCol)
   }
 
@@ -984,8 +1011,9 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       keepFirst: Boolean = true): DataFrame = {
     val f = exactSubstrFrames(docs, minLen, idCol, textCol, keepFirst)
-    val cuts = f.cuts.localCheckpoint() // eager: affected docs only
-    f.base.unpersist(blocking = false)
+    val cuts = // eager: affected docs only; finally: no substrate leak on failure
+      try f.cuts.localCheckpoint()
+      finally f.base.unpersist(blocking = false)
     emitPieces(docs, cuts, idCol, textCol)
   }
 
@@ -1036,7 +1064,8 @@ object Dedup {
   private[graft] case class RemoveSpanFrames(base: DataFrame, cuts: DataFrame)
 
   private[graft] def removeDupSpansFrames(docs: DataFrame, ns: Seq[Int],
-      minLen: Int, idCol: String, textCol: String): RemoveSpanFrames = {
+      minLen: Int, idCol: String, textCol: String,
+      md5Substrate: Boolean = false): RemoveSpanFrames = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"gram orders must be >= 1, got $ns")
     require(ns.distinct.length == ns.length, s"duplicate gram orders in $ns")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
@@ -1044,19 +1073,16 @@ object Dedup {
       .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val intervals = ns.map { n =>
-      val grams = base
-        .select(col("doc_id"),
-          posexplode(graft.functions.WordGrams.wordGrams(col("toks"), n)))
-        .select(col("doc_id"), col("pos").cast("long").as("i"),
-          Det.md5Hash60(col("col")).as("g"))
+      val grams = windowRows(base, n, md5Substrate)
       // keeper = min doc_id containing the gram: its occurrences are NOT
       // cut-eligible, so one canonical copy of every duplicated gram
       // survives removal. The dup set is small (duplicated grams are a
       // small corpus fraction), so the join broadcasts under AQE.
-      val dupSet = grams.select("doc_id", "g").distinct()
-        .groupBy("g").agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
-        .filter(col("nd") >= 2).select("g", "keeper")
-      grams.join(dupSet, Seq("g"))
+      val dupSet = grams.select("doc_id", "g1", "g2").distinct()
+        .groupBy("g1", "g2")
+        .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
+        .filter(col("nd") >= 2).select("g1", "g2", "keeper")
+      grams.join(dupSet, Seq("g1", "g2"))
         .filter(col("doc_id") =!= col("keeper"))
         .select(col("doc_id"), col("i").as("st"),
           (col("i") + lit((n - 1).toLong)).as("en"))

@@ -67,11 +67,18 @@ object IncrementalProbe {
     (docs.filter(bucket =!= 0), docs.filter(bucket === 0))
   }
 
+  /** Scale-factor-specific default so concurrent runs at different sfDirs
+    * cannot overwrite each other's index (the cold leg's n_pairs
+    * cross-check would abort on the mismatch, or worse, coincide).
+    */
+  private def defaultIdxDir(sfDir: String): String =
+    "/tmp/graft_neardup_index_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("cold")) return coldMain(args.drop(1))
     val sfDir = args(0)
     val outPath = args.lift(1).getOrElse("INCPROBE.json")
-    val idxDir = args.lift(2).getOrElse("/tmp/graft_neardup_index")
+    val idxDir = args.lift(2).getOrElse(defaultIdxDir(sfDir))
     val spark = session()
     val stat0 = cpuStat()
 
@@ -162,9 +169,12 @@ object IncrementalProbe {
     val steal = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
       yield math.round(10000.0 * (s1 - s0) / (t1 - t0)) / 100.0)
     // idempotent merge: strip any prior cold_* fields so a re-run (e.g.
-    // retrying a steal-noisy window) replaces them instead of duplicating
+    // retrying a steal-noisy window) replaces them instead of duplicating.
+    // The numeric alternative must cover Scala Double scientific notation
+    // (sub-millisecond timings print as e.g. 7.2E-4) or a re-run leaves
+    // stale exponent fragments behind and writes malformed JSON.
     val prev = Files.readString(Paths.get(outPath)).trim
-      .replaceAll(""","cold_[a-z_]+":(null|[0-9.]+)""", "")
+      .replaceAll(""","cold_[a-z_]+":(null|-?[0-9.]+([Ee][+-]?[0-9]+)?)""", "")
     require(prev.endsWith("}"), s"$outPath is not a JSON object")
     val warmPairs = """"n_pairs":(\d+)""".r.findFirstMatchIn(prev)
       .map(_.group(1).toLong)

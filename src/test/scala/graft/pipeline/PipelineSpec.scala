@@ -851,6 +851,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rolling-hash substrate: span/cut geometry bit-identical to the md5-gram-string form") {
+    // the multi-order family keys windows by two rolled 64-bit polynomials
+    // (O(L) per doc) instead of md5 over materialized gram strings
+    // (O(L·n)); on a non-hostile corpus both substrates must induce the
+    // SAME dup sets and hence the same geometry — pin the full span and
+    // piece tables across substrates on randomized corpora
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(67)
+    for (trial <- 0 until 2) {
+      val ns = Seq(Seq(1, 3), Seq(2, 3, 5))(trial)
+      val minLen = 1 + rnd.nextInt(4)
+      val corpus = (0L until 50L).map { id =>
+        val len = rnd.nextInt(30)
+        (id, (0 until len).map(_ => "w" + rnd.nextInt(7)).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      def profile(md5: Boolean) =
+        Dedup.dupSpanProfileMulti(df, ns, minLen, md5Substrate = md5)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("n_spans"), r.getAs[Long]("covered_tokens"),
+            r.getAs[Long]("longest_span"))).toSeq
+      assert(profile(md5 = false) == profile(md5 = true),
+        s"profile geometry diverged across substrates (trial $trial)")
+      def pieces(md5: Boolean) =
+        Dedup.removeDupSpans(df, ns, minLen, md5Substrate = md5)
+          .orderBy("doc_id", "piece_idx").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+            r.getAs[Long]("st"), r.getAs[Long]("en"),
+            r.getAs[Long]("cut_tokens"), r.getAs[String]("text"))).toSeq
+      assert(pieces(md5 = false) == pieces(md5 = true),
+        s"cut geometry diverged across substrates (trial $trial)")
+    }
+  }
+
   test("removeDupSpans: keeper survives, non-keepers cut, minLen policy, exact piece geometry and text") {
     val df = docsDf(
       0L -> "a b c d e f",          // keeper of every shared gram: uncut

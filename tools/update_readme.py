@@ -89,6 +89,14 @@ def main() -> int:
         if os.path.exists(f"{root}/BENCHCMP.json"):
             new = re.sub(re.escape(CMP_BEGIN) + ".*?" + re.escape(CMP_END),
                          lambda _: cmp_block(root), new, flags=re.S)
+        elif "--check" in sys.argv:
+            # A committed throughput-vs-DuckDB block with no artifact behind
+            # it is exactly the staleness this script exists to catch — fail
+            # with a distinct code rather than silently passing the block.
+            print("BENCHCMP.json missing but README carries a committed "
+                  "throughput-vs-DuckDB block — run tools/benchcmp.py",
+                  file=sys.stderr)
+            return 2
         else:
             print("BENCHCMP.json missing — run tools/benchcmp.py to refresh "
                   "the throughput-vs-DuckDB block; leaving it as committed",
