@@ -1095,6 +1095,191 @@ object Dedup {
     RemoveSpanFrames(base, cuts)
   }
 
+  /** A pre-built exact-substring dup-gram index — the persisted corpus-side
+    * state of INCREMENTAL span removal, mirroring [[NearDupIndex]] for the
+    * near-dup family: `grams` holds one row per distinct `minLen`-token
+    * window hash of the corpus with its total occurrence count and its
+    * keeper (the first occurrence in `(doc_id, position)` order):
+    * `(g1, g2, nocc, keeper: struct<doc_id, i>)`. Grams with `nocc = 1`
+    * are KEPT — a corpus-unique window becomes duplicated the moment an
+    * increment re-crawls it, so the state must remember every window (the
+    * same reason a suffix array is corpus-sized). ~40 B per corpus token;
+    * on a lake this is a table bucketed by `(g1, g2)` so increment probes
+    * co-locate without shuffling the index. Call [[ExactSubstrIndex
+    * .unpersist]] when retiring it.
+    */
+  final case class ExactSubstrIndex(grams: DataFrame, minLen: Int) {
+    def unpersist(): Unit = grams.unpersist(blocking = false)
+  }
+
+  /** The per-gram `(nocc, keeper)` aggregate of one corpus side — the
+    * map-side-combinable build step shared by [[buildExactSubstrIndex]],
+    * [[updateExactSubstrIndex]] and the probe's increment-side aggregate.
+    */
+  private def exactGramAgg(docs: DataFrame, minLen: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.RollingGramHashes
+          .rollingGramHashes(TextPipeline.tokens(col(textCol)), minLen)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col.h1").as("g1"), col("col.h2").as("g2"))
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("nocc"),
+        min(struct(col("doc_id"), col("i"))).as("keeper"))
+
+  /** Build the corpus-side [[ExactSubstrIndex]] once; probe it per
+    * increment with [[incrementalRemoveDupSpansExact]], fold each shipped
+    * increment into it with [[updateExactSubstrIndex]].
+    */
+  def buildExactSubstrIndex(corpus: DataFrame, minLen: Int,
+      idCol: String = "doc_id", textCol: String = "text"): ExactSubstrIndex = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    ExactSubstrIndex(
+      exactGramAgg(corpus, minLen, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      minLen)
+  }
+
+  /** Fold an increment into the index — occurrence counts ADD and keepers
+    * MIN, because both are gram-wise monoid aggregates of the union
+    * corpus: `union → groupBy → (sum, min)` is one map-side-combinable
+    * pass over the (small) increment plus the index, never the original
+    * corpus text. Returns a NEW persisted index; the caller retires the
+    * old one ([[ExactSubstrIndex.unpersist]]) once the swap is durable.
+    */
+  def updateExactSubstrIndex(index: ExactSubstrIndex, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): ExactSubstrIndex =
+    ExactSubstrIndex(
+      index.grams
+        .unionByName(exactGramAgg(incoming, index.minLen, idCol, textCol))
+        .groupBy("g1", "g2")
+        .agg(sum(col("nocc")).as("nocc"), min(col("keeper")).as("keeper"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      index.minLen)
+
+  /** Persist an [[ExactSubstrIndex]] to `dir` as parquet — `grams/`
+    * clustered into `nBuckets` files by `(g1, g2)` (a bucketed table on a
+    * real warehouse, so the probe equi-join co-locates against the index
+    * without shuffling it), `meta/` pinning `minLen` so a reloaded probe
+    * can never hash with a mismatched window length.
+    */
+  def writeExactSubstrIndex(index: ExactSubstrIndex, dir: String,
+      nBuckets: Int = 64): Unit = {
+    index.grams.repartition(nBuckets, col("g1"), col("g2"))
+      .write.mode("overwrite").parquet(s"$dir/grams")
+    val spark = index.grams.sparkSession
+    import spark.implicits._
+    Seq(index.minLen).toDF("min_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a disk-persisted index ([[writeExactSubstrIndex]]) in a fresh
+    * session; persists lazily, so the first probe pays the parquet scan.
+    */
+  def readExactSubstrIndex(spark: SparkSession, dir: String): ExactSubstrIndex =
+    ExactSubstrIndex(
+      spark.read.parquet(s"$dir/grams").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$dir/meta").head.getAs[Int]("min_len"))
+
+  /** INCREMENTAL exact duplicated-substring removal — the daily-crawl twin
+    * of [[removeDupSpansExact]], mirroring [[incrementalNearDup]] vs its
+    * prebuilt index: the corpus's per-gram `(nocc, keeper)` state is built
+    * ONCE ([[buildExactSubstrIndex]]) and each increment pays only its own
+    * O(L) rolling-hash pass, one per-gram aggregate, one equi-join against
+    * the index, and the row-local island/piece kernels. Emits the cleaned
+    * INCREMENT in [[removeDupSpans]]'s piece schema.
+    *
+    * EXACTLY BATCH-EQUAL for increment docs, by construction: for every
+    * window hash, the union corpus's occurrence count is
+    * `index.nocc + increment count` and its first occurrence is
+    * `min(index.keeper, increment keeper)` — both recovered by one left
+    * join — so every increment window's cut decision (`total >= 2` and,
+    * under `keepFirst`, `(doc_id, i) != keeper`) is identical to running
+    * [[removeDupSpansExact]] over corpus ∪ increment. Pinned in
+    * PipelineSpec on a random corpus with INTERLEAVED doc ids.
+    * Already-shipped corpus docs stay consistent with that batch run
+    * whenever doc ids are monotone across crawls (every corpus id below
+    * every increment id, the natural crawl ordering): a gram the
+    * increment re-duplicates then has its keeper on the corpus side, so
+    * no shipped piece would have been cut differently. REQUIRES the
+    * increment's `(doc_id, i)` pairs to be disjoint from the corpus's
+    * (re-submitting an indexed doc double-counts its windows).
+    *
+    * Scale shape: the increment side is O(|increment|) everywhere; the
+    * index join is the only corpus-sized term and co-locates against the
+    * bucketed gram table on a lake ([[writeExactSubstrIndex]]). Nothing
+    * re-reads corpus text. Cuts checkpoint small (affected increment docs
+    * only); the emit tail is lazy and row-local, as in the batch form.
+    */
+  def incrementalRemoveDupSpansExact(incoming: DataFrame,
+      index: ExactSubstrIndex, idCol: String = "doc_id",
+      textCol: String = "text", keepFirst: Boolean = true): DataFrame = {
+    val f = incrementalExactSubstrFrames(incoming, index, idCol, textCol,
+      keepFirst)
+    val cuts = // eager: affected docs only; finally: no substrate leak on failure
+      try f.cuts.localCheckpoint()
+      finally f.base.unpersist(blocking = false)
+    emitPieces(incoming, cuts, idCol, textCol)
+  }
+
+  /** Convenience form: build the index from a corpus `DataFrame`, probe
+    * once, retire it. Deployment should hold a persisted/bucketed index
+    * ([[buildExactSubstrIndex]] / [[writeExactSubstrIndex]]) instead —
+    * this rebuilds the corpus-side aggregate every call.
+    */
+  def incrementalRemoveDupSpansExact(incoming: DataFrame, corpus: DataFrame,
+      minLen: Int): DataFrame = {
+    val idx = buildExactSubstrIndex(corpus, minLen)
+    try incrementalRemoveDupSpansExact(incoming, idx)
+    finally idx.unpersist()
+  }
+
+  /** The lazy internals of [[incrementalRemoveDupSpansExact]], exposed for
+    * plan-quality tests (same contract as [[exactSubstrFrames]]).
+    */
+  private[graft] def incrementalExactSubstrFrames(incoming: DataFrame,
+      index: ExactSubstrIndex, idCol: String, textCol: String,
+      keepFirst: Boolean): RemoveSpanFrames = {
+    val minLen = index.minLen
+    val base = incoming
+      .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(graft.functions.RollingGramHashes
+          .rollingGramHashes(col("toks"), minLen)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col.h1").as("g1"), col("col.h2").as("g2"))
+    // the increment's own per-gram aggregate, left-joined against the
+    // index: union-corpus count = inc + index, union-corpus keeper =
+    // min(inc, index) — grams absent from the index (null side) cover
+    // increment-internal duplication with the same expressions.
+    val incAgg = grams
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("inc_nocc"),
+        min(struct(col("doc_id"), col("i"))).as("inc_keeper"))
+    val dupSet = incAgg
+      .join(index.grams.select(col("g1"), col("g2"),
+        col("nocc").as("idx_nocc"), col("keeper").as("idx_keeper")),
+        Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"),
+        (col("inc_nocc") + coalesce(col("idx_nocc"), lit(0L))).as("nocc"),
+        when(col("idx_keeper").isNull, col("inc_keeper"))
+          .otherwise(least(col("idx_keeper"), col("inc_keeper"))).as("keeper"))
+      .filter(col("nocc") >= 2)
+      .select("g1", "g2", "keeper")
+    val joined = grams.join(dupSet, Seq("g1", "g2"))
+    val cutWins =
+      if (keepFirst) joined.filter(struct(col("doc_id"), col("i")) =!= col("keeper"))
+      else joined
+    val cuts = cutWins
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("ps"))
+      .select(col("doc_id"), islandIntervals(col("ps"), minLen).as("cut"))
+    RemoveSpanFrames(base, cuts)
+  }
+
   /** The corpus's cross-doc-duplicated gram hashes as a SORTED primitive
     * array — the driver-held substrate of [[dupSpanCols]] (binary-search
     * probes, 8 bytes/gram). Duplicated grams are a small fraction of a

@@ -1789,6 +1789,80 @@ object PipelineQueries {
     }
   }
 
+  /** INCREMENTAL exact substring removal — the daily-crawl twin of
+    * `p_exact_substr_removal`: even doc_ids are the INDEXED CORPUS (a
+    * per-gram (nocc, keeper) state built once,
+    * `Dedup.buildExactSubstrIndex`), odd doc_ids the INCREMENT, and only
+    * the increment's cleaned pieces are emitted. The oracle is the BATCH
+    * exact-removal SQL over the UNION corpus restricted to increment docs
+    * — so the check pins the batch-equality theorem itself (increment
+    * windows see the union's occurrence counts and first-occurrence
+    * keepers through the index join), not merely some self-consistent
+    * incremental answer. Substrate-adversarial as in the batch check:
+    * DuckDB groups literal gram strings, Spark rolls 128-bit polynomials.
+    */
+  val incrementalSubstrRemoval: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_incremental_substr_removal",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+${minLen - 1}], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${minLen - 2})) AS i) s),
+         |rk AS (SELECT doc_id, i,
+         |         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         |         count(*) OVER (PARTITION BY g) AS nocc
+         |       FROM gr),
+         |iv AS (SELECT doc_id, i AS st, i + ${minLen - 1} AS en
+         |       FROM rk WHERE nocc >= 2 AND rn > 1),
+         |m AS (SELECT doc_id, st, en,
+         |        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |s AS (SELECT doc_id, st, en,
+         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY st, en
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |cut AS (SELECT doc_id, isl, min(st) AS st, max(en) AS en
+         |        FROM s GROUP BY doc_id, isl),
+         |nt AS (SELECT doc_id, len(toks) AS n FROM t),
+         |b AS (SELECT doc_id, st, en,
+         |        lag(en) OVER (PARTITION BY doc_id ORDER BY st) AS prev_en
+         |      FROM cut),
+         |gaps AS (
+         |  SELECT doc_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
+         |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
+         |  UNION ALL
+         |  SELECT tl.doc_id, tl.pst, nt.n AS pen
+         |  FROM (SELECT doc_id, max(en) + 1 AS pst FROM cut GROUP BY doc_id) tl
+         |  JOIN nt ON nt.doc_id = tl.doc_id WHERE nt.n >= tl.pst),
+         |pieces AS (SELECT doc_id,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY pst) - 1
+         |               AS piece_idx,
+         |             pst, pen
+         |           FROM gaps)
+         |SELECT p.doc_id, p.piece_idx::BIGINT AS piece_idx,
+         |       (p.pst - 1)::BIGINT AS st, (p.pen - 1)::BIGINT AS en,
+         |       (p.pen - p.pst + 1)::BIGINT AS n_tokens,
+         |       md5(array_to_string(t.toks[p.pst:p.pen], ' ')) AS text_hash
+         |FROM pieces p JOIN t ON t.doc_id = p.doc_id
+         |WHERE p.doc_id % 2 = 1
+         |ORDER BY p.doc_id, p.piece_idx""".stripMargin) { (s, dir) =>
+      val d = docsSpread(s, dir)
+      Dedup.incrementalRemoveDupSpansExact(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          minLen)
+        .filter(col("cut_tokens") > 0)
+        .select(col("doc_id"), col("piece_idx"), col("st"), col("en"),
+          col("n_tokens"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id", "piece_idx")
+    }
+  }
+
   /** Count-Min sketch build + point queries: d×w bucket counters over the
     * corpus token stream (the partition-independent mergeable sketch —
     * bucket sums ARE the merge, so the build is one map-side-combinable
@@ -2476,6 +2550,6 @@ object PipelineQueries {
     incrementalDedup, incrementalNearDupQ,
     dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
     lengthBatching, dupGramProfileQ, dupSpans, dupSpansMulti, dupSpanRemoval,
-    exactSubstrRemoval, packSpanMasks,
+    exactSubstrRemoval, incrementalSubstrRemoval, packSpanMasks,
     bigramLmQuality, weightedSampleQ)
 }

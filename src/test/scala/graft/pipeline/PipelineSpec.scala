@@ -968,6 +968,81 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incrementalRemoveDupSpansExact: increment pieces equal the batch run's (interleaved ids, randomized)") {
+    // the batch-equality theorem: probing the per-gram (nocc, keeper)
+    // index reproduces removeDupSpansExact over corpus ∪ increment
+    // EXACTLY for increment docs — pinned with INTERLEAVED doc ids
+    // (parity split), where no monotone-id shortcut could hide a wrong
+    // keeper comparison
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(71)
+    def shape(d: DataFrame): Seq[(Long, Long, Long, Long, Long, Long, String)] =
+      d.orderBy("doc_id", "piece_idx").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+          r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cut_tokens"), r.getAs[String]("text"))).toSeq
+    for (trial <- 0 until 3) {
+      val minLen = 2 + rnd.nextInt(4)
+      val corpus = (0L until 40L).map { id =>
+        val len = rnd.nextInt(30)
+        (id, (0 until len).map(_ => "w" + rnd.nextInt(5)).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val batch = shape(Dedup.removeDupSpansExact(df, minLen)
+        .filter(col("doc_id") % 2 === 1))
+      val incr = shape(Dedup.incrementalRemoveDupSpansExact(
+        df.filter(col("doc_id") % 2 === 1), df.filter(col("doc_id") % 2 === 0),
+        minLen))
+      assert(incr == batch, s"trial $trial (minLen=$minLen)")
+      assert(incr.nonEmpty, s"trial $trial produced no increment pieces")
+    }
+  }
+
+  test("exact-substr index: day-2 update folds correctly, survives a disk roundtrip, keepFirst=false leg") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(83)
+    val minLen = 3
+    val corpus = (0L until 45L).map { id =>
+      val len = rnd.nextInt(28)
+      (id, (0 until len).map(_ => "w" + rnd.nextInt(5)).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val (dayA, dayB, dayC) = (df.filter(col("doc_id") % 3 === 0),
+      df.filter(col("doc_id") % 3 === 1), df.filter(col("doc_id") % 3 === 2))
+    def gramSet(idx: Dedup.ExactSubstrIndex) = idx.grams.collect()
+      .map(r => (r.getAs[Long]("g1"), r.getAs[Long]("g2"),
+        r.getAs[Long]("nocc"),
+        (r.getStruct(3).getLong(0), r.getStruct(3).getLong(1)))).toSet
+    def shape(d: DataFrame) = d.orderBy("doc_id", "piece_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"),
+        r.getAs[Long]("cut_tokens"), r.getAs[String]("text"))).toSeq
+    val idxA = Dedup.buildExactSubstrIndex(dayA, minLen)
+    // keepFirst = false: every occurrence of a duplicated window cut
+    val batchNoKeep = shape(Dedup.removeDupSpansExact(
+      dayA.unionByName(dayB), minLen, keepFirst = false)
+      .filter(col("doc_id") % 3 === 1))
+    val incNoKeep = shape(Dedup.incrementalRemoveDupSpansExact(
+      dayB, idxA, keepFirst = false))
+    assert(incNoKeep == batchNoKeep, "keepFirst=false leg diverged from batch")
+    // day-2 fold: updating A's index with B must equal building on A ∪ B
+    val idxAB = Dedup.updateExactSubstrIndex(idxA, dayB)
+    val idxABFresh = Dedup.buildExactSubstrIndex(dayA.unionByName(dayB), minLen)
+    assert(gramSet(idxAB) == gramSet(idxABFresh), "update fold != fresh build")
+    // disk roundtrip, then probe day C against the reloaded index
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr_idx")
+      .toString
+    Dedup.writeExactSubstrIndex(idxAB, tmp, nBuckets = 4)
+    val idxLoaded = Dedup.readExactSubstrIndex(spark, tmp)
+    assert(idxLoaded.minLen == minLen)
+    val batchC = shape(Dedup.removeDupSpansExact(df, minLen)
+      .filter(col("doc_id") % 3 === 2))
+    val incC = shape(Dedup.incrementalRemoveDupSpansExact(dayC, idxLoaded))
+    assert(incC == batchC, "day-2 probe via reloaded index diverged from batch")
+    idxA.unpersist(); idxAB.unpersist(); idxABFresh.unpersist()
+    idxLoaded.unpersist()
+  }
+
   test("incrementalNearDup: planted cross-side pair found; within-batch pairs suppressed") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"

@@ -423,6 +423,33 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the cuts join must be keyed on doc_id")
   }
 
+  test("incremental substr removal: increment-sized chain, keyed index join, row-local folds") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+    val idx = graft.pipeline.Dedup.buildExactSubstrIndex(
+      docs.filter(col("doc_id") % 2 === 0), 20)
+    val f = graft.pipeline.Dedup.incrementalExactSubstrFrames(
+      docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text",
+      keepFirst = true)
+    try {
+      import org.apache.spark.storage.StorageLevel
+      assert(f.base.storageLevel != StorageLevel.NONE,
+        "increment token substrate not persisted")
+      val p = f.cuts.queryExecution.executedPlan.toString()
+      assert(!p.contains("Window"), "cut-island merge must fold row-locally")
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        "index probe must be an equi-join on the gram hash")
+      assert(p.contains("partial_count") || p.contains("partial_min"),
+        "increment per-gram (count, keeper) aggregate must map-side combine")
+    } finally { f.base.unpersist(blocking = true); idx.unpersist() }
+    // the published plan: checkpointed cuts left-joined to one tokenize
+    // pass over the INCREMENT only — never a window, never corpus text
+    val p = planOf("p_incremental_substr_removal")
+    assert(!p.contains("Window"), "piece cutting must be row-local, not a window")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "the cuts join must be keyed on doc_id")
+  }
+
   test("span masks: fan-out-free — the gram substrate appears once, nothing persisted") {
     // round-10 adjudication (SPANMASK_AB.json): packing consumes a cheap
     // tokenize scan, the expensive gram explode/distinct/semi-join chain
