@@ -216,6 +216,49 @@ object StreamingPipeline {
       .withColumn("longest_span", sp.getField("longest_span"))
   }
 
+  /** Streaming EXACT substring removal (P52's stream form) — the
+    * accumulating daily-crawl loop as a `foreachBatch` runner: every
+    * micro-batch is cleaned against the per-gram (count, keeper) index of
+    * the corpus PLUS ALL PRIOR BATCHES
+    * ([[graft.pipeline.Dedup.incrementalRemoveDupSpansExact]]), its
+    * cleaned pieces handed to `sink`, and the index folded forward
+    * ([[graft.pipeline.Dedup.updateExactSubstrIndex]]) before the next
+    * batch. foreachBatch is the honest vehicle here — the probe needs a
+    * per-batch gram AGGREGATE (the batch's own occurrence counts and
+    * first-occurrence keepers), which is batch semantics per trigger, not
+    * row-at-a-time state; the index itself is the cross-batch state, and
+    * it lives outside the state store because it is corpus-sized and
+    * disk-persistable ([[graft.pipeline.Dedup.writeExactSubstrIndex]]).
+    *
+    * With doc ids monotone across batches (the natural crawl ordering),
+    * every emitted piece is bit-equal to the BATCH
+    * [[graft.pipeline.Dedup.removeDupSpansExact]] run over
+    * corpus ∪ all batches restricted to that batch's docs — pinned in
+    * StreamingSpec with a duplicate planted across two micro-batches
+    * (cut only because the index fold carried batch 1's grams into
+    * batch 2's probe).
+    *
+    * The caller owns `initial` (it is never unpersisted here);
+    * intermediate fold results are retired as they are superseded. Micro-
+    * batches run sequentially per query, so the index swap needs no lock.
+    */
+  def removeDupSpansExactStream(docs: DataFrame,
+      initial: graft.pipeline.Dedup.ExactSubstrIndex,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var idx = initial
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExact(batch, idx),
+          epoch)
+        val next = graft.pipeline.Dedup.updateExactSubstrIndex(idx, batch)
+        next.grams.count() // materialize before retiring the superseded index
+        if (idx ne initial) idx.unpersist()
+        idx = next
+      }
+      .start()
+  }
+
   /** Gap-based user sessionization with CUSTOM state
     * (`flatMapGroupsWithState`, the engine's stateful-streaming extension
     * point): events of a user belong to one session while consecutive gaps

@@ -334,6 +334,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming exact-substring removal: index fold makes every micro-batch batch-equal") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val minLen = 3
+    val corpus = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "x x a b c d e y y"),  // repeats corpus run "a b c d e" -> cut vs index
+      (11L, "p q r s t u v"))      // unique now; batch 2 repeats its prefix
+    val batch2 = Seq(
+      (20L, "m m p q r s t n n"),  // repeats BATCH-1 doc 11's "p q r s t" — cut
+                                   // ONLY because the fold carried b1's grams
+      (21L, "w1 w2 w3"))           // unique
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cut_tokens"), r.getAs[String]("text"))).toSeq
+
+    val idx0 = graft.pipeline.Dedup.buildExactSubstrIndex(corpus, minLen)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.removeDupSpansExactStream(
+      input.toDF().toDF("doc_id", "text"), idx0,
+      (pieces, _) => got.synchronized { got ++= shape(pieces.collect()) })
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    idx0.unpersist()
+
+    // ids are monotone across corpus -> b1 -> b2, so the stream's pieces
+    // must be bit-equal to ONE batch run over everything, per batch doc
+    val expected = shape(graft.pipeline.Dedup.removeDupSpansExact(
+        corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text")), minLen)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 10L)
+      .orderBy("doc_id", "piece_idx").collect())
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected,
+      "streamed pieces diverge from the batch run over the union")
+    val cutDocs = got.filter(_._6 > 0).map(_._1).toSet
+    assert(cutDocs == Set(10L, 20L),
+      s"docs 10 (vs corpus) and 20 (vs batch-1 fold) must be cut: $cutDocs")
+  }
+
   test("streaming heavy hitters: MG state across batches, heavy-token superset, fixed memory") {
     val sp = spark
     import sp.implicits._
