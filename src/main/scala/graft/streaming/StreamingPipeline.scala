@@ -54,6 +54,16 @@ final case class AsofState(refTsMs: Long, refValue: Double)
 final case class AsofEnriched(key: Long, ts: java.sql.Timestamp,
                               value: Double, ref_value: Option[Double])
 
+/** A running streaming-removal query plus the live handle to its
+  * forward-folding substring index ([[StreamingPipeline
+  * .removeDupSpansExactStream]]): `currentIndex()` always returns the
+  * corpus ∪ processed-batches state — after `query` stops, that is what
+  * deployment persists for the next run, and what the caller unpersists.
+  */
+final case class StreamingRemoval(
+    query: org.apache.spark.sql.streaming.StreamingQuery,
+    currentIndex: () => graft.pipeline.Dedup.ExactSubstrIndex)
+
 /** Structured Streaming variants of the stateless pipeline operators
   * (SURVEY.md §7.5: the reference is strictly batch; streaming enters only
   * on the extension surface). The same codegen'd column expressions from
@@ -239,14 +249,19 @@ object StreamingPipeline {
     * batch 2's probe).
     *
     * The caller owns `initial` (it is never unpersisted here);
-    * intermediate fold results are retired as they are superseded. Micro-
+    * intermediate fold results are retired as they are superseded, and
+    * the LATEST fold stays reachable through the returned handle — after
+    * the query stops, `currentIndex()` is the corpus ∪ all-batches state,
+    * which deployment writes to disk
+    * ([[graft.pipeline.Dedup.writeExactSubstrIndex]]) as the next run's
+    * `initial` (and the caller unpersists once done with it). Micro-
     * batches run sequentially per query, so the index swap needs no lock.
     */
   def removeDupSpansExactStream(docs: DataFrame,
       initial: graft.pipeline.Dedup.ExactSubstrIndex,
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    var idx = initial
-    docs.writeStream
+      sink: (DataFrame, Long) => Unit): StreamingRemoval = {
+    @volatile var idx = initial
+    val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExact(batch, idx),
@@ -257,6 +272,7 @@ object StreamingPipeline {
         idx = next
       }
       .start()
+    StreamingRemoval(q, () => idx)
   }
 
   /** Gap-based user sessionization with CUSTOM state

@@ -356,14 +356,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long, Long, Long, String)]
     val input = MemoryStream[(Long, String)]
-    val q = StreamingPipeline.removeDupSpansExactStream(
+    val h = StreamingPipeline.removeDupSpansExactStream(
       input.toDF().toDF("doc_id", "text"), idx0,
       (pieces, _) => got.synchronized { got ++= shape(pieces.collect()) })
     try {
-      input.addData(batch1: _*); q.processAllAvailable()
-      input.addData(batch2: _*); q.processAllAvailable()
-    } finally q.stop()
-    idx0.unpersist()
+      input.addData(batch1: _*); h.query.processAllAvailable()
+      input.addData(batch2: _*); h.query.processAllAvailable()
+    } finally h.query.stop()
+    // the surviving handle is the corpus ∪ all-batches state — what
+    // deployment would persist for tomorrow; pin it against a fresh build
+    val finalIdx = h.currentIndex()
+    val fresh = graft.pipeline.Dedup.buildExactSubstrIndex(
+      corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text")), minLen)
+    def gramSet(i: graft.pipeline.Dedup.ExactSubstrIndex) = i.grams.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("nocc"),
+        (r.getStruct(3).getLong(0), r.getStruct(3).getLong(1)))).toSet
+    assert(gramSet(finalIdx) == gramSet(fresh),
+      "post-stream index must equal a fresh build over the union")
+    finalIdx.unpersist(); fresh.unpersist(); idx0.unpersist()
 
     // ids are monotone across corpus -> b1 -> b2, so the stream's pieces
     // must be bit-equal to ONE batch run over everything, per batch doc
