@@ -261,15 +261,26 @@ object StreamingPipeline {
       initial: graft.pipeline.Dedup.ExactSubstrIndex,
       sink: (DataFrame, Long) => Unit): StreamingRemoval = {
     @volatile var idx = initial
+    // foreachBatch is AT-LEAST-ONCE: an epoch can re-run after a failure,
+    // and the fold is not idempotent (a double fold double-counts every
+    // gram of the batch, silently corrupting keeper/count state). Guard
+    // same-process retries by epoch; a restart from checkpoint must pair
+    // a re-read index with the offsets it was folded to (write the index
+    // per epoch, or accept re-cleaning the replayed batch against the
+    // already-folded state — pieces stay valid, counts inflate).
+    var lastFolded = Long.MinValue
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExact(batch, idx),
           epoch)
-        val next = graft.pipeline.Dedup.updateExactSubstrIndex(idx, batch)
-        next.grams.count() // materialize before retiring the superseded index
-        if (idx ne initial) idx.unpersist()
-        idx = next
+        if (epoch > lastFolded) {
+          val next = graft.pipeline.Dedup.updateExactSubstrIndex(idx, batch)
+          next.grams.count() // materialize before retiring the superseded index
+          if (idx ne initial) idx.unpersist()
+          idx = next
+          lastFolded = epoch
+        }
       }
       .start()
     StreamingRemoval(q, () => idx)
