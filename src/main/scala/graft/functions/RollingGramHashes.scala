@@ -11,12 +11,20 @@ import org.apache.spark.sql.types._
 /** Rolling 128-bit window hashes: `rolling_gram_hashes(tokens, n)` returns
   * one struct(h1, h2) per n-token window in occurrence order — the O(L)
   * twin of hashing each [[WordGrams]] window string, which materializes
-  * every n-token gram (O(L·n) bytes of concatenation per document; at the
-  * ExactSubstr policy order n≈50 that is a ~50× CPU+allocation term on
-  * the corpus scan). Here each token is xxhash64'd ONCE, and window
-  * hashes are two independent Rabin–Karp polynomials over the token-hash
-  * sequence, rolled in O(1) per step (mod 2⁶⁴, odd bases, so the removal
-  * multiply is exact — odd constants are invertible mod 2⁶⁴).
+  * every n-token gram (O(L·n) bytes of concatenation per document). Each
+  * token is xxhash64'd ONCE, and window hashes are two independent
+  * Rabin–Karp polynomials over the token-hash sequence, rolled in O(1)
+  * per step (mod 2⁶⁴, odd bases, so the removal multiply is exact — odd
+  * constants are invertible mod 2⁶⁴).
+  *
+  * Measured honestly (SCALING.md round 11, SPANSUBSTRATE_AB*.json): the
+  * asymptotic CPU edge does NOT show up on tested corpora — per-window
+  * concat+md5 costs about what this path's per-window struct allocation
+  * costs, both minor next to the dup-set aggregate and joins. What makes
+  * this expression the right default for REMOVAL operators is its KEY
+  * WIDTH: a 100 TB removal pass has ~10¹² windows, where 60-bit md5 keys
+  * produce ~10⁶ birthday collisions — each a false duplicate pair that
+  * cuts non-duplicated text — vs ~10⁻¹⁵ expected false pairs at 128 bits.
   *
   * Collision contract: two windows collide only if BOTH polynomials agree.
   * For non-adversarial corpora (token hashes ~uniform, fixed odd base)

@@ -687,15 +687,19 @@ object Dedup {
   /** Per-order window rows `(doc_id, i, g1, g2)` over the persisted token
     * substrate — the shared keying step of the multi-order span family.
     * Default substrate: [[graft.functions.RollingGramHashes]], two rolled
-    * 64-bit polynomials per window in O(L) per document (the CPU shape
-    * [[removeDupSpansExact]] proved out; the md5-on-gram-string form paid
-    * O(L·n) concatenation — ~32× token bytes at n=32). `md5 = true` keeps
-    * that literal-string form for ADVERSARIAL corpora (fixed-base mod-2⁶⁴
-    * polynomials can be attacked — see the expression's collision
-    * contract); there `g2` is the constant 0, so grouping/joining on
-    * `(g1, g2)` degenerates to the 60-bit md5 key. Cut/span geometry is
-    * bit-identical across substrates on non-hostile corpora (pinned in
-    * PipelineSpec).
+    * 64-bit polynomials per window in O(L) per document. The default is
+    * chosen for KEY WIDTH, not CPU: same-JVM A/Bs across three corpus
+    * shapes (SCALING.md round 11) measured the two substrates within
+    * ~10 % both ways, but at corpus scale (~10¹² windows) 60-bit md5 keys
+    * birthday-collide ~10⁶ times — false duplicate pairs that CUT
+    * non-duplicated text in the removal operators — vs ~10⁻¹⁵ expected
+    * false pairs for the 128-bit rolling pair. `md5 = true` keeps the
+    * literal-string form for sub-collision scales and ADVERSARIAL corpora
+    * (fixed-base mod-2⁶⁴ polynomials can be attacked — see the
+    * expression's collision contract); there `g2` is the constant 0, so
+    * grouping/joining on `(g1, g2)` degenerates to the 60-bit md5 key.
+    * Cut/span geometry is bit-identical across substrates on non-hostile
+    * corpora (pinned in PipelineSpec).
     */
   private def windowRows(base: DataFrame, n: Int, md5: Boolean): DataFrame =
     if (md5)
@@ -992,13 +996,15 @@ object Dedup {
     * accepts deleting all copies). Both are single-pass: removal is
     * computed against the ORIGINAL corpus, not re-derived iteratively.
     *
-    * Substrate cost: windows hash via [[graft.functions.RollingGramHashes]]
-    * — two independent rolling polynomials over per-token xxhash64 values,
-    * O(L) per document instead of the O(L·minLen) gram-string
-    * concatenation (at minLen≈50, a ~50× corpus-scan CPU term). 128-bit
-    * joint keys make false window pairs ~10⁻¹⁵-grade at 10¹² windows (see
-    * the expression's collision contract; hostile corpora should use the
-    * md5 substrate).
+    * Substrate: windows hash via [[graft.functions.RollingGramHashes]] —
+    * two independent rolling polynomials over per-token xxhash64 values,
+    * O(L) per document. The load-bearing property is the 128-bit joint
+    * key: false window pairs stay ~10⁻¹⁵-grade at the ~10¹² windows of a
+    * 100 TB corpus, where a 60-bit key would birthday-collide ~10⁶ times
+    * and each collision CUTS non-duplicated text (the CPU difference vs
+    * gram-string concatenation measured as a wash on tested corpora —
+    * SCALING.md round 11; hostile corpora need a cryptographic substrate,
+    * see the expression's collision contract).
     *
     * Scale shape: one row-local window-hash explode, one per-gram
     * (occurrence count, min (doc, pos)) aggregate — map-side combinable —
