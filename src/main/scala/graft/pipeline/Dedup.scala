@@ -684,8 +684,16 @@ object Dedup {
     */
   private[graft] case class DupSpanMultiFrames(base: DataFrame, spans: DataFrame)
 
-  /** Per-order window rows `(doc_id, i, g1, g2)` over the persisted token
-    * substrate — the shared keying step of the multi-order span family.
+  /** ALL orders' window rows `(doc_id, n, i, g1, g2)` in ONE generator
+    * pass: per order, an order-tagged transform of its window-key array,
+    * concatenated and exploded once. The per-order chained form scanned
+    * the persisted substrate |ns| times PER CONSUMER and shuffled |ns|
+    * separate dup-set aggregates; fusing the orders into one tagged
+    * stream makes each consumer ONE scan and ONE `(n, g1, g2)`-keyed
+    * shuffle of the same total rows — fewer stage barriers at equal data
+    * volume, the shape that matters at 1000 executors (adopted on the
+    * SPANFUSED_AB.json measurement; geometry pinned identical).
+    *
     * Default substrate: [[graft.functions.RollingGramHashes]], two rolled
     * 64-bit polynomials per window in O(L) per document. The default is
     * chosen for KEY WIDTH, not CPU: same-JVM A/Bs across three corpus
@@ -697,22 +705,28 @@ object Dedup {
     * literal-string form for sub-collision scales and ADVERSARIAL corpora
     * (fixed-base mod-2⁶⁴ polynomials can be attacked — see the
     * expression's collision contract); there `g2` is the constant 0, so
-    * grouping/joining on `(g1, g2)` degenerates to the 60-bit md5 key.
+    * keying on `(n, g1, g2)` degenerates to the order + 60-bit md5 key.
     * Cut/span geometry is bit-identical across substrates on non-hostile
     * corpora (pinned in PipelineSpec).
     */
-  private def windowRows(base: DataFrame, n: Int, md5: Boolean): DataFrame =
-    if (md5)
-      base.select(col("doc_id"),
-          posexplode(graft.functions.WordGrams.wordGrams(col("toks"), n)))
-        .select(col("doc_id"), col("pos").cast("long").as("i"),
-          Det.md5Hash60(col("col")).as("g1"), lit(0L).as("g2"))
-    else
-      base.select(col("doc_id"),
-          posexplode(graft.functions.RollingGramHashes
-            .rollingGramHashes(col("toks"), n)))
-        .select(col("doc_id"), col("pos").cast("long").as("i"),
-          col("col.h1").as("g1"), col("col.h2").as("g2"))
+  private def taggedWindowRows(base: DataFrame, ns: Seq[Int],
+      md5: Boolean): DataFrame = {
+    val perOrder = ns.map { n =>
+      if (md5)
+        transform(graft.functions.WordGrams.wordGrams(col("toks"), n),
+          (g, i) => struct(lit(n).as("n"), i.cast("long").as("i"),
+            Det.md5Hash60(g).as("g1"), lit(0L).as("g2")))
+      else
+        transform(graft.functions.RollingGramHashes
+            .rollingGramHashes(col("toks"), n),
+          (s, i) => struct(lit(n).as("n"), i.cast("long").as("i"),
+            s.getField("h1").as("g1"), s.getField("h2").as("g2")))
+    }
+    base.select(col("doc_id"),
+        explode(concat(perOrder: _*)).as("w"))
+      .select(col("doc_id"), col("w.n").as("n"), col("w.i").as("i"),
+        col("w.g1").as("g1"), col("w.g2").as("g2"))
+  }
 
   private[graft] def dupSpanMultiFrames(docs: DataFrame, ns: Seq[Int],
       minLen: Int, idCol: String, textCol: String,
@@ -720,29 +734,36 @@ object Dedup {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"gram orders must be >= 1, got $ns")
     require(ns.distinct.length == ns.length, s"duplicate gram orders in $ns")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    // tokenize ONCE: every order's gram chain fans out to TWO consumers
-    // (the dup-set groupBy and the left-semi probe), and each consumer
+    // tokenize ONCE: the gram chain fans out to TWO consumers (the
+    // dup-set groupBy and the left-semi probe), and each consumer
     // subtree re-evaluates from the scan — unpersisted, the regexp
-    // tokenization pass runs 2|ns| times. Persisting the token arrays
-    // (same order of bytes as the text) collapses that to one pass;
-    // per-order window keys come from the substrate in [[windowRows]].
+    // tokenization pass runs twice. Persisting the token arrays (same
+    // order of bytes as the text) collapses that to one pass; all
+    // orders' window keys come fused from [[taggedWindowRows]].
     val base = docs
       .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val intervals = ns.map { n =>
-      val grams = windowRows(base, n, md5Substrate)
-      val dupSet = grams.select("doc_id", "g1", "g2").distinct()
-        .groupBy("g1", "g2").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2).select("g1", "g2")
-      grams.join(dupSet, Seq("g1", "g2"), "left_semi")
-        .select(col("doc_id"), col("i").as("st"),
-          (col("i") + lit((n - 1).toLong)).as("en"))
-    }.reduce(_.unionByName(_))
-    val spans = intervals
+    val spans = multiDupIntervals(base, ns, md5Substrate)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("iv"))
       .select(col("doc_id"), intervalFold(col("iv"), minLen).as("sp"))
     DupSpanMultiFrames(base, spans)
+  }
+
+  /** The cross-doc-duplicated window intervals `(doc_id, st, en)` of ALL
+    * orders — [[dupSpanMultiFrames]]' interval stage over the fused tagged
+    * stream (one scan, one keyed shuffle). Exposed for the fused-vs-
+    * chained A/B (`graft.tools.SpanFusedAB`).
+    */
+  private[graft] def multiDupIntervals(base: DataFrame, ns: Seq[Int],
+      md5: Boolean): DataFrame = {
+    val grams = taggedWindowRows(base, ns, md5)
+    val dupSet = grams.select("doc_id", "n", "g1", "g2").distinct()
+      .groupBy("n", "g1", "g2").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("n", "g1", "g2")
+    grams.join(dupSet, Seq("n", "g1", "g2"), "left_semi")
+      .select(col("doc_id"), col("i").as("st"),
+        (col("i") + col("n").cast("long") - 1L).as("en"))
   }
 
   def dupSpanProfile(docs: DataFrame, n: Int,
@@ -1078,27 +1099,34 @@ object Dedup {
     val base = docs
       .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val intervals = ns.map { n =>
-      val grams = windowRows(base, n, md5Substrate)
-      // keeper = min doc_id containing the gram: its occurrences are NOT
-      // cut-eligible, so one canonical copy of every duplicated gram
-      // survives removal. The dup set is small (duplicated grams are a
-      // small corpus fraction), so the join broadcasts under AQE.
-      val dupSet = grams.select("doc_id", "g1", "g2").distinct()
-        .groupBy("g1", "g2")
-        .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
-        .filter(col("nd") >= 2).select("g1", "g2", "keeper")
-      grams.join(dupSet, Seq("g1", "g2"))
-        .filter(col("doc_id") =!= col("keeper"))
-        .select(col("doc_id"), col("i").as("st"),
-          (col("i") + lit((n - 1).toLong)).as("en"))
-    }.reduce(_.unionByName(_))
-    val cuts = intervals
+    val cuts = removalCutIntervals(base, ns, md5Substrate)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("iv"))
       .select(col("doc_id"), keptIntervalIslands(col("iv"), minLen).as("cut"))
       .filter(size(col("cut")) > 0)
     RemoveSpanFrames(base, cuts)
+  }
+
+  /** The cut-eligible (non-keeper) duplicated window intervals of ALL
+    * orders — [[removeDupSpansFrames]]' interval stage over the fused
+    * tagged stream. keeper = min doc_id containing the gram: its
+    * occurrences are NOT cut-eligible, so one canonical copy of every
+    * duplicated gram survives removal. The dup set is small (duplicated
+    * grams are a small corpus fraction), so the join broadcasts under
+    * AQE. Exposed for the fused-vs-chained A/B
+    * (`graft.tools.SpanFusedAB`).
+    */
+  private[graft] def removalCutIntervals(base: DataFrame, ns: Seq[Int],
+      md5: Boolean): DataFrame = {
+    val grams = taggedWindowRows(base, ns, md5)
+    val dupSet = grams.select("doc_id", "n", "g1", "g2").distinct()
+      .groupBy("n", "g1", "g2")
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2).select("n", "g1", "g2", "keeper")
+    grams.join(dupSet, Seq("n", "g1", "g2"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("i").as("st"),
+        (col("i") + col("n").cast("long") - 1L).as("en"))
   }
 
   /** A pre-built exact-substring dup-gram index — the persisted corpus-side
