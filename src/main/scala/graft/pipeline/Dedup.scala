@@ -919,6 +919,84 @@ object Dedup {
         .otherwise(a.getField("arr")))
   }
 
+  /** Character spans of each `[a-z0-9]+` token of `lower(text)` as
+    * `array<struct<st,en>>` (0-based, inclusive, in characters) — the
+    * coordinate bridge from the removal family's TOKEN geometry back to
+    * the ORIGINAL string. Row-local: one `regexp_extract_all` for the
+    * tokens, one `split` on the same pattern for the `n+1` separators
+    * around them (leading/trailing empties kept, so the interleave is
+    * exact), then a single fold accumulating the char cursor —
+    * `st(i) = |sep₀| + Σ_{j<i}(|tok_j| + |sep_{j+1}|)`. Offsets are
+    * computed against the LOWERCASED text; they index the original
+    * exactly whenever lowercasing preserves length (all of ASCII; the
+    * rare exceptions — e.g. U+0130 İ lowercases to two chars — are why
+    * [[emitPiecesOriginal]] guards on `length` before slicing the
+    * original).
+    */
+  private[pipeline] def tokenCharSpans(text: Column): Column = {
+    val lowered = lower(text)
+    val toks = TextPipeline.tokens(text)
+    val seps = split(lowered, "[a-z0-9]+", -1)
+    val emptyArr = array().cast("array<struct<st:bigint,en:bigint>>")
+    val lens = zip_with(toks, slice(seps, lit(2), size(toks)),
+      (t, s) => struct(length(t).cast("long").as("tl"),
+        length(s).cast("long").as("sl")))
+    aggregate(
+      lens,
+      struct(emptyArr.as("arr"),
+        length(element_at(seps, 1)).cast("long").as("cur")),
+      (a, x) => struct(
+        array_append(a.getField("arr"),
+          struct(a.getField("cur").as("st"),
+            (a.getField("cur") + x.getField("tl") - 1L).as("en"))).as("arr"),
+        (a.getField("cur") + x.getField("tl") + x.getField("sl")).as("cur")),
+      a => a.getField("arr"))
+  }
+
+  /** ORIGINAL-BYTE variant of [[emitPieces]]: each surviving piece is
+    * emitted as a slice of the ORIGINAL document — from the first
+    * character of its first kept token to the last character of its last
+    * kept token — so interior case, punctuation, and whitespace survive
+    * removal verbatim (text before the first / after the last token of a
+    * piece is dropped with the cut, a deterministic documented edge).
+    * Output adds `char_st`/`char_en` (0-based inclusive character
+    * coordinates of the slice) to the [[emitPieces]] schema. When
+    * lowercasing changes the string's length (rare Unicode, e.g. U+0130),
+    * the token offsets no longer index the original, so the slice falls
+    * back to the lowercased text — coordinates stay exact either way.
+    * Row-local and LAZY like [[emitPieces]]: tokenize + span scan, one
+    * left join against the small cut table, slice — a 100 TB run streams
+    * straight to its sink.
+    */
+  private def emitPiecesOriginal(docs: DataFrame, cuts: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val emptyIv = array().cast("array<struct<st:bigint,en:bigint>>")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("src_text"),
+        tokenCharSpans(col(textCol)).as("cspans"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("cut", coalesce(col("cut"), emptyIv))
+      .withColumn("cut_tokens",
+        aggregate(col("cut"), lit(0L),
+          (a, x) => a + x.getField("en") - x.getField("st") + 1L))
+      .withColumn("slice_src",
+        when(length(lower(col("src_text"))) === length(col("src_text")),
+          col("src_text")).otherwise(lower(col("src_text"))))
+      .select(col("doc_id"), col("cspans"), col("cut_tokens"), col("slice_src"),
+        posexplode(complementPieces(col("cut"), size(col("cspans")).cast("long"))))
+      .withColumn("char_st",
+        element_at(col("cspans"), (col("col.st") + 1L).cast("int")).getField("st"))
+      .withColumn("char_en",
+        element_at(col("cspans"), (col("col.en") + 1L).cast("int")).getField("en"))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("piece_idx"),
+        col("col.st").as("st"), col("col.en").as("en"),
+        (col("col.en") - col("col.st") + 1L).as("n_tokens"),
+        col("cut_tokens"), col("char_st"), col("char_en"),
+        col("slice_src").substr((col("char_st") + 1L).cast("int"),
+          (col("char_en") - col("char_st") + 1L).cast("int")).as("text"))
+  }
+
   /** Duplicated-span REMOVAL — the final, corpus-emitting step of the
     * ExactSubstr pipeline (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", 2021): where [[dupSpanProfileMulti]] measures
@@ -950,15 +1028,18 @@ object Dedup {
     * the token substrate releases; the final pass — tokenize, left-join
     * cuts, slice pieces — is LAZY and row-local, so a 100 TB run streams
     * straight to its sink without materializing the cleaned corpus twice.
+    * `emitOriginal = true` emits pieces as slices of the ORIGINAL text
+    * instead of normalized token joins — see [[emitPiecesOriginal]].
     */
   def removeDupSpans(docs: DataFrame, ns: Seq[Int], minLen: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      md5Substrate: Boolean = false): DataFrame = {
+      md5Substrate: Boolean = false, emitOriginal: Boolean = false): DataFrame = {
     val f = removeDupSpansFrames(docs, ns, minLen, idCol, textCol, md5Substrate)
     val cuts = // eager: affected docs only; finally: no substrate leak on failure
       try f.cuts.localCheckpoint()
       finally f.base.unpersist(blocking = false)
-    emitPieces(docs, cuts, idCol, textCol)
+    if (emitOriginal) emitPiecesOriginal(docs, cuts, idCol, textCol)
+    else emitPieces(docs, cuts, idCol, textCol)
   }
 
   /** The shared corpus-emitting tail of the removal operators: left-join
@@ -1032,16 +1113,20 @@ object Dedup {
     * one equi-join of window rows against the small dup set (broadcasts
     * under AQE), islands and cuts INSIDE one row, and the same lazy
     * [[emitPieces]] tail as [[removeDupSpans]]. Output schema identical
-    * to [[removeDupSpans]].
+    * to [[removeDupSpans]]. `emitOriginal = true` switches the tail to
+    * [[emitPiecesOriginal]]: pieces come out as slices of the ORIGINAL
+    * text (case/punctuation preserved) with `char_st`/`char_en`
+    * coordinates — removal geometry is unchanged, only the emission.
     */
   def removeDupSpansExact(docs: DataFrame, minLen: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      keepFirst: Boolean = true): DataFrame = {
+      keepFirst: Boolean = true, emitOriginal: Boolean = false): DataFrame = {
     val f = exactSubstrFrames(docs, minLen, idCol, textCol, keepFirst)
     val cuts = // eager: affected docs only; finally: no substrate leak on failure
       try f.cuts.localCheckpoint()
       finally f.base.unpersist(blocking = false)
-    emitPieces(docs, cuts, idCol, textCol)
+    if (emitOriginal) emitPiecesOriginal(docs, cuts, idCol, textCol)
+    else emitPieces(docs, cuts, idCol, textCol)
   }
 
   /** The lazy internals of [[removeDupSpansExact]], exposed for plan-quality
@@ -1248,13 +1333,15 @@ object Dedup {
     */
   def incrementalRemoveDupSpansExact(incoming: DataFrame,
       index: ExactSubstrIndex, idCol: String = "doc_id",
-      textCol: String = "text", keepFirst: Boolean = true): DataFrame = {
+      textCol: String = "text", keepFirst: Boolean = true,
+      emitOriginal: Boolean = false): DataFrame = {
     val f = incrementalExactSubstrFrames(incoming, index, idCol, textCol,
       keepFirst)
     val cuts = // eager: affected docs only; finally: no substrate leak on failure
       try f.cuts.localCheckpoint()
       finally f.base.unpersist(blocking = false)
-    emitPieces(incoming, cuts, idCol, textCol)
+    if (emitOriginal) emitPiecesOriginal(incoming, cuts, idCol, textCol)
+    else emitPieces(incoming, cuts, idCol, textCol)
   }
 
   /** Convenience form: build the index from a corpus `DataFrame`, probe

@@ -1789,6 +1789,99 @@ object PipelineQueries {
     }
   }
 
+  /** EXACT substring removal with ORIGINAL-BYTE emission — the same cut
+    * geometry as `p_exact_substr_removal`, but each surviving piece comes
+    * out as a slice of the ORIGINAL document (case, punctuation, interior
+    * whitespace preserved) spanning its first kept token's first char to
+    * its last kept token's last char, with 0-based inclusive character
+    * coordinates. This pins the whole coordinate bridge cross-engine:
+    * Spark folds token char spans from a split/extract interleave
+    * (`Dedup.tokenCharSpans`) while DuckDB recomputes every token's char
+    * start as a windowed cumulative sum over (token length + following
+    * separator length) — leading-separator handling, the n+1 separator
+    * interleave, 0- vs 1-based slicing, and the lowercase-length fallback
+    * must all agree to the md5 of the raw emitted slice. Substrate stays
+    * adversarial as in the parent check (rolling 128-bit hashes vs literal
+    * gram strings).
+    */
+  val exactSubstrRemovalBytes: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_exact_substr_removal_bytes",
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         |         regexp_split_to_array(lower(text), '[a-z0-9]+') AS seps
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+${minLen - 1}], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${minLen - 2})) AS i) s),
+         |rk AS (SELECT doc_id, i,
+         |         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         |         count(*) OVER (PARTITION BY g) AS nocc
+         |       FROM gr),
+         |iv AS (SELECT doc_id, i AS st, i + ${minLen - 1} AS en
+         |       FROM rk WHERE nocc >= 2 AND rn > 1),
+         |m AS (SELECT doc_id, st, en,
+         |        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |s AS (SELECT doc_id, st, en,
+         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY st, en
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |cut AS (SELECT doc_id, isl, min(st) AS st, max(en) AS en
+         |        FROM s GROUP BY doc_id, isl),
+         |nt AS (SELECT doc_id, len(toks) AS n FROM t),
+         |b AS (SELECT doc_id, st, en,
+         |        lag(en) OVER (PARTITION BY doc_id ORDER BY st) AS prev_en
+         |      FROM cut),
+         |gaps AS (
+         |  SELECT doc_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
+         |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
+         |  UNION ALL
+         |  SELECT tl.doc_id, tl.pst, nt.n AS pen
+         |  FROM (SELECT doc_id, max(en) + 1 AS pst FROM cut GROUP BY doc_id) tl
+         |  JOIN nt ON nt.doc_id = tl.doc_id WHERE nt.n >= tl.pst),
+         |pieces AS (SELECT doc_id,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY pst) - 1
+         |               AS piece_idx,
+         |             pst, pen
+         |           FROM gaps),
+         |tk AS (SELECT doc_id, i, len(toks[i]) AS tl, len(seps[i+1]) AS sl,
+         |              len(seps[1]) AS s0
+         |       FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+         |off AS (SELECT doc_id, i, tl,
+         |          s0 + coalesce(sum(tl + sl) OVER (PARTITION BY doc_id ORDER BY i
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cst
+         |        FROM tk),
+         |src AS (SELECT doc_id,
+         |          CASE WHEN len(lower(text)) = len(text) THEN text
+         |               ELSE lower(text) END AS sl_text
+         |        FROM t)
+         |SELECT p.doc_id, p.piece_idx::BIGINT AS piece_idx,
+         |       (p.pst - 1)::BIGINT AS st, (p.pen - 1)::BIGINT AS en,
+         |       (p.pen - p.pst + 1)::BIGINT AS n_tokens,
+         |       o1.cst::BIGINT AS char_st,
+         |       (o2.cst + o2.tl - 1)::BIGINT AS char_en,
+         |       md5(substr(src.sl_text, (o1.cst + 1)::BIGINT,
+         |                  (o2.cst + o2.tl - o1.cst)::BIGINT)) AS text_hash
+         |FROM pieces p
+         |JOIN off o1 ON o1.doc_id = p.doc_id AND o1.i = p.pst
+         |JOIN off o2 ON o2.doc_id = p.doc_id AND o2.i = p.pen
+         |JOIN src ON src.doc_id = p.doc_id
+         |ORDER BY p.doc_id, p.piece_idx""".stripMargin) { (s, dir) =>
+      Dedup.removeDupSpansExact(docsSpread(s, dir), minLen, emitOriginal = true)
+        .filter(col("cut_tokens") > 0)
+        .select(col("doc_id"), col("piece_idx"), col("st"), col("en"),
+          col("n_tokens"), col("char_st"), col("char_en"),
+          md5(col("text")).as("text_hash"))
+        .orderBy("doc_id", "piece_idx")
+    }
+  }
+
   /** INCREMENTAL exact substring removal — the daily-crawl twin of
     * `p_exact_substr_removal`: even doc_ids are the INDEXED CORPUS (a
     * per-gram (nocc, keeper) state built once,
@@ -2550,6 +2643,7 @@ object PipelineQueries {
     incrementalDedup, incrementalNearDupQ,
     dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
     lengthBatching, dupGramProfileQ, dupSpans, dupSpansMulti, dupSpanRemoval,
-    exactSubstrRemoval, incrementalSubstrRemoval, packSpanMasks,
+    exactSubstrRemoval, exactSubstrRemovalBytes, incrementalSubstrRemoval,
+    packSpanMasks,
     bigramLmQuality, weightedSampleQ)
 }

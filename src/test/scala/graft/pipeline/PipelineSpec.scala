@@ -968,6 +968,131 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tokenCharSpans: char coordinates of every token, across punctuation/boundary shapes") {
+    val cases = Seq(
+      "a b",           // plain
+      "  a  b  ",      // leading/trailing/multi space
+      "!a,b!",         // punctuation boundaries
+      "ab",            // single token is the whole string
+      "",              // empty
+      ";;;",           // no tokens at all
+      "A1b, C-2d! e")  // mixed case + digits inside tokens
+    val df = docsDf(cases.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+    val got = df.select(col("doc_id"), Dedup.tokenCharSpans(col("text")).as("sp"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sp")
+          .map(x => (x.getAs[Long]("st"), x.getAs[Long]("en"))).toSeq)
+      .toMap
+    // brute force: scan lower(text) for maximal [a-z0-9]+ runs
+    def runs(t: String): Seq[(Long, Long)] = {
+      val l = t.toLowerCase
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st = -1
+      for (i <- l.indices) {
+        val tok = l(i).isDigit || (l(i) >= 'a' && l(i) <= 'z')
+        if (tok && st < 0) st = i
+        if (!tok && st >= 0) { out += ((st.toLong, (i - 1).toLong)); st = -1 }
+      }
+      if (st >= 0) out += ((st.toLong, (l.length - 1).toLong))
+      out.toSeq
+    }
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == runs(t), s"case '$t'")
+    }
+  }
+
+  test("removeDupSpans emitOriginal: pieces are slices of the ORIGINAL text with char coordinates") {
+    // same geometry as the normalized-emission deterministic test, but the
+    // docs carry case and punctuation that must survive inside each piece
+    val df = docsDf(
+      0L -> "A b? c d E f.",               // keeper of every gram: uncut
+      1L -> "xx; xx--A b,c (d) e YY z!",   // shares a-e with doc 0: [2,6] cut
+      2L -> "!!!",                         // no tokens: no rows
+      3L -> "a B c D e F",                 // same token stream as doc 0: fully cut
+      4L -> "p q a b r s")                 // shares only "a b" (< minLen): uncut
+    val got = Dedup.removeDupSpans(df, ns = Seq(2), minLen = 3, emitOriginal = true)
+      .orderBy("doc_id", "piece_idx")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cut_tokens"), r.getAs[Long]("char_st"),
+        r.getAs[Long]("char_en"), r.getAs[String]("text")))
+    val expected = Seq(
+      (0L, 0L, 0L, 5L, 6L, 0L, 0L, 11L, "A b? c d E f"),
+      (1L, 0L, 0L, 1L, 2L, 5L, 0L, 5L, "xx; xx"),
+      (1L, 1L, 7L, 8L, 2L, 5L, 20L, 23L, "YY z"),
+      (4L, 0L, 0L, 5L, 6L, 0L, 0L, 10L, "p q a b r s"))
+    assert(got.toSeq == expected)
+  }
+
+  test("removeDupSpansExact emitOriginal: geometry equals normalized emission; text re-tokenizes to it (randomized decorated corpora)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(71)
+    val seps = Vector(" ", ", ", "! ", " -- ", "; ", ". ")
+    for (trial <- 0 until 2) {
+      val minLen = 2 + trial
+      // decorated corpus: random token streams joined by random separators
+      // with random case flips, plus a recorded char span per token
+      val corpus = (0L until 30L).map { id =>
+        val toks = (0 until rnd.nextInt(20)).map(_ => "w" + rnd.nextInt(5))
+        val sb = new StringBuilder(if (rnd.nextBoolean()) "" else seps(rnd.nextInt(seps.size)))
+        val spans = toks.map { t =>
+          val cased = t.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+          val st = sb.length; sb.append(cased)
+          val span = (st.toLong, (sb.length - 1).toLong)
+          sb.append(seps(rnd.nextInt(seps.size)))
+          span
+        }
+        (id, sb.toString, spans)
+      }
+      val df = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"))
+      def geo(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cut_tokens"))
+      val norm = Dedup.removeDupSpansExact(df, minLen)
+        .collect().map(r => key(r) -> (geo(r), r.getAs[String]("text"))).toMap
+      val orig = Dedup.removeDupSpansExact(df, minLen, emitOriginal = true)
+        .collect().map(r => key(r) -> (geo(r), r.getAs[Long]("char_st"),
+          r.getAs[Long]("char_en"), r.getAs[String]("text"))).toMap
+      assert(orig.keySet == norm.keySet, s"trial $trial piece keys")
+      val spansOf = corpus.map(c => c._1 -> c._3).toMap
+      val textOf = corpus.map(c => c._1 -> c._2).toMap
+      orig.foreach { case (k @ (id, _), (g, cst, cen, t)) =>
+        assert(g == norm(k)._1, s"trial $trial geometry $k")
+        // char coords are exactly the recorded spans of the piece's
+        // boundary tokens, and the slice is the literal original text
+        val (st, en) = (g._1.toInt, g._2.toInt)
+        assert(cst == spansOf(id)(st)._1 && cen == spansOf(id)(en)._2,
+          s"trial $trial char coords $k")
+        assert(t == textOf(id).substring(cst.toInt, cen.toInt + 1),
+          s"trial $trial slice $k")
+        // and the slice re-tokenizes to the normalized emission
+        assert(t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).mkString(" ")
+          == norm(k)._2, s"trial $trial re-tokenize $k")
+      }
+    }
+  }
+
+  test("emitOriginal: length-changing lowercase (U+0130) falls back to the lowered slice, coordinates stay exact") {
+    val raw = "İ foo bar"          // İ lowercases to i + combining dot (2 chars)
+    val lowered = raw.toLowerCase
+    assume(lowered.length != raw.length) // the JDK property the guard keys on
+    val got = Dedup.removeDupSpansExact(docsDf(0L -> raw), minLen = 2,
+        emitOriginal = true)
+      .collect()
+      .map(r => (r.getAs[Long]("char_st"), r.getAs[Long]("char_en"),
+        r.getAs[String]("text")))
+    assert(got.length == 1)
+    val (cst, cen, t) = got.head
+    // offsets are computed on lower(text); the emitted slice must be that
+    // exact lowered range (here: "i" + combining dot token through "bar")
+    assert(t == lowered.substring(cst.toInt, cen.toInt + 1))
+    assert(t.endsWith("bar") && t.startsWith("i"))
+  }
+
   test("incrementalRemoveDupSpansExact: increment pieces equal the batch run's (interleaved ids, randomized)") {
     // the batch-equality theorem: probing the per-gram (nocc, keeper)
     // index reproduces removeDupSpansExact over corpus ∪ increment

@@ -423,6 +423,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the cuts join must be keyed on doc_id")
   }
 
+  test("original-byte emission: one scan carries the char-span fold, keyed cuts join, no window") {
+    // the ORIGINAL-byte tail must stay exactly as lazy as the normalized
+    // one: a single source scan computing token char spans row-locally
+    // (split/extract interleave + aggregate fold), one doc_id-keyed left
+    // join against the checkpointed cut table, pieces sliced in-row
+    val p = planOf("p_exact_substr_removal_bytes")
+    assert(!p.contains("Window"), "char-span offsets must fold row-locally, not window")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "the cuts join must be keyed on doc_id")
+  }
+
   test("incremental substr removal: increment-sized chain, keyed index join, row-local folds") {
     import org.apache.spark.sql.functions.col
     val docs = graft.util.Tables.t(spark, dir, "documents")
