@@ -259,7 +259,8 @@ object StreamingPipeline {
     */
   def removeDupSpansExactStream(docs: DataFrame,
       initial: graft.pipeline.Dedup.ExactSubstrIndex,
-      sink: (DataFrame, Long) => Unit): StreamingRemoval = {
+      sink: (DataFrame, Long) => Unit,
+      emitOriginal: Boolean = false): StreamingRemoval = {
     @volatile var idx = initial
     // foreachBatch is AT-LEAST-ONCE: an epoch can re-run after a failure,
     // and the fold is not idempotent (a double fold double-counts every
@@ -272,8 +273,8 @@ object StreamingPipeline {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExact(batch, idx),
-          epoch)
+        sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExact(batch, idx,
+          emitOriginal = emitOriginal), epoch)
         if (epoch > lastFolded) {
           val next = graft.pipeline.Dedup.updateExactSubstrIndex(idx, batch)
           next.grams.count() // materialize before retiring the superseded index

@@ -388,6 +388,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"docs 10 (vs corpus) and 20 (vs batch-1 fold) must be cut: $cutDocs")
   }
 
+  test("streaming exact-substring removal honors emitOriginal: pieces are original-byte slices, batch-equal") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val minLen = 3
+    // decorated docs: the shared token run carries case/punctuation the
+    // original-byte emission must preserve verbatim
+    val corpus = Seq((0L, "A b! c D-e (f) g h")).toDF("doc_id", "text")
+    val batch1 = Seq((10L, "xx, yy A-b c; d E zz.."), (11L, "p q r s t"))
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"),
+        r.getAs[Long]("char_st"), r.getAs[Long]("char_en"),
+        r.getAs[String]("text"))).toSeq
+
+    val idx0 = graft.pipeline.Dedup.buildExactSubstrIndex(corpus, minLen)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val h = StreamingPipeline.removeDupSpansExactStream(
+      input.toDF().toDF("doc_id", "text"), idx0,
+      (pieces, _) => got.synchronized { got ++= shape(pieces.collect()) },
+      emitOriginal = true)
+    try {
+      input.addData(batch1: _*); h.query.processAllAvailable()
+    } finally { h.query.stop(); h.currentIndex().unpersist(); idx0.unpersist() }
+
+    val expected = shape(graft.pipeline.Dedup.removeDupSpansExact(
+        corpus.unionByName(batch1.toDF("doc_id", "text")), minLen,
+        emitOriginal = true)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 10L)
+      .orderBy("doc_id", "piece_idx").collect())
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected,
+      "streamed original-byte pieces diverge from the batch run")
+    // the cut doc's surviving pieces are literal substrings of its raw text
+    val raw = batch1.toMap.apply(10L)
+    got.filter(_._1 == 10L).foreach { case (_, _, _, _, cst, cen, t) =>
+      assert(t == raw.substring(cst.toInt, cen.toInt + 1), s"piece '$t'")
+    }
+    assert(got.exists(p => p._1 == 10L && p._7 == "xx, yy"),
+      "punctuated prefix piece must survive verbatim")
+  }
+
   test("streaming heavy hitters: MG state across batches, heavy-token superset, fixed memory") {
     val sp = spark
     import sp.implicits._
