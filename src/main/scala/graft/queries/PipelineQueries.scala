@@ -1882,6 +1882,101 @@ object PipelineQueries {
     }
   }
 
+  /** FIXED-POINT certificate for exact substring removal — the removal
+    * family's analogue of the KKT certificates: re-run duplicated-window
+    * DETECTION over the cleaned corpus `p_exact_substr_removal` emits
+    * (every surviving piece of every doc, uncut docs included) and report
+    * the residual duplicated-window mass. The theorem this pins: the
+    * keeper of each duplicated window is UNIQUE (first (doc, pos)
+    * occurrence), every non-keeper occurrence lies inside a cut island by
+    * construction, and removal only deletes text — so any residual
+    * >= minLen duplicated substring would need some window to survive at
+    * two locations, one of which was non-keeper and therefore cut:
+    * impossible. Both engines must DERIVE residual = 0 independently —
+    * Spark re-detects over 128-bit rolling window hashes (a false hash
+    * pair would surface as residual > 0), DuckDB over literal gram
+    * strings through its own removal + re-detection CTE chain — nothing
+    * is hardcoded, so a cut-geometry bug in either engine (a window
+    * leaking past its island, an off-by-one at a piece boundary) breaks
+    * the certificate, not just a count.
+    */
+  val substrRemovalFixedpoint: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_substr_removal_fixedpoint",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+${minLen - 1}], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${minLen - 2})) AS i) s),
+         |rk AS (SELECT doc_id, i,
+         |         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         |         count(*) OVER (PARTITION BY g) AS nocc
+         |       FROM gr),
+         |iv AS (SELECT doc_id, i AS st, i + ${minLen - 1} AS en
+         |       FROM rk WHERE nocc >= 2 AND rn > 1),
+         |m AS (SELECT doc_id, st, en,
+         |        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |s AS (SELECT doc_id, st, en,
+         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY st, en
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |cut AS (SELECT doc_id, isl, min(st) AS st, max(en) AS en
+         |        FROM s GROUP BY doc_id, isl),
+         |nt AS (SELECT doc_id, len(toks) AS n FROM t),
+         |b AS (SELECT doc_id, st, en,
+         |        lag(en) OVER (PARTITION BY doc_id ORDER BY st) AS prev_en
+         |      FROM cut),
+         |gaps AS (
+         |  SELECT doc_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
+         |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
+         |  UNION ALL
+         |  SELECT tl.doc_id, tl.pst, nt.n AS pen
+         |  FROM (SELECT doc_id, max(en) + 1 AS pst FROM cut GROUP BY doc_id) tl
+         |  JOIN nt ON nt.doc_id = tl.doc_id WHERE nt.n >= tl.pst
+         |  UNION ALL
+         |  SELECT nt.doc_id, 1 AS pst, nt.n AS pen
+         |  FROM nt WHERE nt.n >= 1
+         |    AND nt.doc_id NOT IN (SELECT doc_id FROM cut)),
+         |ptoks AS (SELECT g.doc_id, t.toks[g.pst:g.pen] AS ptoks,
+         |                 g.pen - g.pst + 1 AS n_toks
+         |          FROM gaps g JOIN t ON t.doc_id = g.doc_id),
+         |pg AS (SELECT array_to_string(ptoks[i:i+${minLen - 1}], ' ') AS g
+         |       FROM ptoks,
+         |         LATERAL (SELECT unnest(range(1, len(ptoks) - ${minLen - 2})) AS i) u),
+         |resid AS (SELECT coalesce(sum(c), 0)::BIGINT AS residual_dup_windows
+         |          FROM (SELECT count(*) AS c FROM pg GROUP BY g
+         |                HAVING count(*) >= 2) z),
+         |stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |                 count(*)::BIGINT AS n_pieces,
+         |                 sum(n_toks)::BIGINT AS kept_tokens
+         |          FROM ptoks)
+         |SELECT stats.n_docs, stats.n_pieces, stats.kept_tokens,
+         |       resid.residual_dup_windows
+         |FROM stats, resid""".stripMargin) { (s, dir) =>
+      val pieces = Dedup.removeDupSpansExact(docsSpread(s, dir), minLen)
+      val ptoks = pieces.select(col("doc_id"),
+        TextPipeline.tokens(col("text")).as("ptoks"), col("n_tokens"))
+      val resid = ptoks
+        .select(posexplode(graft.functions.RollingGramHashes
+          .rollingGramHashes(col("ptoks"), minLen)))
+        .groupBy(col("col.h1"), col("col.h2"))
+        .agg(count(lit(1)).as("nocc"))
+        .filter(col("nocc") >= 2)
+        .agg(coalesce(sum(col("nocc")), lit(0L)).as("residual_dup_windows"))
+      val stats = ptoks.agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_pieces"),
+        sum(col("n_tokens")).as("kept_tokens"))
+      stats.join(resid)
+    }
+  }
+
   /** INCREMENTAL exact substring removal — the daily-crawl twin of
     * `p_exact_substr_removal`: even doc_ids are the INDEXED CORPUS (a
     * per-gram (nocc, keeper) state built once,
@@ -2643,7 +2738,7 @@ object PipelineQueries {
     incrementalDedup, incrementalNearDupQ,
     dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
     lengthBatching, dupGramProfileQ, dupSpans, dupSpansMulti, dupSpanRemoval,
-    exactSubstrRemoval, exactSubstrRemovalBytes, incrementalSubstrRemoval,
-    packSpanMasks,
+    exactSubstrRemoval, exactSubstrRemovalBytes, substrRemovalFixedpoint,
+    incrementalSubstrRemoval, packSpanMasks,
     bigramLmQuality, weightedSampleQ)
 }

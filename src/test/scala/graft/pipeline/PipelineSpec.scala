@@ -1093,6 +1093,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.endsWith("bar") && t.startsWith("i"))
   }
 
+  test("removeDupSpansExact is a fixed point: no duplicated >=minLen window survives removal (randomized, both keeper policies)") {
+    // the certificate p_substr_removal_fixedpoint pins cross-engine at
+    // sf0.01; here the residual detection is brute-force LITERAL STRINGS
+    // over the emitted pieces — independent of every operator kernel —
+    // on corpora dense enough that pre-removal duplication is guaranteed
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(97)
+    for ((keepFirst, minLen) <- Seq((true, 3), (false, 3), (true, 5))) {
+      val corpus = (0L until 35L).map { id =>
+        val len = rnd.nextInt(30)
+        (id, (0 until len).map(_ => "w" + rnd.nextInt(4)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val pieces = Dedup.removeDupSpansExact(corpus, minLen,
+          keepFirst = keepFirst)
+        .collect().map(r => r.getAs[String]("text").split(" ").toVector)
+      // pre-condition: the corpus really had duplicated windows (else the
+      // certificate is vacuous) — w0..w3 over 35 docs guarantees it
+      val preWindows = corpus.collect()
+        .map(_.getString(1).split("\\s+").filter(_.nonEmpty).toVector)
+        .flatMap(ts => ts.sliding(minLen).filter(_.size == minLen))
+        .map(_.mkString(" "))
+      assert(preWindows.groupBy(identity).values.exists(_.size >= 2),
+        "vacuous trial: no pre-removal duplication")
+      val residual = pieces
+        .flatMap(ts => ts.sliding(minLen).filter(_.size == minLen))
+        .map(_.mkString(" "))
+        .groupBy(identity).values.count(_.size >= 2)
+      assert(residual == 0,
+        s"keepFirst=$keepFirst minLen=$minLen: $residual duplicated windows survived removal")
+    }
+  }
+
   test("incrementalRemoveDupSpansExact: increment pieces equal the batch run's (interleaved ids, randomized)") {
     // the batch-equality theorem: probing the per-gram (nocc, keeper)
     // index reproduces removeDupSpansExact over corpus ∪ increment

@@ -434,6 +434,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the cuts join must be keyed on doc_id")
   }
 
+  test("fixed-point certificate: re-detection is windowless with map-side-combined gram counts") {
+    // removal + re-detection composed; the residual aggregate must stay a
+    // map-side-combinable gram groupBy (the 1x1 stats-x-residual join at
+    // the top is a broadcast of singletons, not a data join)
+    val p = planOf("p_substr_removal_fixedpoint")
+    assert(!p.contains("Window"), "re-detection must not window")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "residual gram counts must map-side combine")
+  }
+
   test("incremental substr removal: increment-sized chain, keyed index join, row-local folds") {
     import org.apache.spark.sql.functions.col
     val docs = graft.util.Tables.t(spark, dir, "documents")
