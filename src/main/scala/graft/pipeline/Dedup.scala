@@ -919,21 +919,23 @@ object Dedup {
         .otherwise(a.getField("arr")))
   }
 
-  /** Character spans of each `[a-z0-9]+` token of `lower(text)` as
-    * `array<struct<st,en>>` (0-based, inclusive, in characters) — the
-    * coordinate bridge from the removal family's TOKEN geometry back to
-    * the ORIGINAL string. Row-local: one `regexp_extract_all` for the
-    * tokens, one `split` on the same pattern for the `n+1` separators
-    * around them (leading/trailing empties kept, so the interleave is
-    * exact), then a single fold accumulating the char cursor —
+  /** Higher-order-function form of the token→char coordinate bridge,
+    * retained as the independently-derived twin that pins the native
+    * [[graft.functions.TokenCharSpans]] expression (TokenCharSpansSpec):
+    * one `regexp_extract_all` for the tokens, one `split` on the same
+    * pattern for the `n+1` separators around them (leading/trailing
+    * empties kept, so the interleave is exact), then a single fold
+    * accumulating the char cursor —
     * `st(i) = |sep₀| + Σ_{j<i}(|tok_j| + |sep_{j+1}|)`. Offsets are
     * computed against the LOWERCASED text; they index the original
     * exactly whenever lowercasing preserves length (all of ASCII; the
     * rare exceptions — e.g. U+0130 İ lowercases to two chars — are why
-    * [[emitPiecesOriginal]] guards on `length` before slicing the
-    * original).
+    * [[emitPiecesOriginal]] guards on the lowered length before slicing
+    * the original). The emit path itself uses the native expression:
+    * three regex passes + an interpreted `array_append` fold per document
+    * were the dominant per-doc cost of original-byte emission at ×100.
     */
-  private[pipeline] def tokenCharSpans(text: Column): Column = {
+  private[graft] def tokenCharSpansHof(text: Column): Column = {
     val lowered = lower(text)
     val toks = TextPipeline.tokens(text)
     val seps = split(lowered, "[a-z0-9]+", -1)
@@ -964,23 +966,27 @@ object Dedup {
     * lowercasing changes the string's length (rare Unicode, e.g. U+0130),
     * the token offsets no longer index the original, so the slice falls
     * back to the lowercased text — coordinates stay exact either way.
-    * Row-local and LAZY like [[emitPieces]]: tokenize + span scan, one
-    * left join against the small cut table, slice — a 100 TB run streams
-    * straight to its sink.
+    * Row-local and LAZY like [[emitPieces]]: one native span scan
+    * ([[graft.functions.TokenCharSpans]] — a single byte pass per doc,
+    * whose `n_chars` also serves as the length guard so no second
+    * `lower()` runs on the common path), one left join against the small
+    * cut table, slice — a 100 TB run streams straight to its sink.
     */
   private def emitPiecesOriginal(docs: DataFrame, cuts: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val emptyIv = array().cast("array<struct<st:bigint,en:bigint>>")
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("src_text"),
-        tokenCharSpans(col(textCol)).as("cspans"))
+        graft.functions.TokenCharSpans.tokenCharSpans(col(textCol)).as("tcs"))
+      .select(col("doc_id"), col("src_text"),
+        col("tcs.spans").as("cspans"), col("tcs.n_chars").as("n_chars"))
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("cut", coalesce(col("cut"), emptyIv))
       .withColumn("cut_tokens",
         aggregate(col("cut"), lit(0L),
           (a, x) => a + x.getField("en") - x.getField("st") + 1L))
       .withColumn("slice_src",
-        when(length(lower(col("src_text"))) === length(col("src_text")),
+        when(col("n_chars") === length(col("src_text")).cast("long"),
           col("src_text")).otherwise(lower(col("src_text"))))
       .select(col("doc_id"), col("cspans"), col("cut_tokens"), col("slice_src"),
         posexplode(complementPieces(col("cut"), size(col("cspans")).cast("long"))))

@@ -1795,8 +1795,8 @@ object PipelineQueries {
     * whitespace preserved) spanning its first kept token's first char to
     * its last kept token's last char, with 0-based inclusive character
     * coordinates. This pins the whole coordinate bridge cross-engine:
-    * Spark folds token char spans from a split/extract interleave
-    * (`Dedup.tokenCharSpans`) while DuckDB recomputes every token's char
+    * Spark scans token char spans natively in one byte pass
+    * (`graft.functions.TokenCharSpans`) while DuckDB recomputes every token's char
     * start as a windowed cumulative sum over (token length + following
     * separator length) — leading-separator handling, the n+1 separator
     * interleave, 0- vs 1-based slicing, and the lowercase-length fallback

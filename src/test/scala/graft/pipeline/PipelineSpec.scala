@@ -968,7 +968,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("tokenCharSpans: char coordinates of every token, across punctuation/boundary shapes") {
+  test("token char spans: char coordinates of every token, across punctuation/boundary shapes") {
     val cases = Seq(
       "a b",           // plain
       "  a  b  ",      // leading/trailing/multi space
@@ -978,7 +978,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ";;;",           // no tokens at all
       "A1b, C-2d! e")  // mixed case + digits inside tokens
     val df = docsDf(cases.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
-    val got = df.select(col("doc_id"), Dedup.tokenCharSpans(col("text")).as("sp"))
+    val got = df.select(col("doc_id"),
+        graft.functions.TokenCharSpans.tokenCharSpans(col("text"))
+          .getField("spans").as("sp"))
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
         r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sp")
