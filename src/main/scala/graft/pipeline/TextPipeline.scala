@@ -17,8 +17,19 @@ object TextPipeline {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Word tokens: maximal [a-z0-9]+ runs of the lowercased text. */
+  /** Word tokens: maximal [a-z0-9]+ runs of the lowercased text — the
+    * native one-byte-pass [[graft.functions.TextTokens]] expression
+    * (every tokenizing operator in the suite rides this; the regex form
+    * it replaced is retained below and pinned equal in TextTokensSpec).
+    */
   def tokens(c: Column): Column =
+    graft.functions.TextTokens.textTokens(c)
+
+  /** Regex twin of [[tokens]] — the definition the native expression is
+    * property-tested against. Interpreted per-match copies; not for hot
+    * paths.
+    */
+  def tokensHof(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -30,19 +41,40 @@ object TextPipeline {
     when(length(trim(c)) === 0, 0).otherwise(size(split(trim(c), "\\s+")))
 
   /** A BPE-ish subword proxy: alpha runs, digit runs, and single
-    * non-alphanumeric marks each count as one token.
+    * non-alphanumeric marks each count as one token. Native one-pass
+    * count; the regex twin below is the definition it is pinned against.
     */
   def bpeishTokenCount(c: Column): Column =
+    graft.functions.BpeishCount.bpeishCount(c)
+
+  def bpeishTokenCountHof(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** English-ish stopword hits (used by quality scoring). */
-  val stopwordPattern = "\\b(the|a|and|of|to|in|is|on|for|with)\\b"
+  /** English-ish stopwords (used by quality scoring); the regex pattern
+    * is DERIVED from this list so the native word-set counter and the
+    * regex twin can never drift apart.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  private[graft] def wordAltPattern(ws: Seq[String]): String =
+    ws.mkString("\\b(", "|", ")\\b")
+
+  val stopwordPattern: String = wordAltPattern(stopwords)
 
   def stopwordCount(c: Column): Column =
+    graft.functions.WordSetCount.wordSetCount(c, stopwords)
+
+  def stopwordCountHof(c: Column): Column =
     size(regexp_extract_all(lower(c), lit(stopwordPattern), lit(0)))
 
+  val punctChars: String = ".,;:!?"
+
   def punctCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[.,;:!?]"), lit(0)))
+    graft.functions.AsciiSetCount.asciiSetCount(c, punctChars)
+
+  def punctCountHof(c: Column): Column =
+    size(regexp_extract_all(c, lit(s"[$punctChars]"), lit(0)))
 
   /** Quality heuristics: length, mean token length, stopword ratio, punct
     * density. Composable columns; the composite flag marks documents that
@@ -313,24 +345,34 @@ object TextPipeline {
           lit(maxMeanDecibits.toLong) * col("n_bigrams"))
   }
 
-  /** Per-language function-word patterns for the n-gram/stopword language-ID
-    * heuristic. ASCII-only patterns so the same regex runs in Spark (Java
-    * regex) and an RE2-based oracle.
+  /** Per-language function-word lists for the n-gram/stopword language-ID
+    * heuristic; ASCII-only words, so the DERIVED regex patterns run
+    * identically in Spark (Java regex) and an RE2-based oracle on ASCII
+    * text, and the native word-set counter's run-equality (ASCII `\b`,
+    * i.e. RE2/oracle) semantics apply exactly — see
+    * [[graft.functions.WordSetCount]] for the one boundary case where
+    * Java regex disagreed with both.
     */
-  val langPatterns: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|and|of|to|in|is|that|it|was|for)\\b",
-    "de" -> "\\b(der|die|das|und|nicht|ist|ich|ein|zu|den)\\b",
-    "fr" -> "\\b(le|la|les|et|des|est|une|dans|que|pour)\\b",
-    "es" -> "\\b(el|los|las|es|una|en|que|por|con|para)\\b")
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "una", "en", "que", "por", "con", "para"))
 
-  def langScore(text: Column, pattern: String): Column =
+  val langPatterns: Seq[(String, String)] =
+    langWords.map { case (l, ws) => l -> wordAltPattern(ws) }
+
+  def langScore(text: Column, words: Seq[String]): Column =
+    graft.functions.WordSetCount.wordSetCount(text, words)
+
+  def langScoreHof(text: Column, pattern: String): Column =
     size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
 
   /** Predicted language: argmax of the per-language scores with a fixed
     * tie-break order (declaration order above); 'und' when no pattern hits.
     */
   def langId(text: Column): Column = {
-    val scores = langPatterns.map { case (l, p) => l -> langScore(text, p) }
+    val scores = langWords.map { case (l, ws) => l -> langScore(text, ws) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
