@@ -60,6 +60,27 @@ object Md5Hash60 {
     (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
+  private val outBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
+
+  /** [[hash60]] over a byte RANGE, allocation-free (thread-local digest
+    * output buffer) — the form the whole-document kernels
+    * ([[MinhashSigOps]], [[SimhashFpOps]]) call once per shingle window /
+    * distinct token, straight from their lowered byte buffers.
+    */
+  def hash60Range(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = outBuf.get()
+    try md.digest(d, 0, 16)
+    catch { case e: java.security.DigestException => throw new RuntimeException(e) }
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
   /** String inputs cast to their UTF-8 bytes — the same implicit cast
     * Spark's `md5()` applies, so values match the composed form exactly.
     */

@@ -52,24 +52,15 @@ object Dedup {
   }
 
   /** Prime field for the affine minhash family (2³¹−1, Mersenne). */
-  val MinhashPrime: Long = 2147483647L
+  val MinhashPrime: Long = graft.functions.MinhashSig.Prime
 
-  /** Seed constants (a_i ∈ [1, p−1], b_i ∈ [0, p−1]) for the affine family
-    * h_i(x) = (a_i·x + b_i) mod p — splitmix64-derived so they're well
-    * spread but fully deterministic. The SAME constants are embedded into
-    * the generated DuckDB oracle SQL (single source of truth).
+  /** Seed constants for the affine family h_i(x) = (a_i·x + b_i) mod p —
+    * delegates to [[graft.functions.MinhashSig.seedsFor]], the single
+    * source of truth the native signature kernel and the generated DuckDB
+    * oracle SQL both read.
     */
-  def minhashSeeds(n: Int): Array[(Long, Long)] = Array.tabulate(n) { i =>
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    val a = java.lang.Long.remainderUnsigned(mix(2L * i + 1), MinhashPrime - 2) + 1
-    val b = java.lang.Long.remainderUnsigned(mix(2L * i + 2), MinhashPrime)
-    (a, b)
-  }
+  def minhashSeeds(n: Int): Array[(Long, Long)] =
+    graft.functions.MinhashSig.seedsFor(n)
 
   /** MinHash signatures: for each of `nHashes` affine seeds, the minimum
     * `(a_i·h + b_i) mod p` over the doc's shingle base hashes
@@ -107,6 +98,34 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
             x => x.getField("minhash").cast("string")),
           ",")).as("bh"))
+
+  /** ROW-LOCAL signature + banding — the zero-shuffle twin of
+    * `bands(minhash(shingles(docs, dedup = false)))`, value-identical
+    * (pinned in MinhashSigSpec / PipelineSpec): the whole-document
+    * signature comes from the native one-pass [[graft.functions.MinhashSig]]
+    * kernel (no shingle explode, no aggregation exchange), and each band's
+    * bucket key hashes `rowsPerBand` consecutive signature slots exactly
+    * like the grouped form (seed order IS array order; a trailing partial
+    * band keeps its short slice, matching `seed / rowsPerBand` grouping).
+    * Output (doc_id, band, bh) — the signature chain of the near-dup
+    * pipeline with NO shuffle until the LSH bucket groupBy itself.
+    */
+  def docBands(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+               k: Int = 5, nHashes: Int = 18, rowsPerBand: Int = 6): DataFrame = {
+    val nBands = (nHashes + rowsPerBand - 1) / rowsPerBand
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.MinhashSig.minhashSig(col(textCol), k, nHashes).as("sig"))
+      .filter(size(col("sig")) > 0) // docs shorter than k shingle to nothing
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => Det.md5Hash60(
+            array_join(
+              transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string")),
+              ",")))))
+      .select(col("doc_id"), col("pos").cast("int").as("band"), col("col").as("bh"))
+  }
 
   /** LSH candidate pairs: docs sharing any (band, band-hash) bucket. One
     * groupBy on the bucket key + in-bucket pair expansion — the signature
@@ -198,23 +217,25 @@ object Dedup {
       .groupBy("fp")
       .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
       .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
-    // spread docs across the cluster BEFORE the shingle explode: the doc
-    // table itself is small (one parquet split locally), but the exploded
-    // shingle+hash work is nHashes×|text| per doc. The partition count is
-    // pinned (defaultParallelism) because AQE would coalesce an un-sized
-    // repartition of a few-MB input back to one partition — sizing by
-    // pre-explode bytes is exactly wrong for explode-heavy stages. (Folding
-    // this shuffle into the groupBy by pre-partitioning on fp measured
-    // SLOWER: the groupBy's own exchange partial-aggregates map-side,
-    // collapsing duplicate texts before they cross the wire.)
+    // spread docs across the cluster BEFORE the signature pass: the doc
+    // table itself is small (one parquet split locally), but the per-doc
+    // signature kernel is |text|·k MD5 bytes of CPU. The partition count
+    // is pinned (defaultParallelism) because AQE would coalesce an
+    // un-sized repartition of a few-MB input back to one partition —
+    // sizing by input bytes is exactly wrong for CPU-heavy map stages.
+    // (Folding this shuffle into the groupBy by pre-partitioning on fp
+    // measured SLOWER: the groupBy's own exchange partial-aggregates
+    // map-side, collapsing duplicate texts before they cross the wire.)
     val spread = reps.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val shRaw = shingles(spread, k = k, dedup = false)
     // cand's two consumers (candIds, verify) reference IDENTICAL subtrees,
     // so the bucket aggregation's exchange is reused — persisting it only
-    // adds a columnar-build barrier (measured +0.2 s for zero saved work)
-    val cand = candidatePairs(bands(minhash(shRaw, nHashes), rowsPerBand))
+    // adds a columnar-build barrier (measured +0.2 s for zero saved work).
+    // The signature chain is the zero-shuffle row-local form: native
+    // per-doc kernel + in-row banding (docBands).
+    val cand = candidatePairs(docBands(spread, k = k, nHashes = nHashes,
+      rowsPerBand = rowsPerBand))
     // verify ONLY candidate documents: the exact-Jaccard stage needs the
     // deduplicated shingle SETS, and building those for the whole corpus is
     // a corpus-sized distinct shuffle executed once per join side — while
@@ -298,8 +319,7 @@ object Dedup {
     val spread = reps.repartition(
       corpus.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val b = bands(minhash(shingles(spread, k = k, dedup = false), nHashes),
-        rowsPerBand)
+    val b = docBands(spread, k = k, nHashes = nHashes, rowsPerBand = rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
     NearDupIndex(spread, b, k, nHashes, rowsPerBand)
   }
@@ -357,9 +377,9 @@ object Dedup {
     val incSpread = incReps.repartition(
       incoming.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val incBands = bands(
-      minhash(shingles(incSpread, k = k, dedup = false), index.nHashes),
-      index.rowsPerBand)
+    val incBands = docBands(
+      incSpread, k = k, nHashes = index.nHashes,
+      rowsPerBand = index.rowsPerBand)
     // cross-side candidates only: an increment doc and an index doc
     // sharing any (band, band-hash) bucket
     val cand = incBands.select(col("doc_id").as("d1"), col("band"), col("bh"))
@@ -1531,25 +1551,36 @@ object SimHash {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    // hash-partition the doc rows by id BEFORE the token explode: both
-    // downstream aggregations cluster on doc_id (tf counts on
-    // (doc_id, tok), votes on doc_id), and HashPartitioning(doc_id)
-    // satisfies both — so the exploded TOKEN rows never shuffle, only the
-    // small doc rows do, and the explode still runs on all cores (pinned
-    // count for the same explode-amplification reason as `Tables.spread`).
-    // GATED like Tables.spread: on a real lake the scan already has more
-    // splits than cores, the gate fails, and no forced shuffle of corpus
-    // text happens (the token rows then shuffle into the tf aggregation,
-    // which AQE sizes normally — correct at that scale). Note the `.rdd`
-    // probe finalizes physical planning of `docs` — like Tables.spread,
-    // pass a RAW SCAN here (all current callers do); an input with its own
-    // upstream shuffles would plan them twice.
+    // hash-partition the doc rows by id BEFORE the kernel pass so the
+    // per-doc tokenize+vote CPU runs on all cores even when the local
+    // scan is one split (pinned count — sizing by input bytes is wrong
+    // for CPU-heavy map stages). GATED like Tables.spread: on a real lake
+    // the scan already has more splits than cores, the gate fails, and no
+    // forced shuffle of corpus text happens. Note the `.rdd` probe
+    // finalizes physical planning of `docs` — pass a RAW SCAN here (all
+    // current callers do); an input with its own upstream shuffles would
+    // plan them twice.
     val target = docs.sparkSession.sparkContext.defaultParallelism
     val spreadById =
       if (graft.util.Tables.scanPartitions(docs) < target)
         docs.repartition(target, col(idCol))
       else docs
-    val toks = spreadById.select(col(idCol).as("doc_id"),
+    // row-local fingerprint (native SimhashFp: in-row tf table + 60-slot
+    // vote fold, value-identical to the exploded tf-groupBy + 60-column
+    // vote aggregation — pinned in SimhashFpSpec). NULL = token-free doc,
+    // which the exploded form never emitted a row for.
+    spreadById.select(col(idCol).as("doc_id"),
+        graft.functions.SimhashFp.simhashFp(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** Exploded formulation of [[simhash]] — tf groupBy + 60-column vote
+    * aggregation — retained as the independently-derived twin the native
+    * kernel is pinned against (SimhashFpSpec).
+    */
+  private[graft] def simhashExploded(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
         explode(TextPipeline.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
       .select(col("doc_id"), col("w"), Det.md5Hash60(col("tok")).as("h"))

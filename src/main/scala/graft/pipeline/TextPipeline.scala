@@ -13,8 +13,14 @@ import graft.util.Det
   */
 object TextPipeline {
 
-  /** Lowercase + whitespace-collapse + trim. */
+  /** Lowercase + whitespace-collapse + trim — the native one-pass
+    * [[graft.functions.NormalizeText]] (regex twin below, pinned equal in
+    * NormalizeTextSpec).
+    */
   def normalize(c: Column): Column =
+    graft.functions.NormalizeText.normalizeText(c)
+
+  def normalizeHof(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Word tokens: maximal [a-z0-9]+ runs of the lowercased text — the
