@@ -210,4 +210,28 @@ class VecDotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(_.exists(_.isInstanceOf[VecDot])),
       "bare int multiply must not be rewritten")
   }
+
+  test("GraftExtensions exposes the text kernels to SQL") {
+    ensureExtensionsSession()
+    val r = spark.sql(
+      """SELECT text_tokens('The CAT, sat!') AS toks,
+        |       normalize_text('  A  b\tC ') AS norm,
+        |       token_char_spans('!ab cd').spans AS spans,
+        |       bpeish_count('ab1 ?x') AS bp,
+        |       simhash_fp(';;;') AS fp_null,
+        |       minhash_sig('abcdef', 5, 2) AS sig""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) == Seq("the", "cat", "sat"))
+    assert(r.getString(1) == "a b\tc".replace("\t", " "))
+    assert(r.getSeq[org.apache.spark.sql.Row](2)
+      .map(x => (x.getLong(0), x.getLong(1))) == Seq((1L, 2L), (4L, 5L)))
+    assert(r.getInt(3) == 4) // "ab" + "1" + "?" + "x"
+    assert(r.isNullAt(4), "token-free text must yield NULL simhash")
+    assert(r.getSeq[Long](5).length == 2)
+    // literal-arg enforcement: a non-foldable k must be rejected
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig('abc', cast(id AS int), 2) FROM range(1)").head()
+    }
+    assert(err.getMessage.contains("literal int"))
+  }
 }
