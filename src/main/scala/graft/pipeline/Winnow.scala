@@ -37,8 +37,28 @@ object Winnow {
     * winnowing" tie-break, engine-independent because both sides minimize
     * the same longs. Only FULL windows select (positions past
     * len−k−w+2 have no complete window), matching the paper's guarantee.
+    *
+    * ROW-LOCAL: the whole selection — gram hashing over in-place byte
+    * ranges plus a monotonic-deque sliding min — runs inside the native
+    * [[graft.functions.WinnowFps]] expression, so there is no gram
+    * explode, no per-doc window sort and no shuffle at all until a
+    * consumer aggregates. The exploded `Window`-min formulation stays
+    * below as [[selectedExploded]], the definition the kernel is pinned
+    * against (WinnowFpsSpec). Documents past the 2²³−1-gram cap fail
+    * loudly in both forms (silent corruption would be oracle-invisible:
+    * both engines would corrupt identically).
     */
   def selected(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", k: Int = 7, w: Int = 4): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.WinnowFps.winnowFps(col(textCol), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+
+  /** Exploded `Window`-min formulation of [[selected]] — retained as the
+    * independently-derived twin the native kernel is pinned against.
+    */
+  private[graft] def selectedExploded(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", k: Int = 7, w: Int = 4): DataFrame = {
     // the composite key leaves 23 bits for the position, so a document may
     // hold at most 2^23-1 grams: past that, PosMod-1-i goes negative and

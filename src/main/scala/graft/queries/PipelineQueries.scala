@@ -1186,12 +1186,10 @@ object PipelineQueries {
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT d1, d2, n_shared::BIGINT AS n_shared FROM pairs
          |ORDER BY n_shared DESC, d1, d2 LIMIT 20""".stripMargin) { (s, dir) =>
-      // hash-partition by doc_id BEFORE the gram explode (gated, like
-      // SimHash.simhash): HashPartitioning(doc_id) satisfies the window's
-      // required distribution, so the exploded GRAM rows never shuffle —
-      // only the small doc rows do — and the md5 work still runs on all
-      // cores. A round-robin spread would shuffle every gram row into the
-      // window sort.
+      // hash-partition by doc_id BEFORE the kernel pass (gated, like
+      // SimHash.simhash) so the per-doc winnowing CPU runs on all cores,
+      // and the fingerprint distinct rides HashPartitioning(doc_id)
+      // (a subset of its clustering keys) instead of adding an exchange.
       val base = docs(s, dir)
       val target = s.sparkContext.defaultParallelism
       val spreadById =

@@ -24,19 +24,37 @@ object SignatureAB {
     graft.util.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.pipeline.{Dedup, SimHash}
+    import org.apache.spark.sql.{functions => F, DataFrame}
+    import graft.pipeline.{Dedup, SimHash, Winnow}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
     println(s"[sig-ab] corpus ${docs.count()} docs")
 
-    // full consumer shapes; .count() drains the chain
+    // drain by FOLDING the value columns (bit_xor), never .count(): a bare
+    // count lets Catalyst prune the hash/window work right out of the
+    // exploded plans (measured: the winnow Window-min "ran" 144M rows in
+    // 0.3 s — it was counting gram rows, not winnowing), while the native
+    // kernels sit under a filter/explode and cannot be pruned — a rigged
+    // comparison. bit_xor is order-independent, overflow-free (a plain sum
+    // trips ANSI addExact at this row count) and still an exact cross-side
+    // equality check.
+    def drain(df: DataFrame, cols: String*): Long =
+      df.agg(cols.map(c => F.expr(s"bit_xor($c)").cast("long"))
+          .reduce(_ bitwiseXOR _).as("s"))
+        .head().getLong(0)
+
     val shapes: Seq[(String, () => Long, () => Long)] = Seq(
       ("minhash-bands",
-        () => Dedup.docBands(docs, k = 5, nHashes = 18, rowsPerBand = 6).count(),
-        () => Dedup.bands(Dedup.minhash(
-          Dedup.shingles(docs, k = 5, dedup = false), 18), 6).count()),
+        () => drain(Dedup.docBands(docs, k = 5, nHashes = 18, rowsPerBand = 6),
+          "bh", "band", "doc_id"),
+        () => drain(Dedup.bands(Dedup.minhash(
+          Dedup.shingles(docs, k = 5, dedup = false), 18), 6),
+          "bh", "band", "doc_id")),
       ("simhash-fp",
-        () => SimHash.simhash(docs).count(),
-        () => SimHash.simhashExploded(docs).count()))
+        () => drain(SimHash.simhash(docs), "simhash", "doc_id"),
+        () => drain(SimHash.simhashExploded(docs), "simhash", "doc_id")),
+      ("winnow-selected",
+        () => drain(Winnow.selected(docs), "fp", "pos", "doc_id"),
+        () => drain(Winnow.selectedExploded(docs), "fp", "pos", "doc_id")))
 
     def cpuStat(): (Long, Long) = {
       val src = scala.io.Source.fromFile("/proc/stat")

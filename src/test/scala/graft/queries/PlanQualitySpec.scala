@@ -158,14 +158,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank<=k filter should push a group limit below the stratum shuffle:\n$p")
   }
 
-  test("winnow window reuses the doc_id pre-partitioning (gram rows never shuffle)") {
+  test("winnow selection is row-local: no window, no gram shuffle") {
     val p = planOf("p_winnow_fingerprint")
     // expected exchanges: the gated doc-row repartition, groupBy(fp), and
-    // the pair aggregation — the window and the fingerprint distinct must
-    // ride the doc_id hash partitioning instead of adding their own
+    // the pair aggregation — selection itself is the native kernel and the
+    // fingerprint distinct rides the doc_id hash partitioning
     val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(shuffles <= 4, s"expected <=4 exchanges, got $shuffles:\n$p")
-    assert(p.contains("Window"), "window-min selection missing from plan")
+    assert(!p.contains("Window"),
+      "winnow selection regressed to the exploded window-min plan")
+    assert(p.contains("winnow_fps"), s"native winnow kernel missing:\n$p")
   }
 
   test("cosine top-k joins via broadcast of the probe set only") {
