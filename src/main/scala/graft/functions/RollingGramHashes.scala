@@ -85,6 +85,59 @@ object RollingGramHashes {
     GraftSql.column(RollingGramHashes(GraftSql.expression(tokens), Literal(n)))
 }
 
+/** Single-long form of [[RollingGramHashes]]: `rolling_gram_keys(tokens,
+  * n)` emits `h1 ^ rotl(h2, 32)` per window — one 64-bit key mixing both
+  * polynomials, for consumers that shuffle/probe the key rather than pin
+  * its halves (decontamination gram sets). 64 bits is WIDER than the
+  * md5₆₀ keys these call sites previously shuffled, so the birthday
+  * arithmetic only improves; the same adversarial-corpus caveat as
+  * [[RollingGramHashes]] applies (hostile token streams → use the
+  * [[WordGrams]]+md5 substrate). Semantics parity: fewer than n tokens →
+  * empty array; NULL array or NULL element → NULL.
+  */
+case class RollingGramKeys(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+      val n = right.eval(null)
+      if (n != null && n.asInstanceOf[Int] >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable int), got ${l.sql} and ${r.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  // a NULL element yields NULL regardless of child nullability
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, n: Any): Any =
+    RollingGramOps.keys(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, n) => {
+      // `nullable` is always true, so ev.isNull is a real variable
+      s"""
+         |${ev.value} = graft.functions.RollingGramOps.keys($arr, $n);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "rolling_gram_keys"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RollingGramKeys =
+    copy(left = newLeft, right = newRight)
+}
+
+object RollingGramKeys {
+  def rollingGramKeys(tokens: Column, n: Int): Column =
+    GraftSql.column(RollingGramKeys(GraftSql.expression(tokens), Literal(n)))
+}
+
 /** Static helpers called from generated code. */
 object RollingGramOps {
   // xxhash64 seed for per-token hashing; h2's token values derive from
@@ -150,6 +203,43 @@ object RollingGramOps {
       h1 = (h1 - t1(i - 1) * pow1) * B1 + t1(i + n - 1)
       h2 = (h2 - t2(i - 1) * pow2) * B2 + t2(i + n - 1)
       out(i) = new GenericInternalRow(Array[Any](h1, h2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[hashes]] mixed to one long per window: `h1 ^ rotl(h2, 32)`. Same
+    * rolling recurrence, no struct rows.
+    */
+  def keys(a: ArrayData, n: Int): ArrayData = {
+    val len = a.numElements()
+    val t1 = new Array[Long](len)
+    val t2 = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      if (a.isNullAt(i)) return null
+      val h = tokenHash(a.getUTF8String(i))
+      t1(i) = h
+      t2(i) = tokenHash2(h)
+      i += 1
+    }
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    var pow1 = 1L
+    var pow2 = 1L
+    i = 1
+    while (i < n) { pow1 *= B1; pow2 *= B2; i += 1 }
+    var h1 = 0L
+    var h2 = 0L
+    i = 0
+    while (i < n) { h1 = h1 * B1 + t1(i); h2 = h2 * B2 + t2(i); i += 1 }
+    val out = new Array[Any](m)
+    out(0) = h1 ^ java.lang.Long.rotateLeft(h2, 32)
+    i = 1
+    while (i < m) {
+      h1 = (h1 - t1(i - 1) * pow1) * B1 + t1(i + n - 1)
+      h2 = (h2 - t2(i - 1) * pow2) * B2 + t2(i + n - 1)
+      out(i) = h1 ^ java.lang.Long.rotateLeft(h2, 32)
       i += 1
     }
     new GenericArrayData(out)

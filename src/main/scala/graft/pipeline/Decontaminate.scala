@@ -10,23 +10,48 @@ import graft.util.Det
   * keys; a train document is contaminated iff any of its n-grams hits that
   * set.
   *
-  * Scale notes (100 TB): the n-gram arrays are built INSIDE each row with
-  * array functions (`transform`/`slice` — codegen'd, no positional
-  * self-join), so the only wide exchanges are the per-doc `distinct` and
-  * the semi join on the 60-bit gram key. Grams are md5-hashed to fixed
-  * 8-byte keys before shuffling (same `Det.md5Hash60` recipe the oracle
-  * reproduces) — shuffling longs instead of ~25-byte strings. A real eval
-  * set (a few benchmarks) is tiny and AQE will broadcast it after the
-  * distinct; the hint is deliberately NOT hard-coded because here the eval
-  * partition is 1/20 of the corpus and therefore SF-scaled.
+  * Scale notes (100 TB): gram keys are rolled INSIDE each row straight
+  * off the token array (`RollingGramKeys` — O(L) per doc, no gram-string
+  * concatenation, no positional self-join), so the only wide exchanges
+  * are the per-doc `distinct` and the semi join on the 64-bit gram key —
+  * shuffling longs instead of ~25-byte strings. The oracle is substrate-
+  * adversarial: DuckDB re-derives the verdicts by intersecting literal
+  * gram STRINGS, so the key substrate can never silently drift. A real
+  * eval set (a few benchmarks) is tiny and AQE will broadcast it after
+  * the distinct; the hint is deliberately NOT hard-coded because here the
+  * eval partition is 1/20 of the corpus and therefore SF-scaled.
   */
 object Decontaminate {
 
-  /** One row per DISTINCT word n-gram of each document:
-    * `(doc_id, gh)` with `gh = md5₆₀(tok_i ‖ ' ' ‖ … ‖ tok_{i+n-1})`.
+  /** One row per DISTINCT word n-gram of each document: `(doc_id, gh)`
+    * with `gh` a 64-bit rolling-polynomial window key
+    * ([[graft.functions.RollingGramKeys]] — O(L) per doc, no gram-string
+    * concatenation, hashed straight off the token array). The key is
+    * INTERNAL: the contamination verdicts (doc ids, source counts) are
+    * substrate-independent, which is what the oracle pins — DuckDB
+    * re-derives them by intersecting literal gram STRINGS, so a false key
+    * collision on either side would break the count comparison (the
+    * substrate-adversarial pattern of the removal family). 64-bit mixed
+    * keys are WIDER than the md5₆₀ keys previously shuffled here, so the
+    * birthday arithmetic only improves; adversarial corpora should use
+    * [[docNgramsMd5]], the retained md5-on-gram-string form the rolling
+    * substrate is verdict-pinned against (SketchDecontamSpec).
     * Documents with fewer than n tokens contribute no rows.
     */
   def docNgrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.RollingGramKeys.rollingGramKeys(
+          TextPipeline.tokens(col(textCol)), n)).as("gh"))
+      .distinct()
+
+  /** md5₆₀-on-gram-string form of [[docNgrams]]
+    * (`gh = md5₆₀(tok_i ‖ ' ' ‖ … ‖ tok_{i+n-1})`) — the hostile-corpus
+    * fallback and the independently-derived twin the rolling substrate is
+    * pinned against.
+    */
+  def docNgramsMd5(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
@@ -74,10 +99,12 @@ object Decontaminate {
 
   /** Row-local contamination verdict against a literal eval gram set:
     * TRUE iff any word n-gram of the text hash-hits the set. Same
-    * md5₆₀ keys as [[docNgrams]], evaluated with higher-order functions
-    * inside the row — no explode, no join, no state — so the same column
-    * runs on a batch or STREAMING DataFrame in append mode (the
-    * ingest-time filter shape; `StreamingSpec` pins batch ≡ stream).
+    * rolling keys as [[docNgrams]] (the set MUST come from
+    * [[evalGramArray]] / [[evalGramSet]] of the same build), evaluated
+    * with higher-order functions inside the row — no explode, no join, no
+    * state — so the same column runs on a batch or STREAMING DataFrame in
+    * append mode (the ingest-time filter shape; `StreamingSpec` pins
+    * batch ≡ stream).
     *
     * The set probe is the native [[graft.functions.LongSetContains]]
     * (sorted-array binary search, O(log \|set\|) per gram) — NOT a
@@ -88,8 +115,9 @@ object Decontaminate {
   def contaminatedFlag(textCol: org.apache.spark.sql.Column,
                        evalGrams: Array[Long], n: Int): org.apache.spark.sql.Column = {
     require(evalGrams.nonEmpty, "eval gram set is empty")
-    exists(TextPipeline.wordGramArray(textCol, n),
-      g => graft.functions.BroadcastLookup.inLongSet(Det.md5Hash60(g), evalGrams))
+    exists(graft.functions.RollingGramKeys.rollingGramKeys(
+        TextPipeline.tokens(textCol), n),
+      g => graft.functions.BroadcastLookup.inLongSet(g, evalGrams))
   }
 
   /** Boxed-map overload (delegates to the array form). */

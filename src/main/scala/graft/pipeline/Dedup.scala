@@ -524,13 +524,16 @@ object Dedup {
     * `n_distinct_dup`, and a `kept` verdict by integer cross-multiply
     * (`n_dup_grams·1000 ≤ maxDupPermille·n_grams` — no float anywhere).
     *
-    * Scale shape: the gram explode is row-local (native codegen'd
-    * `WordGrams` on [[TextPipeline.tokens]]); everything after is keyed on
-    * the 60-bit gram hash — a (doc, gram) occurrence count, a per-gram
-    * distinct-doc count (one row per (doc, gram) feeds it, so a
-    * pathological "the the the…" doc contributes ONE row, not its length),
-    * and one equi-join back. No all-pairs stage, no per-key window; the
-    * hottest gram in a 100 TB corpus costs a single long-keyed count.
+    * Scale shape: the gram keys roll off the token array inside the row
+    * ([[graft.functions.RollingGramKeys]] — O(L) per doc, no gram-string
+    * concatenation; the key is internal, the oracle re-derives the
+    * per-doc counts from literal gram strings, so the substrate cannot
+    * silently drift); everything after is keyed on the 64-bit gram key —
+    * a (doc, gram) occurrence count, a per-gram distinct-doc count (one
+    * row per (doc, gram) feeds it, so a pathological "the the the…" doc
+    * contributes ONE row, not its length), and one equi-join back. No
+    * all-pairs stage, no per-key window; the hottest gram in a 100 TB
+    * corpus costs a single long-keyed count.
     */
   def dupGramProfile(docs: DataFrame, n: Int, maxDupPermille: Int,
       idCol: String = "doc_id", textCol: String = "text",
@@ -540,8 +543,8 @@ object Dedup {
       s"maxDupPermille must be in [0, 1000], got $maxDupPermille")
     val grams = docs
       .select(col(idCol).as("doc_id"),
-        explode(TextPipeline.wordGramArray(col(textCol), n)).as("gram"))
-      .select(col("doc_id"), Det.md5Hash60(col("gram")).as("g"))
+        explode(graft.functions.RollingGramKeys.rollingGramKeys(
+          TextPipeline.tokens(col(textCol)), n)).as("g"))
     val occ = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
     // one row per (doc, gram) in, so count(*) IS the distinct-doc count.
     // Only the ≥2 SET flows back — the verdict needs one bit per gram, and
@@ -792,11 +795,13 @@ object Dedup {
     require(n >= 1, s"gram order must be >= 1, got $n")
     val grams = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(TextPipeline.wordGramArray(col(textCol), n)))
-      .select(col("doc_id"), col("pos").cast("long").as("i"),
-        Det.md5Hash60(col("col")).as("g"))
-    // one row per (doc, gram) feeds the distinct-doc count (a "the the
-    // the…" doc contributes one row per DISTINCT gram, not per token)
+        posexplode(graft.functions.RollingGramKeys.rollingGramKeys(
+          TextPipeline.tokens(col(textCol)), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"), col("col").as("g"))
+    // rolling 64-bit window keys (internal — the oracle re-derives the
+    // counts from literal gram strings); one row per (doc, gram) feeds the
+    // distinct-doc count (a "the the the…" doc contributes one row per
+    // DISTINCT gram, not per token)
     val dupSet = grams.select("doc_id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("g")
@@ -1438,10 +1443,14 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       maxGrams: Int = 1 << 22): Array[Long] = {
     require(n >= 1, s"gram order must be >= 1, got $n")
+    // rolling 64-bit window keys — the SAME keys [[dupSpanCols]] /
+    // [[dupSpanColsMulti]] probe, so array and prober must always come
+    // from the same build (StreamingSpec pins the pair against the batch
+    // profile's verdicts, which are substrate-independent)
     val dup = docs
       .select(col(idCol).as("doc_id"),
-        explode(TextPipeline.wordGramArray(col(textCol), n)).as("gram"))
-      .select(col("doc_id"), Det.md5Hash60(col("gram")).as("g"))
+        explode(graft.functions.RollingGramKeys.rollingGramKeys(
+          TextPipeline.tokens(col(textCol)), n)).as("g"))
       .distinct()
       .groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("g")
@@ -1487,11 +1496,12 @@ object Dedup {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val perOrder = dupGramsByOrder.collect {
       case (n, dupGrams) if dupGrams.nonEmpty =>
-        val grams = TextPipeline.wordGramArray(textCol, n)
+        val keys = graft.functions.RollingGramKeys.rollingGramKeys(
+          TextPipeline.tokens(textCol), n)
         val ps = filter(
-          transform(grams, (g, i) =>
-            when(graft.functions.BroadcastLookup.inLongSet(
-              Det.md5Hash60(g), dupGrams), i.cast("long")).otherwise(lit(-1L))),
+          transform(keys, (g, i) =>
+            when(graft.functions.BroadcastLookup.inLongSet(g, dupGrams),
+              i.cast("long")).otherwise(lit(-1L))),
           x => x >= 0L)
         transform(ps, i =>
           struct(i.as("st"), (i + lit((n - 1).toLong)).as("en")))
@@ -1520,13 +1530,14 @@ object Dedup {
         lit(0L).as("n_spans"),
         lit(0L).as("covered_tokens"))
     }
-    val grams = TextPipeline.wordGramArray(textCol, n)
+    val keys = graft.functions.RollingGramKeys.rollingGramKeys(
+      TextPipeline.tokens(textCol), n)
     // flagged window starts, ascending by construction (transform
     // preserves positions; filter preserves order)
     val ps = filter(
-      transform(grams, (g, i) =>
-        when(graft.functions.BroadcastLookup.inLongSet(
-          Det.md5Hash60(g), dupGrams), i.cast("long")).otherwise(lit(-1L))),
+      transform(keys, (g, i) =>
+        when(graft.functions.BroadcastLookup.inLongSet(g, dupGrams),
+          i.cast("long")).otherwise(lit(-1L))),
       x => x >= 0L)
     val sp = islandFold(ps, n)
     struct(

@@ -99,6 +99,24 @@ class RollingGramHashesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RollingGramOps.hashes(withNull, 2) == null)
   }
 
+  test("rolling_gram_keys mixes exactly h1 ^ rotl(h2, 32) with identical window/null semantics") {
+    val toks = Seq("to", "be", "or", "not", "to", "be", "é中文", "")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val want = kernel(toks, n).map { case (h1, h2) =>
+        h1 ^ java.lang.Long.rotateLeft(h2, 32) }
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val out = RollingGramOps.keys(arr, n)
+      val got = (0 until out.numElements()).map(out.getLong)
+      assert(got == want, s"n=$n")
+    }
+    val short = new GenericArrayData(Array[Any](UTF8String.fromString("only")))
+    val s = RollingGramOps.keys(short, 2)
+    assert(s != null && s.numElements() == 0)
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null))
+    assert(RollingGramOps.keys(withNull, 1) == null)
+  }
+
   test("Column form matches the kernel on both codegen and interpreted paths") {
     val sp = spark; import sp.implicits._
     val rows = Seq(

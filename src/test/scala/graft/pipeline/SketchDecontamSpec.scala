@@ -164,6 +164,32 @@ class SketchDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rolling-key substrate yields the same verdicts as the md5 gram-string form") {
+    // the md5-on-gram-string chain is the independently-derived twin: a
+    // rolling-key bug (recurrence, mixing, window count, null semantics)
+    // would produce a different contaminated-id set on messy text
+    val rnd = new Random(101)
+    val vocab = Vector("the", "café", "Ω", "naïve", "0x7f", "dog,", "--", "a",
+      "中文词", "fox", "...", "eée", "tab\tsep", "N°5", "word")
+    def doc(len: Int): String =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    def md5Contaminated(train: org.apache.spark.sql.DataFrame,
+        evalDocs: org.apache.spark.sql.DataFrame, n: Int): Set[Long] = {
+      val ev = Decontaminate.docNgramsMd5(evalDocs, n).select("gh").distinct()
+      Decontaminate.docNgramsMd5(train, n)
+        .join(ev, Seq("gh"), "left_semi").select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    for (round <- 0 until 5) {
+      val n = 2 + round % 3
+      val train = docsDf((0L until 40L).map(i => i -> doc(rnd.nextInt(14))): _*)
+      val evalDocs = docsDf((100L until 110L).map(i => i -> doc(2 + rnd.nextInt(10))): _*)
+      val rolling = Decontaminate.contaminatedDocs(train, evalDocs, n)
+        .collect().map(_.getLong(0)).toSet
+      assert(rolling == md5Contaminated(train, evalDocs, n), s"round $round n=$n")
+    }
+  }
+
   test("contaminatedDocs flags exactly the overlapping train docs") {
     val train = docsDf(
       10L -> "the quick brown fox jumps over the lazy dog",

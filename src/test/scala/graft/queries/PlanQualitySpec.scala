@@ -133,7 +133,7 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("decontaminate pushes the source filters into both document scans") {
     val p = planOf("p_decontaminate")
-    assert(p.contains("word_grams"), s"native gram builder missing:\n$p")
+    assert(p.contains("rolling_gram_keys"), s"native gram-key builder missing:\n$p")
     // the train side pushes Not(EqualTo(source,src0)), the eval side a bare
     // EqualTo(source,src0) — count them separately so one scan satisfying
     // both regexes can't fake coverage
