@@ -54,7 +54,13 @@ object SignatureAB {
         () => drain(SimHash.simhashExploded(docs), "simhash", "doc_id")),
       ("winnow-selected",
         () => drain(Winnow.selected(docs), "fp", "pos", "doc_id"),
-        () => drain(Winnow.selectedExploded(docs), "fp", "pos", "doc_id")))
+        () => drain(Winnow.selectedExploded(docs), "fp", "pos", "doc_id")),
+      // keys differ across substrates by design, so drain doc_id only —
+      // the per-doc distinct still forces every gram key (it IS the
+      // distinct key), and the doc_id fold is substrate-independent
+      ("decontam-ngrams",
+        () => drain(graft.pipeline.Decontaminate.docNgrams(docs, 4), "doc_id"),
+        () => drain(graft.pipeline.Decontaminate.docNgramsMd5(docs, 4), "doc_id")))
 
     def cpuStat(): (Long, Long) = {
       val src = scala.io.Source.fromFile("/proc/stat")
