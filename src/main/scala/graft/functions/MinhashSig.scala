@@ -107,8 +107,13 @@ object MinhashSigOps {
     val lowered = text.toLowerCase
     val bs = lowered.getBytes
     val nb = bs.length
-    // char-boundary byte offsets: offs(c) = byte index of char c; offs(L) = nb
-    val offs = new Array[Int](lowered.numChars + 1)
+    // char-boundary byte offsets: offs(c) = byte index of char c; offs(L) = nb.
+    // Sized nb+1 (the byte-scan worst case), NOT numChars+1: numChars derives
+    // from lead-byte widths while the scan below counts non-continuation
+    // bytes, and on malformed UTF-8 (binary-cast strings) the two disagree —
+    // a numChars-sized array would overflow. Hostile bytes now just yield
+    // deterministic garbage shingles instead of an ArrayIndexOutOfBounds.
+    val offs = new Array[Int](nb + 1)
     var c = 0
     var i = 0
     while (i < nb) {

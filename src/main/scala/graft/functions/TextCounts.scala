@@ -42,9 +42,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * document; the quality profile ran three. NULL text → NULL, matching
   * `size(regexp_extract_all(NULL, …))`.
   */
-case class WordSetCount(child: Expression, words: Array[String])
+case class WordSetCount(child: Expression, words: Seq[String])
     extends UnaryExpression {
 
+  // Seq, not Array: case-class equality on an Array field is identity-based,
+  // which would make semantically identical expressions never compare equal —
+  // defeating Catalyst canonicalization, common-subexpression elimination and
+  // exchange reuse. Seq equality is structural, so two counters over the same
+  // word list canonicalize together.
   require(words.nonEmpty && words.forall(_.matches("[a-z0-9]+")),
     "WordSetCount requires plain lowercase [a-z0-9]+ words")
 
@@ -80,14 +85,14 @@ case class WordSetCount(child: Expression, words: Array[String])
 }
 
 object WordSetCount {
-  private[functions] def buildSet(words: Array[String]): java.util.HashSet[UTF8String] = {
+  private[functions] def buildSet(words: Seq[String]): java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](math.max(16, (words.length / 0.75).toInt + 1))
     words.foreach(w => s.add(UTF8String.fromString(w)))
     s
   }
 
   def wordSetCount(text: Column, words: Seq[String]): Column =
-    GraftSql.column(WordSetCount(GraftSql.expression(text), words.toArray))
+    GraftSql.column(WordSetCount(GraftSql.expression(text), words.toVector))
 }
 
 case class BpeishCount(child: Expression) extends UnaryExpression {

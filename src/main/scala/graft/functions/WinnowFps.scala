@@ -81,7 +81,10 @@ object WinnowFpsOps {
     val lowered = text.toLowerCase
     val bs = lowered.getBytes
     val nb = bs.length
-    val offs = new Array[Int](lowered.numChars + 1)
+    // sized nb+1, not numChars+1: on malformed UTF-8 the non-continuation
+    // byte count can exceed numChars and overflow the array (see the same
+    // guard in MinhashSigOps.signature)
+    val offs = new Array[Int](nb + 1)
     var c = 0
     var i = 0
     while (i < nb) {

@@ -10,16 +10,30 @@ import graft.util.Det
   * keys; a train document is contaminated iff any of its n-grams hits that
   * set.
   *
-  * Scale notes (100 TB): gram keys are rolled INSIDE each row straight
-  * off the token array (`RollingGramKeys` — O(L) per doc, no gram-string
-  * concatenation, no positional self-join), so the only wide exchanges
-  * are the per-doc `distinct` and the semi join on the 64-bit gram key —
-  * shuffling longs instead of ~25-byte strings. The oracle is substrate-
-  * adversarial: DuckDB re-derives the verdicts by intersecting literal
-  * gram STRINGS, so the key substrate can never silently drift. A real
-  * eval set (a few benchmarks) is tiny and AQE will broadcast it after
-  * the distinct; the hint is deliberately NOT hard-coded because here the
-  * eval partition is 1/20 of the corpus and therefore SF-scaled.
+  * SUBSTRATE DEFAULT — cryptographic, deliberately: decontamination runs
+  * over UNTRUSTED web corpora against a fixed eval set, and a fixed-base
+  * mod-2⁶⁴ polynomial key with public constants admits CONSTRUCTIBLE
+  * collisions — a crafted training document could false-flag itself (or,
+  * via poisoned boilerplate, arbitrary co-occurring content) as
+  * contaminated and suppress it from training. The verdict entry points
+  * therefore default to `md5Substrate = true` (60-bit md5 over the literal
+  * gram string — preimage-resistant, so collisions cannot be crafted);
+  * the rolling-polynomial substrate is an explicit opt-in
+  * (`md5Substrate = false`) for corpora the operator trusts.
+  *
+  * Scale notes (100 TB): under the rolling opt-in, gram keys are rolled
+  * INSIDE each row straight off the token array (`RollingGramKeys` —
+  * O(L) per doc, no gram-string concatenation, no positional self-join),
+  * so the only wide exchanges are the per-doc `distinct` and the semi
+  * join on the 64-bit gram key — shuffling longs instead of ~25-byte
+  * strings; the md5 default pays one gram-string concatenation + md5 per
+  * window (measured within ~10 % of rolling on tested corpora —
+  * SCALING.md round 11). The oracle is substrate-adversarial: DuckDB
+  * re-derives the verdicts by intersecting literal gram STRINGS, so the
+  * key substrate can never silently drift. A real eval set (a few
+  * benchmarks) is tiny and AQE will broadcast it after the distinct; the
+  * hint is deliberately NOT hard-coded because here the eval partition is
+  * 1/20 of the corpus and therefore SF-scaled.
   */
 object Decontaminate {
 
@@ -32,10 +46,11 @@ object Decontaminate {
     * re-derives them by intersecting literal gram STRINGS, so a false key
     * collision on either side would break the count comparison (the
     * substrate-adversarial pattern of the removal family). 64-bit mixed
-    * keys are WIDER than the md5₆₀ keys previously shuffled here, so the
-    * birthday arithmetic only improves; adversarial corpora should use
-    * [[docNgramsMd5]], the retained md5-on-gram-string form the rolling
-    * substrate is verdict-pinned against (SketchDecontamSpec).
+    * keys are WIDER than md5₆₀ against RANDOM collisions, but the fixed
+    * public polynomial base makes collisions CONSTRUCTIBLE by an
+    * adversary — which is why the verdict entry points default to
+    * [[docNgramsMd5]] and this form is the trusted-corpus opt-in
+    * (verdict-pinned against the md5 twin in SketchDecontamSpec).
     * Documents with fewer than n tokens contribute no rows.
     */
   def docNgrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
@@ -47,8 +62,9 @@ object Decontaminate {
       .distinct()
 
   /** md5₆₀-on-gram-string form of [[docNgrams]]
-    * (`gh = md5₆₀(tok_i ‖ ' ' ‖ … ‖ tok_{i+n-1})`) — the hostile-corpus
-    * fallback and the independently-derived twin the rolling substrate is
+    * (`gh = md5₆₀(tok_i ‖ ' ' ‖ … ‖ tok_{i+n-1})`) — the DEFAULT verdict
+    * substrate (collisions cannot be crafted against a preimage-resistant
+    * hash) and the independently-derived twin the rolling opt-in is
     * pinned against.
     */
   def docNgramsMd5(docs: DataFrame, n: Int, idCol: String = "doc_id",
@@ -59,14 +75,24 @@ object Decontaminate {
       .select(col("doc_id"), Det.md5Hash60(col("g")).as("gh"))
       .distinct()
 
+  /** `(doc_id, gh)` under the selected substrate — every verdict path
+    * derives its keys here so the two sides of a join/probe can never mix
+    * substrates through this object's own entry points.
+    */
+  private def gramKeys(docs: DataFrame, n: Int, md5Substrate: Boolean): DataFrame =
+    if (md5Substrate) docNgramsMd5(docs, n) else docNgrams(docs, n)
+
   /** Distinct doc_ids of `train` documents sharing >= 1 word n-gram with
     * any `evalDocs` document. Left-semi join on the gram key: nothing from
     * the eval side is materialized into the output, and the train side is
-    * deduplicated per doc before the join.
+    * deduplicated per doc before the join. `md5Substrate = false` opts
+    * into the rolling-polynomial keys for trusted corpora (see the object
+    * doc for why crafted-collision exposure makes md5 the default here).
     */
-  def contaminatedDocs(train: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
-    val evalGrams = docNgrams(evalDocs, n).select("gh").distinct()
-    docNgrams(train, n)
+  def contaminatedDocs(train: DataFrame, evalDocs: DataFrame, n: Int,
+      md5Substrate: Boolean = true): DataFrame = {
+    val evalGrams = gramKeys(evalDocs, n, md5Substrate).select("gh").distinct()
+    gramKeys(train, n, md5Substrate)
       .join(evalGrams, Seq("gh"), "left_semi")
       .select("doc_id").distinct()
   }
@@ -79,8 +105,9 @@ object Decontaminate {
     * `Map[Long, _]` of the same grams costs ~8× that in driver transient.
     */
   def evalGramArray(evalDocs: DataFrame, n: Int,
-                    maxGrams: Int = 1 << 22): Array[Long] = {
-    val grams = docNgrams(evalDocs, n).select("gh").distinct()
+                    maxGrams: Int = 1 << 22,
+                    md5Substrate: Boolean = true): Array[Long] = {
+    val grams = gramKeys(evalDocs, n, md5Substrate).select("gh").distinct()
     val nG = grams.count()
     require(nG <= maxGrams,
       s"eval gram set $nG exceeds maxGrams=$maxGrams — use contaminatedDocs " +
@@ -94,13 +121,14 @@ object Decontaminate {
     * set as a map; prefer the array form at large set sizes.
     */
   def evalGramSet(evalDocs: DataFrame, n: Int,
-                  maxGrams: Int = 1 << 22): Map[Long, Int] =
-    evalGramArray(evalDocs, n, maxGrams).map(_ -> 1).toMap
+                  maxGrams: Int = 1 << 22,
+                  md5Substrate: Boolean = true): Map[Long, Int] =
+    evalGramArray(evalDocs, n, maxGrams, md5Substrate).map(_ -> 1).toMap
 
   /** Row-local contamination verdict against a literal eval gram set:
-    * TRUE iff any word n-gram of the text hash-hits the set. Same
-    * rolling keys as [[docNgrams]] (the set MUST come from
-    * [[evalGramArray]] / [[evalGramSet]] of the same build), evaluated
+    * TRUE iff any word n-gram of the text hash-hits the set. The keys
+    * MUST come from [[evalGramArray]] / [[evalGramSet]] of the same build
+    * AND the same `md5Substrate` choice (both default to md5), evaluated
     * with higher-order functions inside the row — no explode, no join, no
     * state — so the same column runs on a batch or STREAMING DataFrame in
     * append mode (the ingest-time filter shape; `StreamingSpec` pins
@@ -113,11 +141,16 @@ object Decontaminate {
     * 2²² cap.
     */
   def contaminatedFlag(textCol: org.apache.spark.sql.Column,
-                       evalGrams: Array[Long], n: Int): org.apache.spark.sql.Column = {
+                       evalGrams: Array[Long], n: Int,
+                       md5Substrate: Boolean = true): org.apache.spark.sql.Column = {
     require(evalGrams.nonEmpty, "eval gram set is empty")
-    exists(graft.functions.RollingGramKeys.rollingGramKeys(
-        TextPipeline.tokens(textCol), n),
-      g => graft.functions.BroadcastLookup.inLongSet(g, evalGrams))
+    val keys =
+      if (md5Substrate)
+        transform(TextPipeline.wordGramArray(textCol, n), g => Det.md5Hash60(g))
+      else
+        graft.functions.RollingGramKeys.rollingGramKeys(
+          TextPipeline.tokens(textCol), n)
+    exists(keys, g => graft.functions.BroadcastLookup.inLongSet(g, evalGrams))
   }
 
   /** Boxed-map overload (delegates to the array form). */
@@ -128,8 +161,10 @@ object Decontaminate {
   /** Per-source contamination audit: every train doc counted once, hits
     * flagged via left join against the contaminated-id set.
     */
-  def contaminationBySource(train: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
-    val hits = contaminatedDocs(train, evalDocs, n).withColumn("is_hit", lit(1))
+  def contaminationBySource(train: DataFrame, evalDocs: DataFrame, n: Int,
+      md5Substrate: Boolean = true): DataFrame = {
+    val hits = contaminatedDocs(train, evalDocs, n, md5Substrate)
+      .withColumn("is_hit", lit(1))
     train.select("doc_id", "source")
       .join(hits, Seq("doc_id"), "left_outer")
       .groupBy("source")

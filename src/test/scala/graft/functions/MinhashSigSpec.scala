@@ -90,6 +90,26 @@ class MinhashSigSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("malformed UTF-8 degrades gracefully (no array overflow)") {
+    // a 3-byte lead (0xE4) followed by ASCII bytes is malformed: numChars
+    // (lead-byte widths) undercounts the non-continuation bytes the offset
+    // scan sees. UTF8String.toLowerCase currently sanitizes via a String
+    // round-trip, but the kernel must not DEPEND on that: the offset array
+    // is sized by the byte-scan worst case, so hostile bytes yield a
+    // deterministic signature instead of an ArrayIndexOutOfBounds.
+    val hostile = Seq(
+      Array[Byte](0xE4.toByte, 'A', 'B', 'C', 'D', 'E', 'F'),
+      Array[Byte]('x', 0xC3.toByte, 'y', 'z', 'w', 'q', 0x85.toByte, 'r'),
+      Array[Byte](0x85.toByte, 0x85.toByte, 'a', 'b', 'c', 'd', 'e'))
+    hostile.foreach { bs =>
+      val s = UTF8String.fromBytes(bs)
+      val a = MinhashSigOps.signature(s, 5, 18)
+      val b = MinhashSigOps.signature(s, 5, 18)
+      assert((0 until a.numElements()).map(a.getLong) ==
+        (0 until b.numElements()).map(b.getLong), "non-deterministic on hostile bytes")
+    }
+  }
+
   test("docBands equals the exploded shingle→minhash→bands chain on a mixed corpus") {
     val sp = spark; import sp.implicits._
     import graft.pipeline.Dedup

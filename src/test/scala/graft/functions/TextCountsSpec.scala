@@ -118,13 +118,13 @@ class TextCountsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = unicodeCases ++ soup(57, 300, uniPool)
     all.foreach { s =>
       val got = TextCountOps.wordSetCount(UTF8String.fromString(s),
-        WordSetCount.buildSet(stopwords.toArray))
+        WordSetCount.buildSet(stopwords))
       val want = bruteWordCount(s, stopwords.toSet)
       assert(got == want, s"case '$s'")
     }
     // and the divergence is real: Java regex refuses the CJK-adjacent hit
     val asciiRun = TextCountOps.wordSetCount(
-      UTF8String.fromString("中the文"), WordSetCount.buildSet(Array("the")))
+      UTF8String.fromString("中the文"), WordSetCount.buildSet(Seq("the")))
     assert(asciiRun == 1)
     assert("\\bthe\\b".r.findAllIn("中the文").isEmpty)
   }
@@ -148,5 +148,20 @@ class TextCountsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(langPatterns.toMap.apply("en") ==
       "\\b(the|and|of|to|in|is|that|it|was|for)\\b")
     assert(langPatterns.map(_._1) == Seq("en", "de", "fr", "es"))
+  }
+
+  test("semantically identical word-set counters canonicalize together") {
+    // the words field is a Seq, not an Array, precisely so two counters
+    // over the same list compare equal — Array equality is identity-based
+    // and would defeat Catalyst CSE / exchange reuse (round-11 advice)
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    val c = BoundReference(0, StringType, nullable = true)
+    val w1 = WordSetCount(c, Vector("the", "and"))
+    val w2 = WordSetCount(c, List("the", "and"))
+    assert(w1 == w2, "equal word lists must make equal expressions")
+    assert(w1.hashCode == w2.hashCode)
+    assert(w1.canonicalized == w2.canonicalized)
+    assert(w1 != WordSetCount(c, Vector("the")))
   }
 }

@@ -116,4 +116,19 @@ class WinnowFpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(WinnowFpsOps.select(
       UTF8String.fromString("a" * (7 - 2 + (1 << 23))), 7, 4).numElements() > 0)
   }
+
+  test("malformed UTF-8 degrades gracefully (no array overflow)") {
+    // same guard as MinhashSigOps: the offset array is sized by the
+    // byte-scan worst case, not numChars, so hostile bytes (where the two
+    // counts disagree) select deterministically instead of throwing
+    val hostile = Seq(
+      Array[Byte](0xE4.toByte, 'A', 'B', 'C', 'D', 'E', 'F', 'G', 'H', 'I', 'J', 'K'),
+      Array[Byte]('x', 0xC3.toByte, 'y', 'z', 'w', 'q', 0x85.toByte, 'r', 's', 't', 'u', 'v'))
+    hostile.foreach { bs =>
+      val s = UTF8String.fromBytes(bs)
+      val a = WinnowFpsOps.select(s, 5, 4)
+      val b = WinnowFpsOps.select(s, 5, 4)
+      assert(a.numElements() == b.numElements())
+    }
+  }
 }

@@ -161,6 +161,19 @@ class SketchDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
           .filter(col("c")).collect().map(_.getLong(0)).toSet
         assert(viaMap == viaJoin, s"round $round n=$n: map form diverged")
       }
+      // the rolling opt-in must be self-consistent too (array build, flag
+      // probe and semi join all keyed on the same rolling substrate)
+      val arrRoll = Decontaminate.evalGramArray(evalDocs, n, md5Substrate = false)
+      if (arrRoll.nonEmpty) {
+        val joinRoll = Decontaminate
+          .contaminatedDocs(train, evalDocs, n, md5Substrate = false)
+          .collect().map(_.getLong(0)).toSet
+        val flagRoll = train.withColumn("c",
+            Decontaminate.contaminatedFlag(col("text"), arrRoll, n,
+              md5Substrate = false))
+          .filter(col("c")).collect().map(_.getLong(0)).toSet
+        assert(flagRoll == joinRoll, s"round $round n=$n: rolling flag diverged")
+      }
     }
   }
 
@@ -184,9 +197,14 @@ class SketchDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
       val n = 2 + round % 3
       val train = docsDf((0L until 40L).map(i => i -> doc(rnd.nextInt(14))): _*)
       val evalDocs = docsDf((100L until 110L).map(i => i -> doc(2 + rnd.nextInt(10))): _*)
-      val rolling = Decontaminate.contaminatedDocs(train, evalDocs, n)
+      val rolling = Decontaminate
+        .contaminatedDocs(train, evalDocs, n, md5Substrate = false)
         .collect().map(_.getLong(0)).toSet
       assert(rolling == md5Contaminated(train, evalDocs, n), s"round $round n=$n")
+      // and the md5 DEFAULT path is the md5 twin by construction
+      val viaDefault = Decontaminate.contaminatedDocs(train, evalDocs, n)
+        .collect().map(_.getLong(0)).toSet
+      assert(viaDefault == rolling, s"round $round n=$n: default != rolling")
     }
   }
 
