@@ -1,0 +1,211 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.util.Det
+
+/** Sub-document (paragraph / line) exact deduplication — the unit-level
+  * pass real large-corpus pipelines run BEFORE any document-level dedup
+  * (CCNet dedups normalized paragraphs across shards; C4 removes repeated
+  * lines; RefinedWeb runs both before MinHash): split every document into
+  * units on a separator regex (paragraphs: blank-line runs; lines: `\n`),
+  * fingerprint each unit's whitespace-normalized form (the exact-dedup
+  * recipe — `TextPipeline.fingerprint`, md5₆₀ of the trimmed,
+  * space-collapsed lowercase), and cut every occurrence of a duplicated
+  * fingerprint EXCEPT the first in `(doc_id, unit_idx)` order — the same
+  * keeper discipline as the exact-substring removal family (one canonical
+  * copy always survives). Whitespace-only units normalize to the empty
+  * string and are NEVER cut: they are document structure, not content
+  * (removing "all duplicate blank lines" would concatenate every
+  * paragraph of the corpus).
+  *
+  * Unit boundaries are CHARACTER-coordinate exact: the split pieces and
+  * the separator matches interleave as `p₀ s₀ p₁ s₁ … pₙ`, so one
+  * row-local fold over the (piece, separator) length pairs yields each
+  * unit's 0-based inclusive `[char_st, char_en]` span in the ORIGINAL
+  * text — kept units re-emit verbatim original bytes (case, interior
+  * whitespace, punctuation), never a re-join of normalized tokens.
+  *
+  * Scale shape (100 TB): the split, the coordinate fold and the
+  * fingerprint are row-local (no explode wider than the doc's own unit
+  * count, no corpus-scale sort); the only wide stages are ONE map-side-
+  * combinable per-fingerprint aggregate `(count, min(doc, idx))` whose
+  * ≥ 2 survivors — the dup set, a small corpus fraction — are
+  * checkpointed, and one equi-join of unit rows against that small set
+  * (broadcasts under AQE). The cut table checkpoints per-AFFECTED-doc
+  * counts only; the emission tail is a single fresh scan + two small
+  * joins, lazy and row-local, so a 100 TB run streams straight to its
+  * sink. No all-pairs stage, no per-key window; the hottest boilerplate
+  * paragraph in the corpus costs one long-keyed combiner slot per task.
+  */
+object ParagraphDedup {
+
+  /** Default paragraph separator: runs of ≥ 2 newlines (optionally with
+    * blank-line whitespace between them), the C4/CCNet paragraph notion.
+    */
+  val ParagraphSep: String = "\n{2,}"
+
+  /** Line separator for per-line dedup. */
+  val LineSep: String = "\n"
+
+  /** Character spans of the separator-split units of `text`, as
+    * `array<struct<st:bigint, en:bigint>>` (0-based, inclusive; an empty
+    * piece — leading/trailing/adjacent separators — has `en = st - 1`).
+    * Row-local: `split` gives the pieces, `regexp_extract_all` the
+    * separator matches (exactly `size(pieces) - 1` of them, in order, by
+    * the interleave identity), and one fold accumulates the char cursor.
+    * `sepRegex` MUST NOT match the empty string (the interleave identity
+    * breaks; `split` and `regexp_extract_all` would disagree on bounds).
+    */
+  private[pipeline] def unitSpans(text: Column, sepRegex: String): Column = {
+    val pieces = split(text, sepRegex, -1)
+    val seps = regexp_extract_all(text, lit(sepRegex), lit(0))
+    val emptyArr = array().cast("array<struct<st:bigint,en:bigint>>")
+    val lens = zip_with(pieces, concat(seps, array(lit(""))),
+      (p, s) => struct(length(p).cast("long").as("pl"),
+        length(s).cast("long").as("sl")))
+    aggregate(
+      lens,
+      struct(emptyArr.as("arr"), lit(0L).as("cur")),
+      (a, x) => struct(
+        array_append(a.getField("arr"),
+          struct(a.getField("cur").as("st"),
+            (a.getField("cur") + x.getField("pl") - 1L).as("en"))).as("arr"),
+        (a.getField("cur") + x.getField("pl") + x.getField("sl")).as("cur")),
+      a => a.getField("arr"))
+  }
+
+  /** One row per unit: `(doc_id, idx, st, en, utext, fp, blank)` — `idx`
+    * the 0-based unit index, `[st, en]` the original-char span, `utext`
+    * the verbatim original slice, `fp` the normalized-form fingerprint,
+    * `blank` true when the unit normalizes to the empty string (fp is
+    * meaningless there and the unit is exempt from dedup). Row-local.
+    */
+  private[graft] def unitTable(docs: DataFrame, sepRegex: String,
+      idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(unitSpans(col("t"), sepRegex)))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col.st").as("st"), col("col.en").as("en"),
+        col("t").substr((col("col.st") + 1L).cast("int"),
+          (col("col.en") - col("col.st") + 1L).cast("int")).as("utext"))
+      .withColumn("norm", TextPipeline.normalize(col("utext")))
+      .withColumn("blank", col("norm") === lit(""))
+      .withColumn("fp", Det.md5Hash60(col("norm")))
+      .drop("norm")
+
+  /** The lazy internals, exposed for plan-quality tests: `base` is the
+    * persisted unit table; `dupSet` the lazy `(fp, keeper)` set of
+    * duplicated non-blank fingerprints; `cuts` the lazy per-affected-doc
+    * cut counts. The public entries checkpoint `dupSet`/`cuts` eagerly
+    * (small) and release `base`.
+    */
+  private[graft] case class ParagraphFrames(
+      base: DataFrame, dupSet: DataFrame, cuts: DataFrame)
+
+  private[graft] def paragraphFrames(docs: DataFrame, sepRegex: String,
+      idCol: String, textCol: String): ParagraphFrames = {
+    require(sepRegex.nonEmpty, "separator regex must be non-empty")
+    // unit split + fingerprint feed TWO consumers (the dup-set aggregate
+    // and the cut probe); persisting the unit table collapses that to one
+    // split/md5 pass — same fan-out rationale as the removal family's
+    // token substrate.
+    val base = unitTable(docs, sepRegex, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ≥ 2 occurrences corpus-wide (within-doc repeats count — a doc
+    // repeating its own boilerplate paragraph is C4's own motivating
+    // case); keeper = first occurrence in (doc_id, idx) order. Map-side
+    // combinable; the dup set is a small corpus fraction, so the probe
+    // join broadcasts under AQE.
+    val dupSet = base.filter(!col("blank"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("nocc"),
+        min(struct(col("doc_id"), col("idx"))).as("keeper"))
+      .filter(col("nocc") >= 2)
+      .select("fp", "keeper")
+    val cuts = base.filter(!col("blank"))
+      .join(dupSet, Seq("fp"))
+      .filter(struct(col("doc_id"), col("idx")) =!= col("keeper"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("cut_units"),
+        sort_array(collect_list(col("idx"))).as("cut_idx"))
+    ParagraphFrames(base, dupSet, cuts)
+  }
+
+  /** Per-document dedup profile: `(doc_id, n_units, n_dup_units,
+    * n_cut_units, kept_units)` — `n_dup_units` counts every occurrence of
+    * a duplicated fingerprint (keepers included), `n_cut_units` the
+    * non-keeper occurrences a [[dedupUnits]] pass would remove,
+    * `kept_units = n_units − n_cut_units`. Blank units count in `n_units`
+    * only. One row per input doc (zeros for unit-free docs).
+    */
+  def unitDedupProfile(docs: DataFrame, sepRegex: String = ParagraphSep,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val f = paragraphFrames(docs, sepRegex, idCol, textCol)
+    // ONE pass over the persisted base: per-doc unit counts and dup/cut
+    // verdicts together, checkpointed small (one narrow row per doc);
+    // finally: a failed job must not leak the persisted unit table
+    val perDoc =
+      try {
+        f.base
+          .join(f.dupSet, Seq("fp"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_units"),
+            sum(when(col("keeper").isNotNull && !col("blank"), 1L)
+              .otherwise(0L)).as("n_dup_units"),
+            sum(when(col("keeper").isNotNull && !col("blank") &&
+                struct(col("doc_id"), col("idx")) =!= col("keeper"), 1L)
+              .otherwise(0L)).as("n_cut_units"))
+          .localCheckpoint()
+      } finally f.base.unpersist(blocking = false)
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_units", "n_dup_units", "n_cut_units"))
+      .withColumn("kept_units", col("n_units") - col("n_cut_units"))
+  }
+
+  /** Cleaned-corpus emission: one row per KEPT unit —
+    * `(doc_id, unit_idx, char_st, char_en, cut_units, text)` with `text`
+    * the VERBATIM original slice (original case/whitespace/punctuation),
+    * `[char_st, char_en]` its 0-based inclusive character span in the
+    * source document, and `cut_units` the doc-level count of removed
+    * units (0 for untouched docs). Kept = not a non-keeper occurrence of
+    * a duplicated fingerprint; blank units are always kept. Docs with no
+    * units (empty text still yields one empty unit) emit their units
+    * unchanged.
+    *
+    * The dup set and the per-affected-doc cut counts are checkpointed
+    * small; the emission tail is a fresh row-local unit scan + two
+    * equi-joins against them — lazy, so a 100 TB run streams to its sink.
+    */
+  def dedupUnits(docs: DataFrame, sepRegex: String = ParagraphSep,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val f = paragraphFrames(docs, sepRegex, idCol, textCol)
+    // dupSet first (cuts derives from it): both eager, then release the
+    // substrate; finally-chain so a failure at either checkpoint still
+    // unpersists
+    val (dupSet, cuts) =
+      try {
+        val d = f.dupSet.localCheckpoint()
+        val c = f.base.filter(!col("blank"))
+          .join(d, Seq("fp"))
+          .filter(struct(col("doc_id"), col("idx")) =!= col("keeper"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("cut_units"))
+          .localCheckpoint()
+        (d, c)
+      } finally f.base.unpersist(blocking = false)
+    unitTable(docs, sepRegex, idCol, textCol)
+      .join(dupSet, Seq("fp"), "left")
+      .filter(col("keeper").isNull || col("blank") ||
+        struct(col("doc_id"), col("idx")) === col("keeper"))
+      .join(cuts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("cut_units"))
+      .select(col("doc_id"), col("idx").as("unit_idx"),
+        col("st").as("char_st"), col("en").as("char_en"),
+        col("cut_units"), col("utext").as("text"))
+  }
+}

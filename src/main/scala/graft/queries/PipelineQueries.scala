@@ -2721,6 +2721,139 @@ object PipelineQueries {
     }
   }
 
+  // ---- Paragraph / line-level dedup (P55/P56) --------------------------
+
+  /** Multi-paragraph "pages" derived from the documents table: page `p`
+    * concatenates docs `[4p, 4p+8)` with the given separator (stride 4,
+    * width 8 — an overlapping-crawl shape, so every interior document's
+    * text appears as a paragraph of exactly TWO pages). This turns the
+    * flat synthetic corpus into a sub-document dedup fixture with a
+    * deterministic keeper cascade — page p's first four paragraphs are
+    * non-keeper re-occurrences of page p−1's last four — without
+    * synthesizing any data outside the driver's tables.
+    */
+  private def pages(s: org.apache.spark.sql.SparkSession, dir: String,
+      sep: String) =
+    docsSpread(s, dir)
+      .select(explode(array(expr("doc_id div 4"), expr("doc_id div 4 - 1")))
+        .as("page_id"), col("doc_id"), col("text"))
+      .filter(col("page_id") >= 0)
+      .groupBy("page_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), sep).as("text"))
+
+  /** The shared DuckDB CTE chain: pages, split units, normalized forms,
+    * and the per-fingerprint rank/occurrence windows. Substrate-
+    * adversarial like the removal family: the engine keys on md5₆₀
+    * fingerprints, the oracle partitions by the literal NORMALIZED STRING
+    * — a fingerprint collision or normalization drift on either side
+    * breaks the match. `sepSql` is the DuckDB separator expression
+    * (`chr(10)||chr(10)` or `chr(10)`); `sepLen` its char length.
+    */
+  private def pageUnitsSql(sepSql: String): String =
+    s"""pg AS (
+       |  SELECT doc_id // 4 AS page_id, doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id // 4 - 1 AS page_id, doc_id, text FROM documents
+       |  WHERE doc_id >= 4),
+       |pages AS (
+       |  SELECT page_id, string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS text
+       |  FROM pg GROUP BY page_id),
+       |up AS (SELECT page_id, string_split(text, $sepSql) AS pieces FROM pages),
+       |upos AS (SELECT page_id, pieces, unnest(range(1, len(pieces) + 1)) AS i
+       |         FROM up),
+       |units AS (SELECT page_id, (i - 1)::BIGINT AS idx, pieces[i::INT] AS piece,
+       |                 trim(regexp_replace(lower(pieces[i::INT]), '\\s+', ' ', 'g'))
+       |                   AS norm
+       |          FROM upos),
+       |rk AS (SELECT page_id, idx,
+       |              row_number() OVER (PARTITION BY norm ORDER BY page_id, idx)
+       |                AS rn,
+       |              count(*) OVER (PARTITION BY norm) AS nocc
+       |       FROM units WHERE norm <> '')""".stripMargin
+
+  private def unitProfileSql(sepSql: String): String =
+    s"""WITH ${pageUnitsSql(sepSql)},
+       |agg AS (SELECT page_id,
+       |               sum(CASE WHEN nocc >= 2 THEN 1 ELSE 0 END) AS n_dup,
+       |               sum(CASE WHEN nocc >= 2 AND rn > 1 THEN 1 ELSE 0 END)
+       |                 AS n_cut
+       |        FROM rk GROUP BY page_id),
+       |nu AS (SELECT page_id, count(*) AS n_units FROM units GROUP BY page_id)
+       |SELECT nu.page_id, nu.n_units::BIGINT AS n_units,
+       |       coalesce(agg.n_dup, 0)::BIGINT AS n_dup_units,
+       |       coalesce(agg.n_cut, 0)::BIGINT AS n_cut_units,
+       |       (nu.n_units - coalesce(agg.n_cut, 0))::BIGINT AS kept_units
+       |FROM nu LEFT JOIN agg ON agg.page_id = nu.page_id
+       |ORDER BY nu.page_id""".stripMargin
+
+  /** Paragraph-level exact dedup (CCNet/C4 shape): per-page unit counts,
+    * duplicated-fingerprint occurrences, and cut (non-keeper) counts over
+    * the overlapping-page fixture. Engine: row-local split + md5₆₀
+    * fingerprints, one per-fp aggregate, one probe join. Oracle: literal
+    * normalized strings through rank/count windows.
+    */
+  val paragraphDedupQ: Q = Q.sql(
+    "p_paragraph_dedup",
+    unitProfileSql("chr(10)||chr(10)")) { (s, dir) =>
+    ParagraphDedup.unitDedupProfile(pages(s, dir, "\n\n"), idCol = "page_id")
+      .select(col("doc_id").as("page_id"), col("n_units"), col("n_dup_units"),
+        col("n_cut_units"), col("kept_units"))
+      .orderBy("page_id")
+  }
+
+  /** LINE-level twin over the SAME double-newline pages, split on single
+    * newlines: every separator now yields an interior EMPTY unit
+    * ("a\n\nb" → ["a", "", "b"]), so this additionally pins the blank
+    * exemption — whitespace-only units normalize to '' and are never
+    * counted as duplicates or cut, in both engines.
+    */
+  val lineDedupQ: Q = Q.sql(
+    "p_line_dedup",
+    unitProfileSql("chr(10)")) { (s, dir) =>
+    ParagraphDedup.unitDedupProfile(pages(s, dir, "\n\n"),
+        sepRegex = ParagraphDedup.LineSep, idCol = "page_id")
+      .select(col("doc_id").as("page_id"), col("n_units"), col("n_dup_units"),
+        col("n_cut_units"), col("kept_units"))
+      .orderBy("page_id")
+  }
+
+  /** ORIGINAL-BYTE cleaned-page emission for paragraph dedup: one row per
+    * KEPT unit with its 0-based inclusive char span in the original page
+    * and the md5 of the verbatim emitted slice. The oracle recomputes
+    * every unit's char start as a windowed cumulative sum over
+    * (piece length + separator length) across ALL units — cut ones
+    * included, coordinates index the ORIGINAL — so the engine's row-local
+    * coordinate fold, the keeper policy, and the slice bounds must all
+    * agree to the byte.
+    */
+  val paragraphDedupBytes: Q = Q.sql(
+    "p_paragraph_dedup_bytes",
+    s"""WITH ${pageUnitsSql("chr(10)||chr(10)")},
+       |cutset AS (SELECT page_id, idx FROM rk WHERE nocc >= 2 AND rn > 1),
+       |cuts AS (SELECT page_id, count(*) AS cut_units FROM cutset
+       |         GROUP BY page_id),
+       |off AS (SELECT page_id, idx, piece,
+       |          coalesce(sum(len(piece) + 2) OVER (PARTITION BY page_id
+       |            ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |            0)::BIGINT AS char_st
+       |        FROM units)
+       |SELECT o.page_id, o.idx AS unit_idx, o.char_st,
+       |       (o.char_st + len(o.piece) - 1)::BIGINT AS char_en,
+       |       coalesce(cuts.cut_units, 0)::BIGINT AS cut_units,
+       |       md5(o.piece) AS text_hash
+       |FROM off o
+       |LEFT JOIN cutset c ON c.page_id = o.page_id AND c.idx = o.idx
+       |LEFT JOIN cuts ON cuts.page_id = o.page_id
+       |WHERE c.idx IS NULL
+       |ORDER BY o.page_id, unit_idx""".stripMargin) { (s, dir) =>
+    ParagraphDedup.dedupUnits(pages(s, dir, "\n\n"), idCol = "page_id")
+      .select(col("doc_id").as("page_id"), col("unit_idx"), col("char_st"),
+        col("char_en"), col("cut_units"), md5(col("text")).as("text_hash"))
+      .orderBy("page_id", "unit_idx")
+  }
+
   val queries: Seq[Q] = Seq(
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
@@ -2738,5 +2871,6 @@ object PipelineQueries {
     lengthBatching, dupGramProfileQ, dupSpans, dupSpansMulti, dupSpanRemoval,
     exactSubstrRemoval, exactSubstrRemovalBytes, substrRemovalFixedpoint,
     incrementalSubstrRemoval, packSpanMasks,
-    bigramLmQuality, weightedSampleQ)
+    bigramLmQuality, weightedSampleQ,
+    paragraphDedupQ, lineDedupQ, paragraphDedupBytes)
 }

@@ -133,7 +133,10 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("decontaminate pushes the source filters into both document scans") {
     val p = planOf("p_decontaminate")
-    assert(p.contains("rolling_gram_keys"), s"native gram-key builder missing:\n$p")
+    // the default verdict substrate is md5-on-gram-string (crafted-collision
+    // hardening, round 12): native word_grams builder + md5_hash60 keys
+    assert(p.contains("word_grams") && p.contains("md5_hash60"),
+      s"native md5 gram-key chain missing:\n$p")
     // the train side pushes Not(EqualTo(source,src0)), the eval side a bare
     // EqualTo(source,src0) — count them separately so one scan satisfying
     // both regexes can't fake coverage
@@ -495,5 +498,36 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), "bigram LM must not window")
     // the per-gram count aggregations must combine before their shuffles
     assert(p.contains("partial_count"), "LM counts must map-side combine")
+  }
+
+  test("paragraph dedup: row-local split/fingerprint, fp-keyed joins, map-side combines, no window") {
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+    val f = graft.pipeline.ParagraphDedup.paragraphFrames(
+      docs, graft.pipeline.ParagraphDedup.ParagraphSep, "doc_id", "text")
+    try {
+      import org.apache.spark.storage.StorageLevel
+      assert(f.base.storageLevel != StorageLevel.NONE,
+        "shared unit table not persisted")
+      val pd = f.dupSet.queryExecution.executedPlan.toString()
+      assert(!pd.contains("Window"),
+        "keeper selection must be min(struct), not a rank window")
+      assert(pd.contains("partial_count") || pd.contains("partial_min"),
+        "per-fingerprint (count, keeper) aggregate must map-side combine")
+      val pc = f.cuts.queryExecution.executedPlan.toString()
+      assert(!pc.contains("NestedLoop") && !pc.contains("Cartesian"),
+        "cut probe must be an equi-join on the fingerprint")
+    } finally f.base.unpersist(blocking = true)
+    // the published emission plan: a fresh row-local unit scan (split +
+    // coordinate fold + md5, no explode wider than the doc's own units),
+    // one fp-keyed left join against the checkpointed dup set, one
+    // doc_id-keyed join against the small cut table — never a window
+    val p = planOf("p_paragraph_dedup_bytes")
+    assert(!p.contains("Window"), "unit coordinates must fold row-locally")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "emission joins must be keyed (fp, doc_id)")
+    val prof = planOf("p_paragraph_dedup")
+    assert(!prof.contains("Window"), "profile must not window")
+    assert(!prof.contains("NestedLoop") && !prof.contains("Cartesian"),
+      "profile joins must be keyed")
   }
 }
