@@ -324,6 +324,41 @@ object Dedup {
     NearDupIndex(spread, b, k, nHashes, rowsPerBand)
   }
 
+  /** Fold an increment into a [[NearDupIndex]] — the near-dup analogue of
+    * [[updateExactSubstrIndex]]: the rep store is a per-fingerprint
+    * `min(struct(doc_id, text))` — a MONOID aggregate of the union corpus,
+    * so `union → groupBy fp → min` over (index reps ∪ increment) yields
+    * exactly [[buildNearDupIndex]]'s doc store over corpus ∪ increment,
+    * fold order irrelevant (and re-folding the same increment is a no-op:
+    * min is idempotent — unlike the substring index's occurrence SUMS).
+    * Band rows are content-addressed by their rep doc: reps that survive
+    * the fold keep their existing band rows (left-semi against the new
+    * store), replaced reps drop theirs, and only genuinely NEW reps —
+    * O(\|increment\|) with monotone crawl ids — pay a signature chain.
+    * Returns a NEW persisted index; the caller retires the old one
+    * ([[NearDupIndex.unpersist]]) once the swap is durable.
+    */
+  def updateNearDupIndex(index: NearDupIndex, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): NearDupIndex = {
+    def withFp(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      TextPipeline.fingerprint(col("text")).as("fp"))
+    val store = withFp(index.docStore)
+      .unionByName(withFp(incoming.select(col(idCol).as("doc_id"),
+        col(textCol).as("text"))))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
+      .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newReps = store.join(index.docStore.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val bands = index.bands
+      .join(store.select("doc_id"), Seq("doc_id"), "left_semi")
+      .unionByName(docBands(newReps, k = index.k, nHashes = index.nHashes,
+        rowsPerBand = index.rowsPerBand))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    NearDupIndex(store, bands, index.k, index.nHashes, index.rowsPerBand)
+  }
+
   /** Persist a [[NearDupIndex]] to `dir` as parquet — the cross-restart
     * half of the daily-crawl amortization story: `doc_store/` plain,
     * `bands/` clustered into `nBuckets` files by (band, bh) (on a real

@@ -64,6 +64,17 @@ final case class StreamingRemoval(
     query: org.apache.spark.sql.streaming.StreamingQuery,
     currentIndex: () => graft.pipeline.Dedup.ExactSubstrIndex)
 
+/** A running streaming near-dup query plus the live handle to its
+  * forward-folding LSH index ([[StreamingPipeline.incrementalNearDupStream]]):
+  * `currentIndex()` always returns the corpus ∪ processed-batches state —
+  * after `query` stops, that is what deployment persists
+  * ([[graft.pipeline.Dedup.writeNearDupIndex]]) for the next run, and what
+  * the caller unpersists.
+  */
+final case class StreamingNearDup(
+    query: org.apache.spark.sql.streaming.StreamingQuery,
+    currentIndex: () => graft.pipeline.Dedup.NearDupIndex)
+
 /** Structured Streaming variants of the stateless pipeline operators
   * (SURVEY.md §7.5: the reference is strictly batch; streaming enters only
   * on the extension surface). The same codegen'd column expressions from
@@ -285,6 +296,54 @@ object StreamingPipeline {
       }
       .start()
     StreamingRemoval(q, () => idx)
+  }
+
+  /** Streaming incremental NEAR-DUP detection (P46's stream form) — the
+    * daily-crawl loop as a `foreachBatch` runner, mirroring
+    * [[removeDupSpansExactStream]]: every micro-batch probes the LSH index
+    * of the corpus PLUS ALL PRIOR BATCHES
+    * ([[graft.pipeline.Dedup.incrementalNearDup]]) — its verified
+    * cross-side pairs `(new_id, idx_id, jaccard)` handed to `sink` — and
+    * the index is folded forward
+    * ([[graft.pipeline.Dedup.updateNearDupIndex]]) before the next batch.
+    * foreachBatch is the honest vehicle for the same reason as the
+    * substring twin: the probe needs the batch's own rep-collapse +
+    * signature AGGREGATE (batch semantics per trigger), and the index is
+    * corpus-sized cross-batch state that lives outside the state store
+    * (disk-persistable via `writeNearDupIndex`).
+    *
+    * The fold is provably batch-equal: the rep store is a per-fingerprint
+    * `min(struct(doc_id, text))` monoid, so `currentIndex()` after N
+    * batches IS `buildNearDupIndex(corpus ∪ batches)` (pinned in
+    * StreamingSpec), and — unlike the substring index's occurrence sums —
+    * the fold is IDEMPOTENT (min twice = min once), so an at-least-once
+    * epoch replay cannot corrupt the state. The epoch guard below still
+    * skips redundant re-folds for cost, not correctness. The caller owns
+    * `initial` (never unpersisted here); superseded folds are retired as
+    * they are replaced.
+    */
+  def incrementalNearDupStream(docs: DataFrame,
+      initial: graft.pipeline.Dedup.NearDupIndex,
+      threshold: Double,
+      sink: (DataFrame, Long) => Unit): StreamingNearDup = {
+    @volatile var idx = initial
+    var lastFolded = Long.MinValue
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.pipeline.Dedup.incrementalNearDup(batch, idx, threshold),
+          epoch)
+        if (epoch > lastFolded) {
+          val next = graft.pipeline.Dedup.updateNearDupIndex(idx, batch)
+          // materialize before retiring the superseded index
+          next.docStore.count(); next.bands.count()
+          if (idx ne initial) idx.unpersist()
+          idx = next
+          lastFolded = epoch
+        }
+      }
+      .start()
+    StreamingNearDup(q, () => idx)
   }
 
   /** Gap-based user sessionization with CUSTOM state

@@ -388,6 +388,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"docs 10 (vs corpus) and 20 (vs batch-1 fold) must be cut: $cutDocs")
   }
 
+  test("streaming incremental near-dup: the index fold makes every batch probe corpus ∪ prior batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // long bases + one-char tails keep pair jaccard ≈ 0.99, so the banded
+    // LSH candidate step fires deterministically (at j ≈ 0.92 a 3×6 band
+    // scheme has a real miss probability; everything here is md5-derived,
+    // so once the fixture lands it lands forever)
+    val longA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"
+    val longB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val longC = "zulu yankee xray whiskey victor uniform tango sierra romeo " +
+      "quebec portal orbit nadir meridian lumen"
+    val corpus = Seq((0L, longA), (1L, longB)).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, longA + " x"), // near-dup of corpus doc 0 -> cross pair vs index
+      (11L, longC))        // unique now; batch 2 near-dups it
+    val batch2 = Seq(
+      (20L, longC + " x"), // pairs with BATCH-1 doc 11 ONLY via the fold
+      (21L, longB))        // EXACT dup of corpus doc 1 (jaccard 1.0)
+
+    val idx0 = graft.pipeline.Dedup.buildNearDupIndex(corpus)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val h = StreamingPipeline.incrementalNearDupStream(
+      input.toDF().toDF("doc_id", "text"), idx0, threshold = 0.7,
+      (pairs, _) => got.synchronized {
+        got ++= pairs.collect().map(r => (r.getAs[Long]("d1"),
+          r.getAs[Long]("d2"), math.round(r.getAs[Double]("jaccard") * 1e9)))
+      })
+    try {
+      input.addData(batch1: _*); h.query.processAllAvailable()
+      input.addData(batch2: _*); h.query.processAllAvailable()
+    } finally h.query.stop()
+
+    // pair SET: (10,0) vs the initial index; (20,11) exists only because
+    // the fold carried batch 1 into batch 2's probe; (21,1) is the exact
+    // dup — both sides' rep collapse keeps it and jaccard is exactly 1
+    val pairSet = got.map(p => (p._1, p._2)).toSet
+    assert(pairSet == Set((10L, 0L), (20L, 11L), (21L, 1L)), s"pairs: $got")
+    assert(got.find(p => p._1 == 21L).get._3 == 1000000000L,
+      "exact dup must verify at jaccard 1.0")
+
+    // the surviving handle is corpus ∪ all-batches state: its rep store
+    // and band table must equal a FRESH build over the union (the monoid
+    // fold-equality claim), including the exact-dup collapse — doc 21
+    // must NOT be a rep (doc 1 is the min of their shared fingerprint)
+    val finalIdx = h.currentIndex()
+    val union = corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text"))
+    val fresh = graft.pipeline.Dedup.buildNearDupIndex(union)
+    def storeSet(i: graft.pipeline.Dedup.NearDupIndex) = i.docStore.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    def bandSet(i: graft.pipeline.Dedup.NearDupIndex) = i.bands.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[Long]("bh"))).toSet
+    assert(storeSet(finalIdx) == storeSet(fresh),
+      "post-stream rep store must equal a fresh build over the union")
+    assert(!storeSet(finalIdx).exists(_._1 == 21L),
+      "exact-dup doc 21 must collapse to corpus rep 1 in the fold")
+    assert(bandSet(finalIdx) == bandSet(fresh),
+      "post-stream band table must equal a fresh build over the union")
+    finalIdx.unpersist(); fresh.unpersist(); idx0.unpersist()
+  }
+
   test("streaming exact-substring removal honors emitOriginal: pieces are original-byte slices, batch-equal") {
     val sp = spark
     import sp.implicits._
