@@ -39,9 +39,20 @@ object Bench {
     val stat0 = cpuStat()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle-partition count is a DEPLOYMENT knob, not plan structure: the
+    // engine's plans are partition-count-agnostic, and production sizes
+    // partitions so a task's shuffle slice stays ~task-sized (100-200 MB).
+    // Default = cores (right for the sf0.1 headline: fixed 512 initial
+    // partitions measured +34 s of pure task overhead across 103 queries);
+    // scale-rehearsal decades MUST override — at /tmp/x1000 the multi-order
+    // span family shuffles ~60 GB, and 32 partitions means ~2 GB per
+    // sort-merge task: spill-bound superlinearity (d3 ≈ 1.25) that
+    // disappears at data-sized partition counts (SCALING.md round 12).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     graft.util.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }

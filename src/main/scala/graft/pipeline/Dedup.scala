@@ -816,9 +816,17 @@ object Dedup {
   private[graft] def multiDupIntervals(base: DataFrame, ns: Seq[Int],
       md5: Boolean): DataFrame = {
     val grams = taggedWindowRows(base, ns, md5)
-    val dupSet = grams.select("doc_id", "n", "g1", "g2").distinct()
-      .groupBy("n", "g1", "g2").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("n", "g1", "g2")
+    // "gram in >= 2 DISTINCT docs" == min(doc_id) != max(doc_id): both are
+    // map-side-combinable over the RAW window rows, so the dup set costs
+    // ONE partially-aggregated exchange. The previous distinct→groupBy
+    // chain shuffled the full window table TWICE (a per-(doc, gram)
+    // distinct exchange, then the count exchange) — measured superlinear
+    // at the ×1000 decade (5 M docs: the 1.5 B-row distinct spills), while
+    // this form keeps the exact family's scan-shaped profile.
+    val dupSet = grams
+      .groupBy("n", "g1", "g2")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mx") > col("mn")).select("n", "g1", "g2")
     grams.join(dupSet, Seq("n", "g1", "g2"), "left_semi")
       .select(col("doc_id"), col("i").as("st"),
         (col("i") + col("n").cast("long") - 1L).as("en"))
@@ -834,12 +842,13 @@ object Dedup {
           TextPipeline.tokens(col(textCol)), n)))
       .select(col("doc_id"), col("pos").cast("long").as("i"), col("col").as("g"))
     // rolling 64-bit window keys (internal — the oracle re-derives the
-    // counts from literal gram strings); one row per (doc, gram) feeds the
-    // distinct-doc count (a "the the the…" doc contributes one row per
-    // DISTINCT gram, not per token)
-    val dupSet = grams.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("g")
+    // counts from literal gram strings). Cross-doc membership is
+    // min(doc_id) != max(doc_id) over the RAW window rows — one
+    // map-side-combinable exchange, no per-(doc, gram) distinct shuffle
+    // (the ×1000 lesson from the multi-order family)
+    val dupSet = grams
+      .groupBy("g").agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mx") > col("mn")).select("g")
     val spans = grams.join(dupSet, Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("i"))).as("ps"))
@@ -913,9 +922,11 @@ object Dedup {
         posexplode(TextPipeline.wordGramArray(col(textCol), n)))
       .select(col("doc_id"), col("pos").cast("long").as("i"),
         Det.md5Hash60(col("col")).as("g"))
-    val dupSet = grams.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("g")
+    // cross-doc membership via min != max over raw rows — one exchange,
+    // no distinct shuffle (see dupSpanProfile)
+    val dupSet = grams
+      .groupBy("g").agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mx") > col("mn")).select("g")
     grams.join(dupSet, Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("i"))).as("ps"))
@@ -1270,10 +1281,14 @@ object Dedup {
   private[graft] def removalCutIntervals(base: DataFrame, ns: Seq[Int],
       md5: Boolean): DataFrame = {
     val grams = taggedWindowRows(base, ns, md5)
-    val dupSet = grams.select("doc_id", "n", "g1", "g2").distinct()
+    // >= 2 distinct docs == min != max, and the keeper IS that min — one
+    // map-side-combinable exchange over the raw window rows (see
+    // [[multiDupIntervals]] for the ×1000 measurement that retired the
+    // distinct→groupBy form here)
+    val dupSet = grams
       .groupBy("n", "g1", "g2")
-      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("keeper"))
-      .filter(col("nd") >= 2).select("n", "g1", "g2", "keeper")
+      .agg(min(col("doc_id")).as("keeper"), max(col("doc_id")).as("mx"))
+      .filter(col("mx") > col("keeper")).select("n", "g1", "g2", "keeper")
     grams.join(dupSet, Seq("n", "g1", "g2"))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("i").as("st"),
@@ -1486,9 +1501,8 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.RollingGramKeys.rollingGramKeys(
           TextPipeline.tokens(col(textCol)), n)).as("g"))
-      .distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("g")
+      .groupBy("g").agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mx") > col("mn")).select("g")
     val nG = dup.count()
     require(nG <= maxGrams,
       s"duplicated-gram set $nG exceeds maxGrams=$maxGrams — use " +

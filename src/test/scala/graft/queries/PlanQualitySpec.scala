@@ -394,8 +394,11 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         "multi-order spans must join by key only")
       assert(p.contains("LeftSemi"),
         "per-order dup-set membership must be a semi join")
-      assert(p.contains("partial_count"),
-        "per-gram distinct-doc counts must map-side combine")
+      // the dup set is min/max(doc_id) over RAW window rows (>= 2 distinct
+      // docs == min != max) — one partially-aggregated exchange, no
+      // per-(doc, gram) distinct shuffle (the ×1000 superlinearity fix)
+      assert(p.contains("partial_min") && p.contains("partial_max"),
+        "per-gram min/max must map-side combine")
     } finally f.base.unpersist(blocking = true)
     // black-box: the published plan is the checkpointed span table joined
     // to one fresh tokenize pass plus the per-lang rollup
