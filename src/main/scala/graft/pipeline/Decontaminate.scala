@@ -21,6 +21,16 @@ import graft.util.Det
   * the rolling-polynomial substrate is an explicit opt-in
   * (`md5Substrate = false`) for corpora the operator trusts.
   *
+  * MIGRATION WARNING (the default FLIPPED from rolling to md5): the two
+  * substrates produce disjoint key spaces, and a mismatch FAILS OPEN — an
+  * `evalGramArray`/`evalGramSet` persisted under one substrate probed via
+  * `contaminatedFlag` under the other matches nothing, so every document
+  * reads uncontaminated. An `Array[Long]` carries no substrate tag, so
+  * this cannot be detected at probe time: any eval gram set persisted
+  * before the default flip MUST be rebuilt (or probed with an explicit
+  * `md5Substrate = false`). Keep the build and probe calls' substrate
+  * argument in the same line of code wherever the set is persisted.
+  *
   * Scale notes (100 TB): under the rolling opt-in, gram keys are rolled
   * INSIDE each row straight off the token array (`RollingGramKeys` —
   * O(L) per doc, no gram-string concatenation, no positional self-join),

@@ -331,12 +331,24 @@ object Dedup {
     * exactly [[buildNearDupIndex]]'s doc store over corpus ∪ increment,
     * fold order irrelevant (and re-folding the same increment is a no-op:
     * min is idempotent — unlike the substring index's occurrence SUMS).
-    * Band rows are content-addressed by their rep doc: reps that survive
-    * the fold keep their existing band rows (left-semi against the new
-    * store), replaced reps drop theirs, and only genuinely NEW reps —
-    * O(\|increment\|) with monotone crawl ids — pay a signature chain.
-    * Returns a NEW persisted index; the caller retires the old one
-    * ([[NearDupIndex.unpersist]]) once the swap is durable.
+    * Band rows are content-addressed by their rep's `(doc_id, fp)` pair:
+    * a surviving rep — one whose (doc_id, fp) already had band rows in
+    * the old index — keeps them; every OTHER rep of the merged store
+    * (genuinely new fingerprints, and fps whose rep was displaced by a
+    * smaller-id increment doc) pays a fresh signature chain, which is
+    * O(\|increment\|) with monotone crawl ids. Keying the survival check
+    * on (doc_id, fp) rather than doc_id alone matters when a crawl
+    * RE-INGESTS a doc_id with changed text (a contract violation — doc
+    * ids should be unique across corpus and increments — but a common
+    * real-world one): the new text's rep still gets band rows (it is
+    * absent from the old (doc_id, fp) set), so it stays visible to every
+    * future probe, instead of silently inheriting the old text's rows.
+    * The store does keep BOTH fingerprints' reps under the duplicated id
+    * until one is displaced — probes remain correct per rep text, but
+    * pair output for that id is ambiguous, which is why unique ids stay
+    * the documented contract. Returns a NEW persisted index; the caller
+    * retires the old one ([[NearDupIndex.unpersist]]) once the swap is
+    * durable.
     */
   def updateNearDupIndex(index: NearDupIndex, incoming: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): NearDupIndex = {
@@ -349,10 +361,19 @@ object Dedup {
       .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
       .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newReps = store.join(index.docStore.select("doc_id"),
-      Seq("doc_id"), "left_anti")
+    // rep identity for band-row reuse is (doc_id, fp) — both sides
+    // recompute fp off their persisted text (one row-local md5 pass per
+    // store; keeping fp a column of the persisted store would make the
+    // public docStore frame a derived view whose unpersist() no-ops)
+    val oldKeys = withFp(index.docStore).select("doc_id", "fp")
+    val storeKeyed = withFp(store)
+    val surviving = storeKeyed
+      .join(oldKeys, Seq("doc_id", "fp"), "left_semi").select("doc_id")
+    val newReps = storeKeyed
+      .join(oldKeys, Seq("doc_id", "fp"), "left_anti")
+      .select("doc_id", "text")
     val bands = index.bands
-      .join(store.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(surviving, Seq("doc_id"), "left_semi")
       .unionByName(docBands(newReps, k = index.k, nHashes = index.nHashes,
         rowsPerBand = index.rowsPerBand))
       .persist(StorageLevel.MEMORY_AND_DISK)

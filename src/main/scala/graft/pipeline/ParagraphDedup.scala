@@ -41,12 +41,22 @@ import graft.util.Det
   */
 object ParagraphDedup {
 
-  /** Default paragraph separator: runs of ≥ 2 newlines (optionally with
-    * blank-line whitespace between them), the C4/CCNet paragraph notion.
+  /** Default paragraph separator: runs of ≥ 2 consecutive newlines —
+    * PURE newline runs only. A "blank" line that contains horizontal
+    * whitespace (`"\n \n"`) is NOT a paragraph break under this default;
+    * callers wanting the tolerant blank-line notion pass their own
+    * separator, e.g. `"\n[\t ]*(?:\n[\t ]*)+"` (still never
+    * empty-matching, as [[unitSpans]] requires).
     */
   val ParagraphSep: String = "\n{2,}"
 
-  /** Line separator for per-line dedup. */
+  /** Line separator for per-line dedup. Caveat for EXTREME documents: the
+    * span fold in [[unitSpans]] appends to an accumulator array, which
+    * Catalyst copies per step — O(units²) row-local work. Paragraph
+    * counts keep that trivial; a single document with hundreds of
+    * thousands of LINES concentrates quadratic work in one row (split the
+    * document first, or dedup such corpora at paragraph granularity).
+    */
   val LineSep: String = "\n"
 
   /** Character spans of the separator-split units of `text`, as
@@ -126,14 +136,20 @@ object ParagraphDedup {
         min(struct(col("doc_id"), col("idx"))).as("keeper"))
       .filter(col("nocc") >= 2)
       .select("fp", "keeper")
-    val cuts = base.filter(!col("blank"))
+    ParagraphFrames(base, dupSet, cutCounts(base, dupSet))
+  }
+
+  /** Per-affected-doc removed-unit counts `(doc_id, cut_units)` — the ONE
+    * cut derivation both public entries read (the emission path re-derives
+    * it over the CHECKPOINTED dup set so the probe join rides the
+    * checkpoint, not the lazy aggregate).
+    */
+  private def cutCounts(units: DataFrame, dupSet: DataFrame): DataFrame =
+    units.filter(!col("blank"))
       .join(dupSet, Seq("fp"))
       .filter(struct(col("doc_id"), col("idx")) =!= col("keeper"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("cut_units"),
-        sort_array(collect_list(col("idx"))).as("cut_idx"))
-    ParagraphFrames(base, dupSet, cuts)
-  }
+      .agg(count(lit(1)).as("cut_units"))
 
   /** Per-document dedup profile: `(doc_id, n_units, n_dup_units,
     * n_cut_units, kept_units)` — `n_dup_units` counts every occurrence of
@@ -190,12 +206,7 @@ object ParagraphDedup {
     val (dupSet, cuts) =
       try {
         val d = f.dupSet.localCheckpoint()
-        val c = f.base.filter(!col("blank"))
-          .join(d, Seq("fp"))
-          .filter(struct(col("doc_id"), col("idx")) =!= col("keeper"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("cut_units"))
-          .localCheckpoint()
+        val c = cutCounts(f.base, d).localCheckpoint()
         (d, c)
       } finally f.base.unpersist(blocking = false)
     unitTable(docs, sepRegex, idCol, textCol)
