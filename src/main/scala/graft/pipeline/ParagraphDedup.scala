@@ -209,6 +209,16 @@ object ParagraphDedup {
         val c = cutCounts(f.base, d).localCheckpoint()
         (d, c)
       } finally f.base.unpersist(blocking = false)
+    emitKept(docs, sepRegex, idCol, textCol, dupSet, cuts)
+  }
+
+  /** The shared kept-unit emission tail: one fresh row-local unit scan,
+    * one fp-keyed left join against the (small, eager) dup set, one
+    * doc_id-keyed join against the (small, eager) cut counts — lazy, so a
+    * 100 TB run streams straight to its sink.
+    */
+  private def emitKept(docs: DataFrame, sepRegex: String, idCol: String,
+      textCol: String, dupSet: DataFrame, cuts: DataFrame): DataFrame =
     unitTable(docs, sepRegex, idCol, textCol)
       .join(dupSet, Seq("fp"), "left")
       .filter(col("keeper").isNull || col("blank") ||
@@ -218,5 +228,162 @@ object ParagraphDedup {
       .select(col("doc_id"), col("idx").as("unit_idx"),
         col("st").as("char_st"), col("en").as("char_en"),
         col("cut_units"), col("utext").as("text"))
+
+  // ---- Incremental (daily-crawl) form --------------------------------
+
+  /** A pre-built unit-fingerprint index — the sub-document analogue of
+    * [[graft.pipeline.Dedup.ExactSubstrIndex]], and the corpus-side state
+    * of INCREMENTAL paragraph/line dedup: one row per distinct NON-BLANK
+    * unit fingerprint of the corpus, `(fp, nocc, keeper: struct<doc_id,
+    * idx>)`. Fingerprints with `nocc = 1` are KEPT — a corpus-unique
+    * paragraph becomes duplicated the moment a crawl repeats it, so the
+    * state must remember every unit (same reason the substring index is
+    * corpus-sized; here it is far smaller: one row per distinct
+    * PARAGRAPH, not per token window — tens of bytes per corpus unit).
+    * `sepRegex` rides along so a probe can never split with a mismatched
+    * unit notion. On a lake this is a table bucketed by `fp` so increment
+    * probes co-locate without shuffling the index. Call [[ParagraphIndex
+    * .unpersist]] when retiring it.
+    */
+  final case class ParagraphIndex(units: DataFrame, sepRegex: String) {
+    def unpersist(): Unit = units.unpersist(blocking = false)
+  }
+
+  /** The per-fingerprint `(nocc, keeper)` aggregate of one corpus side —
+    * the map-side-combinable build step shared by [[buildParagraphIndex]],
+    * [[updateParagraphIndex]] and the probe's increment-side aggregate.
+    * Blank units never enter the index (they are exempt from dedup).
+    */
+  private def unitFpAgg(docs: DataFrame, sepRegex: String,
+      idCol: String, textCol: String): DataFrame =
+    unitTable(docs, sepRegex, idCol, textCol)
+      .filter(!col("blank"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("nocc"),
+        min(struct(col("doc_id"), col("idx"))).as("keeper"))
+
+  /** Build the corpus-side [[ParagraphIndex]] once; probe it per increment
+    * with [[incrementalDedupUnits]], fold each shipped increment into it
+    * with [[updateParagraphIndex]].
+    */
+  def buildParagraphIndex(corpus: DataFrame, sepRegex: String = ParagraphSep,
+      idCol: String = "doc_id", textCol: String = "text"): ParagraphIndex = {
+    require(sepRegex.nonEmpty, "separator regex must be non-empty")
+    ParagraphIndex(
+      unitFpAgg(corpus, sepRegex, idCol, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      sepRegex)
+  }
+
+  /** Fold an increment into the index — occurrence counts ADD and keepers
+    * MIN, because both are fingerprint-wise monoid aggregates of the
+    * union corpus: `union → groupBy fp → (sum, min)` is one map-side-
+    * combinable pass over the (small) increment plus the index, never the
+    * corpus text. Returns a NEW persisted index; the caller retires the
+    * old one ([[ParagraphIndex.unpersist]]) once the swap is durable.
+    * Like the substring index (and unlike the near-dup rep store), the
+    * COUNT half is not idempotent: re-folding the same increment inflates
+    * `nocc` — keepers stay exact, so cut GEOMETRY survives a replay, but
+    * a unit unique to the replayed increment then reads as duplicated.
+    * Guard replays by epoch (see the streaming twin).
+    */
+  def updateParagraphIndex(index: ParagraphIndex, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): ParagraphIndex =
+    ParagraphIndex(
+      index.units
+        .unionByName(unitFpAgg(incoming, index.sepRegex, idCol, textCol))
+        .groupBy("fp")
+        .agg(sum(col("nocc")).as("nocc"), min(col("keeper")).as("keeper"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      index.sepRegex)
+
+  /** Persist a [[ParagraphIndex]] to `dir` as parquet — `units/` clustered
+    * into `nBuckets` files by `fp` (a bucketed table on a real warehouse,
+    * so the probe equi-join co-locates against the index without shuffling
+    * it), `meta/` pinning the separator regex so a reloaded probe can
+    * never split with a mismatched unit notion.
+    */
+  def writeParagraphIndex(index: ParagraphIndex, dir: String,
+      nBuckets: Int = 64): Unit = {
+    index.units.repartition(nBuckets, col("fp"))
+      .write.mode("overwrite").parquet(s"$dir/units")
+    val spark = index.units.sparkSession
+    import spark.implicits._
+    Seq(index.sepRegex).toDF("sep_regex")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a disk-persisted index ([[writeParagraphIndex]]) in a fresh
+    * session; persists lazily, so the first probe pays the parquet scan.
+    */
+  def readParagraphIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): ParagraphIndex =
+    ParagraphIndex(
+      spark.read.parquet(s"$dir/units").persist(StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$dir/meta").head.getAs[String]("sep_regex"))
+
+  /** INCREMENTAL paragraph/line dedup — the daily-crawl twin of
+    * [[dedupUnits]], mirroring the substring family's index probe: the
+    * corpus's per-fingerprint `(nocc, keeper)` state is built ONCE
+    * ([[buildParagraphIndex]]) and each increment pays only its own
+    * row-local split/fingerprint pass, one per-fp aggregate, one equi-join
+    * against the index, and the shared emission tail. Emits the cleaned
+    * INCREMENT in [[dedupUnits]]'s kept-unit schema.
+    *
+    * EXACTLY BATCH-EQUAL for increment docs, by construction: for every
+    * fingerprint the union corpus's occurrence count is
+    * `index.nocc + increment count` and its first occurrence is
+    * `min(index.keeper, increment keeper)` — both recovered by one left
+    * join — so every increment unit's cut decision (`total >= 2` and
+    * `(doc_id, idx) != keeper`) is identical to running [[dedupUnits]]
+    * over corpus ∪ increment (pinned in ParagraphDedupSpec on a random
+    * corpus with INTERLEAVED doc ids). REQUIRES the increment's doc ids
+    * to be disjoint from the corpus's (re-submitting an indexed doc
+    * double-counts its units — the substring-index contract).
+    *
+    * Scale shape: the increment side is O(|increment|) everywhere; the
+    * index join is the only corpus-sized term and co-locates against the
+    * bucketed unit table on a lake ([[writeParagraphIndex]]). Nothing
+    * re-reads corpus text. The dup set and cut counts checkpoint small
+    * (affected increment docs only); the emission tail is lazy and
+    * row-local, as in the batch form.
+    */
+  def incrementalDedupUnits(incoming: DataFrame, index: ParagraphIndex,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = unitTable(incoming, index.sepRegex, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (dupSet, cuts) =
+      try {
+        val incAgg = base.filter(!col("blank"))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("inc_nocc"),
+            min(struct(col("doc_id"), col("idx"))).as("inc_keeper"))
+        val d = incAgg
+          .join(index.units.select(col("fp"), col("nocc").as("idx_nocc"),
+            col("keeper").as("idx_keeper")), Seq("fp"), "left")
+          .select(col("fp"),
+            (col("inc_nocc") + coalesce(col("idx_nocc"), lit(0L))).as("nocc"),
+            when(col("idx_keeper").isNull, col("inc_keeper"))
+              .otherwise(least(col("idx_keeper"), col("inc_keeper")))
+              .as("keeper"))
+          .filter(col("nocc") >= 2)
+          .select("fp", "keeper")
+          .localCheckpoint()
+        val c = cutCounts(base, d).localCheckpoint()
+        (d, c)
+      } finally base.unpersist(blocking = false)
+    emitKept(incoming, index.sepRegex, idCol, textCol, dupSet, cuts)
+  }
+
+  /** Convenience form: build the index from a corpus `DataFrame`, probe
+    * once, retire it. Deployment should hold a persisted/bucketed index
+    * ([[buildParagraphIndex]] / [[writeParagraphIndex]]) instead — this
+    * rebuilds the corpus-side aggregate every call.
+    */
+  def incrementalDedupUnits(incoming: DataFrame, corpus: DataFrame,
+      sepRegex: String): DataFrame = {
+    val idx = buildParagraphIndex(corpus, sepRegex)
+    try incrementalDedupUnits(incoming, idx)
+    finally idx.unpersist()
   }
 }

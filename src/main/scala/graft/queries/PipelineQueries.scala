@@ -2854,6 +2854,48 @@ object PipelineQueries {
       .orderBy("page_id", "unit_idx")
   }
 
+  /** INCREMENTAL paragraph dedup (P55's daily-crawl form): the ODD pages
+    * probed as an increment against a prebuilt unit-fingerprint index of
+    * the EVEN pages ([[graft.pipeline.ParagraphDedup.buildParagraphIndex]]
+    * / `incrementalDedupUnits`). Batch-equality oracle, the
+    * `p_incremental_substr_removal` pattern: DuckDB computes the FULL
+    * combined dedup over ALL pages and restricts output to the odd
+    * (increment) side — page ids INTERLEAVE across the two sides, so the
+    * probe's `(index.nocc + inc count, min(index.keeper, inc keeper))`
+    * reconstruction must recover union-corpus verdicts exactly, keepers
+    * landing on either side. Emission is pinned to the byte (char spans +
+    * verbatim-slice md5), as in `p_paragraph_dedup_bytes`.
+    */
+  val incrementalParagraphDedup: Q = Q.sql(
+    "p_incremental_paragraph_dedup",
+    s"""WITH ${pageUnitsSql("chr(10)||chr(10)")},
+       |cutset AS (SELECT page_id, idx FROM rk WHERE nocc >= 2 AND rn > 1),
+       |cuts AS (SELECT page_id, count(*) AS cut_units FROM cutset
+       |         GROUP BY page_id),
+       |off AS (SELECT page_id, idx, piece,
+       |          coalesce(sum(len(piece) + 2) OVER (PARTITION BY page_id
+       |            ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |            0)::BIGINT AS char_st
+       |        FROM units)
+       |SELECT o.page_id, o.idx AS unit_idx, o.char_st,
+       |       (o.char_st + len(o.piece) - 1)::BIGINT AS char_en,
+       |       coalesce(cuts.cut_units, 0)::BIGINT AS cut_units,
+       |       md5(o.piece) AS text_hash
+       |FROM off o
+       |LEFT JOIN cutset c ON c.page_id = o.page_id AND c.idx = o.idx
+       |LEFT JOIN cuts ON cuts.page_id = o.page_id
+       |WHERE c.idx IS NULL AND o.page_id % 2 = 1
+       |ORDER BY o.page_id, unit_idx""".stripMargin) { (s, dir) =>
+    val pg = pages(s, dir, "\n\n")
+      .select(col("page_id").as("doc_id"), col("text"))
+    ParagraphDedup.incrementalDedupUnits(
+        pg.filter(col("doc_id") % 2 === 1), pg.filter(col("doc_id") % 2 === 0),
+        ParagraphDedup.ParagraphSep)
+      .select(col("doc_id").as("page_id"), col("unit_idx"), col("char_st"),
+        col("char_en"), col("cut_units"), md5(col("text")).as("text_hash"))
+      .orderBy("page_id", "unit_idx")
+  }
+
   val queries: Seq[Q] = Seq(
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
@@ -2872,5 +2914,6 @@ object PipelineQueries {
     exactSubstrRemoval, exactSubstrRemovalBytes, substrRemovalFixedpoint,
     incrementalSubstrRemoval, packSpanMasks,
     bigramLmQuality, weightedSampleQ,
-    paragraphDedupQ, lineDedupQ, paragraphDedupBytes)
+    paragraphDedupQ, lineDedupQ, paragraphDedupBytes,
+    incrementalParagraphDedup)
 }

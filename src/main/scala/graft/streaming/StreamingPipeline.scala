@@ -75,6 +75,18 @@ final case class StreamingNearDup(
     query: org.apache.spark.sql.streaming.StreamingQuery,
     currentIndex: () => graft.pipeline.Dedup.NearDupIndex)
 
+/** A running streaming paragraph/line-dedup query plus the live handle to
+  * its forward-folding unit-fingerprint index
+  * ([[StreamingPipeline.dedupUnitsStream]]): `currentIndex()` always
+  * returns the corpus ∪ processed-batches state — after `query` stops,
+  * that is what deployment persists
+  * ([[graft.pipeline.ParagraphDedup.writeParagraphIndex]]) for the next
+  * run, and what the caller unpersists.
+  */
+final case class StreamingParagraphDedup(
+    query: org.apache.spark.sql.streaming.StreamingQuery,
+    currentIndex: () => graft.pipeline.ParagraphDedup.ParagraphIndex)
+
 /** Structured Streaming variants of the stateless pipeline operators
   * (SURVEY.md §7.5: the reference is strictly batch; streaming enters only
   * on the extension surface). The same codegen'd column expressions from
@@ -344,6 +356,57 @@ object StreamingPipeline {
       }
       .start()
     StreamingNearDup(q, () => idx)
+  }
+
+  /** Streaming incremental PARAGRAPH/LINE dedup (P55's stream form) — the
+    * sub-document pass real crawls run FIRST, as a `foreachBatch` runner
+    * mirroring [[removeDupSpansExactStream]]: every micro-batch is cleaned
+    * against the per-fingerprint `(nocc, keeper)` unit index of the corpus
+    * PLUS ALL PRIOR BATCHES
+    * ([[graft.pipeline.ParagraphDedup.incrementalDedupUnits]]), its kept
+    * units handed to `sink` in [[graft.pipeline.ParagraphDedup
+    * .dedupUnits]]'s verbatim-byte schema, and the index folded forward
+    * ([[graft.pipeline.ParagraphDedup.updateParagraphIndex]]) before the
+    * next batch. foreachBatch is the honest vehicle: the probe needs the
+    * batch's own per-fp AGGREGATE (occurrence counts and first-occurrence
+    * keepers — batch semantics per trigger), and the index is corpus-
+    * sized cross-batch state that lives outside the state store
+    * (disk-persistable via `writeParagraphIndex`).
+    *
+    * With doc ids monotone across batches (the natural crawl ordering),
+    * every emitted unit row is bit-equal to the BATCH
+    * [[graft.pipeline.ParagraphDedup.dedupUnits]] run over
+    * corpus ∪ all batches restricted to that batch's docs — pinned in
+    * StreamingSpec with a duplicate paragraph planted across two
+    * micro-batches (cut only because the index fold carried batch 1's
+    * fingerprints into batch 2's probe). The fold's keeper half is an
+    * idempotent MIN; the count half SUMS (a replayed epoch would inflate
+    * `nocc` — geometry survives, see `updateParagraphIndex`), so the
+    * epoch guard below skips redundant re-folds. The caller owns
+    * `initial` (never unpersisted here); superseded folds are retired as
+    * they are replaced.
+    */
+  def dedupUnitsStream(docs: DataFrame,
+      initial: graft.pipeline.ParagraphDedup.ParagraphIndex,
+      sink: (DataFrame, Long) => Unit): StreamingParagraphDedup = {
+    @volatile var idx = initial
+    var lastFolded = Long.MinValue
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.pipeline.ParagraphDedup.incrementalDedupUnits(batch, idx),
+          epoch)
+        if (epoch > lastFolded) {
+          val next = graft.pipeline.ParagraphDedup
+            .updateParagraphIndex(idx, batch)
+          next.units.count() // materialize before retiring the superseded index
+          if (idx ne initial) idx.unpersist()
+          idx = next
+          lastFolded = epoch
+        }
+      }
+      .start()
+    StreamingParagraphDedup(q, () => idx)
   }
 
   /** Gap-based user sessionization with CUSTOM state

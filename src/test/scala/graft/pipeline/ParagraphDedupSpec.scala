@@ -165,4 +165,60 @@ class ParagraphDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(gotKept == allUnits -- wantCut, s"round $round kept set")
     }
   }
+
+  private def keptRows(df: DataFrame): Set[(Long, Long, Long, Long, Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getString(5))).toSet
+
+  test("incremental probe == batch dedupUnits restricted to increment docs (interleaved ids)") {
+    val rnd = new Random(247)
+    val pool = Vector("alpha beta", "Gamma  Delta", "epsilon", "zeta eta",
+      "THETA", "iota kappa lambda", "   ", "", "é中文 unit", "alpha beta ")
+    for (round <- 0 until 3) {
+      val sep = if (round % 2 == 0) "\n\n" else "\n"
+      val sepRegex = if (round % 2 == 0) ParagraphDedup.ParagraphSep
+        else ParagraphDedup.LineSep
+      val docs = (0L until 30L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(7))(pool(rnd.nextInt(pool.size)))
+          .mkString(sep)
+      }
+      // interleaved ids: corpus = even, increment = odd — keepers land on
+      // BOTH sides, so the probe's least(index, increment) keeper must be
+      // exact, not merely monotone-id-safe
+      val df = docsDf(docs: _*)
+      val want = keptRows(ParagraphDedup.dedupUnits(df, sepRegex = sepRegex)
+        .filter(col("doc_id") % 2 === 1))
+      val got = keptRows(ParagraphDedup.incrementalDedupUnits(
+        df.filter(col("doc_id") % 2 === 1),
+        df.filter(col("doc_id") % 2 === 0), sepRegex))
+      assert(got == want, s"round $round incremental vs batch")
+    }
+  }
+
+  test("index fold == direct build over the union; parquet roundtrip probes identically") {
+    val corpus = docsDf(
+      0L -> "shared para\n\nunique a",
+      2L -> "unique b\n\nshared para",
+      4L -> "solo corpus doc")
+    val inc = docsDf(
+      1L -> "shared para\n\nfresh inc para",
+      3L -> "fresh inc para\n\nunique c")
+    def unitsOf(ix: ParagraphDedup.ParagraphIndex) =
+      ix.units.collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))).toSet
+    val idx = ParagraphDedup.buildParagraphIndex(corpus)
+    val folded = ParagraphDedup.updateParagraphIndex(idx, inc)
+    val direct = ParagraphDedup.buildParagraphIndex(corpus.unionByName(inc))
+    assert(unitsOf(folded) == unitsOf(direct), "fold != direct build")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pidx").toString
+    ParagraphDedup.writeParagraphIndex(folded, dir)
+    val rd = ParagraphDedup.readParagraphIndex(spark, dir)
+    assert(rd.sepRegex == folded.sepRegex)
+    assert(unitsOf(rd) == unitsOf(folded), "roundtrip changed the index")
+    val probe = docsDf(5L -> "shared para\n\nfresh inc para\n\nnever seen")
+    assert(keptRows(ParagraphDedup.incrementalDedupUnits(probe, rd)) ==
+      keptRows(ParagraphDedup.incrementalDedupUnits(probe, folded)),
+      "reloaded index probes differently")
+    Seq(idx, folded, direct, rd).foreach(_.unpersist())
+  }
 }

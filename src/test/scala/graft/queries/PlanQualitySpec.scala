@@ -533,4 +533,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!prof.contains("NestedLoop") && !prof.contains("Cartesian"),
       "profile joins must be keyed")
   }
+
+  test("incremental paragraph dedup: keyed index probe, row-local folds, no window") {
+    // the probe chain must stay increment-sized: row-local unit scans, one
+    // fp-keyed left join against the index aggregate, keyed emission joins
+    val p = planOf("p_incremental_paragraph_dedup")
+    assert(!p.contains("Window"),
+      "incremental unit coordinates must fold row-locally")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "index probe and emission joins must be keyed (fp, doc_id)")
+  }
 }

@@ -388,6 +388,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"docs 10 (vs corpus) and 20 (vs batch-1 fold) must be cut: $cutDocs")
   }
 
+  test("streaming paragraph dedup: batch-equal kept units, fold equals a fresh union build") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val corpus = Seq(
+      (0L, "corpus boilerplate\n\nunique corpus para"),
+      (1L, "another unique\n\ncorpus boilerplate")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "corpus boilerplate\n\nfresh b1 para"), // cut vs the initial index
+      (11L, "carried para\n\nsolo b1"))             // unique now; b2 repeats it
+    val batch2 = Seq(
+      (20L, "carried para\n\nsolo b2"), // cut ONLY because the fold carried b1
+      (21L, "never repeated\n\n   "))   // untouched (blank unit stays exempt)
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("unit_idx"),
+        r.getAs[Long]("char_st"), r.getAs[Long]("char_en"),
+        r.getAs[Long]("cut_units"), r.getAs[String]("text"))).toSeq
+
+    val idx0 = graft.pipeline.ParagraphDedup.buildParagraphIndex(corpus)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val h = StreamingPipeline.dedupUnitsStream(
+      input.toDF().toDF("doc_id", "text"), idx0,
+      (kept, _) => got.synchronized { got ++= shape(kept.collect()) })
+    try {
+      input.addData(batch1: _*); h.query.processAllAvailable()
+      input.addData(batch2: _*); h.query.processAllAvailable()
+    } finally h.query.stop()
+
+    // the surviving handle is corpus ∪ all-batches state; pin it against a
+    // fresh build over the union (the (sum, min) fold-equality claim)
+    val union = corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text"))
+    val finalIdx = h.currentIndex()
+    val fresh = graft.pipeline.ParagraphDedup.buildParagraphIndex(union)
+    def unitsOf(i: graft.pipeline.ParagraphDedup.ParagraphIndex) =
+      i.units.collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))).toSet
+    assert(unitsOf(finalIdx) == unitsOf(fresh),
+      "post-stream index must equal a fresh build over the union")
+    finalIdx.unpersist(); fresh.unpersist(); idx0.unpersist()
+
+    // ids are monotone across corpus -> b1 -> b2, so the streamed kept
+    // units must be bit-equal to ONE batch run over everything
+    val expected = shape(graft.pipeline.ParagraphDedup.dedupUnits(union)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 10L)
+      .orderBy("doc_id", "unit_idx").collect())
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected,
+      "streamed kept units diverge from the batch run over the union")
+    val cutDocs = got.filter(_._5 > 0).map(_._1).toSet
+    assert(cutDocs == Set(10L, 20L),
+      s"docs 10 (vs corpus) and 20 (vs batch-1 fold) must be cut: $cutDocs")
+  }
+
   test("streaming incremental near-dup: the index fold makes every batch probe corpus ∪ prior batches") {
     val sp = spark
     import sp.implicits._
