@@ -739,10 +739,10 @@ object Dedup {
     val f = dupSpanMultiFrames(docs, ns, minLen, idCol, textCol, md5Substrate)
     // EAGER up to the per-affected-doc span table (one 4-long row per doc
     // that has any cross-doc interval — a vanishing fraction of corpus
-    // bytes), so the persisted token substrate can be released; the final
-    // per-doc join stays LAZY and re-tokenizes the source exactly once.
-    // finally: a failed checkpoint job must not leak the MEMORY_AND_DISK
-    // token substrate for the session lifetime
+    // bytes); the final per-doc join stays LAZY and re-tokenizes the
+    // source exactly once. The finally-unpersist is a no-op since the
+    // windowed interval stage stopped persisting the substrate — kept so
+    // a future persist can never leak on failure.
     val spans =
       try f.spans.localCheckpoint()
       finally f.base.unpersist(blocking = false)
@@ -757,9 +757,10 @@ object Dedup {
   }
 
   /** The lazy internals of [[dupSpanProfileMulti]], exposed for plan-quality
-    * tests (the public entry checkpoints `spans`, hiding the per-order
-    * semi-join substrate from the final plan): `base` is the persisted
-    * shared token substrate, `spans` the lazy per-affected-doc fold.
+    * tests (the public entry checkpoints `spans`, hiding the interval
+    * substrate from the final plan): `base` is the shared token substrate
+    * (not persisted — single-consumer), `spans` the lazy per-affected-doc
+    * fold.
     */
   private[graft] case class DupSpanMultiFrames(base: DataFrame, spans: DataFrame)
 
@@ -813,15 +814,14 @@ object Dedup {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"gram orders must be >= 1, got $ns")
     require(ns.distinct.length == ns.length, s"duplicate gram orders in $ns")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    // tokenize ONCE: the gram chain fans out to TWO consumers (the
-    // dup-set groupBy and the left-semi probe), and each consumer
-    // subtree re-evaluates from the scan — unpersisted, the regexp
-    // tokenization pass runs twice. Persisting the token arrays (same
-    // order of bytes as the text) collapses that to one pass; all
-    // orders' window keys come fused from [[taggedWindowRows]].
+    // NOT persisted: the windowed interval stage consumes the substrate
+    // exactly once (the agg + join-back shape this replaced scanned it
+    // twice — the historical reason for the MEMORY_AND_DISK persist here;
+    // at ×1000 that persist materialized ~GBs of token arrays for one
+    // extra read). All orders' window keys come fused from
+    // [[taggedWindowRows]].
     val base = docs
       .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val spans = multiDupIntervals(base, ns, md5Substrate)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("iv"))
@@ -831,19 +831,43 @@ object Dedup {
 
   /** The cross-doc-duplicated window intervals `(doc_id, st, en)` of ALL
     * orders — [[dupSpanMultiFrames]]' interval stage over the fused tagged
-    * stream (one scan, one keyed shuffle). Exposed for the fused-vs-
-    * chained A/B (`graft.tools.SpanFusedAB`).
+    * stream, as ONE gram-keyed window: `min/max(doc_id) over (partition
+    * by n, g1, g2)` decides ">= 2 distinct docs" on every raw window row
+    * in place, so duplicated rows flow straight to the per-doc fold.
+    *
+    * Why a window and not the aggregate + join-back this replaced (round
+    * 13; the retired shape survives as [[multiDupIntervalsJoin]] for the
+    * A/B): the dup-SET form still had to ship the verdict back to the
+    *  rows — at ×1000 the dup set outgrows any broadcast, so the probe
+    * join re-shuffled the full ~1.2 B-row tagged stream a SECOND time
+    * (plus re-scanning the substrate for the probe side), and the pair
+    * read d3 ≈ 1.1–1.4. The window form moves the full stream through
+    * exactly ONE exchange + sort and zero joins; per-gram groups are a
+    * handful of rows (duplication fan), and WindowExec's buffer spills,
+    * so a hyper-duplicated boilerplate gram degrades to disk instead of
+    * blowing an aggregate hash table. Geometry is bit-identical
+    * (fingerprint-pinned in `SpanFanbackAB`; oracles unchanged).
     */
   private[graft] def multiDupIntervals(base: DataFrame, ns: Seq[Int],
       md5: Boolean): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("n", "g1", "g2")
+    taggedWindowRows(base, ns, md5)
+      .select(col("doc_id"), col("i"), col("n"),
+        min(col("doc_id")).over(w).as("mn"),
+        max(col("doc_id")).over(w).as("mx"))
+      .filter(col("mx") > col("mn"))
+      .select(col("doc_id"), col("i").as("st"),
+        (col("i") + col("n").cast("long") - 1L).as("en"))
+  }
+
+  /** The RETIRED round-12 interval stage — per-gram (min, max) aggregate,
+    * dup set joined back to the raw rows — kept only as the measured twin
+    * of [[multiDupIntervals]] (`graft.tools.SpanFanbackAB` pins interval
+    * multisets identical and times both shapes at the decade corpora).
+    */
+  private[graft] def multiDupIntervalsJoin(base: DataFrame, ns: Seq[Int],
+      md5: Boolean): DataFrame = {
     val grams = taggedWindowRows(base, ns, md5)
-    // "gram in >= 2 DISTINCT docs" == min(doc_id) != max(doc_id): both are
-    // map-side-combinable over the RAW window rows, so the dup set costs
-    // ONE partially-aggregated exchange. The previous distinct→groupBy
-    // chain shuffled the full window table TWICE (a per-(doc, gram)
-    // distinct exchange, then the count exchange) — measured superlinear
-    // at the ×1000 decade (5 M docs: the 1.5 B-row distinct spills), while
-    // this form keeps the exact family's scan-shaped profile.
     val dupSet = grams
       .groupBy("n", "g1", "g2")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
@@ -1118,14 +1142,15 @@ object Dedup {
     * same geometry rules as [[dupSpanProfileMulti]], restricted to
     * non-keeper occurrences).
     *
-    * Scale shape: per order, a row-local gram explode over the persisted
-    * shared token substrate, a per-gram (distinct-doc count, min doc)
-    * aggregate, and one equi-join of window rows against that small dup
-    * set; islands merge and pieces cut INSIDE one row (no window
-    * function). The small per-affected-doc cut table is checkpointed so
-    * the token substrate releases; the final pass — tokenize, left-join
-    * cuts, slice pieces — is LAZY and row-local, so a 100 TB run streams
-    * straight to its sink without materializing the cleaned corpus twice.
+    * Scale shape: ONE row-local tagged gram explode over one tokenize
+    * scan, ONE gram-keyed exchange whose window decides duplication and
+    * keeper on every raw row in place (no dup-set join back, no second
+    * substrate scan — the shape that closed the family's ×1000
+    * superlinearity; see [[multiDupIntervals]]); islands merge and pieces
+    * cut INSIDE one row. The small per-affected-doc cut table is
+    * checkpointed; the final pass — tokenize, left-join cuts, slice
+    * pieces — is LAZY and row-local, so a 100 TB run streams straight to
+    * its sink without materializing the cleaned corpus twice.
     * `emitOriginal = true` emits pieces as slices of the ORIGINAL text
     * instead of normalized token joins — see [[emitPiecesOriginal]].
     */
@@ -1266,10 +1291,12 @@ object Dedup {
     RemoveSpanFrames(base, cuts)
   }
 
-  /** The lazy internals of [[removeDupSpans]]: persisted token substrate
-    * `base` plus the lazy per-affected-doc cut-island table `cuts`
-    * (doc_id, cut = sorted array of merged >= minLen non-keeper islands).
-    * Exposed for plan-quality tests (the public entry checkpoints `cuts`).
+  /** The lazy internals of [[removeDupSpans]]: token substrate `base`
+    * (persisted only by the EXACT family, whose aggregate + probe still
+    * fans out; the multi-order windowed stage is single-consumer) plus
+    * the lazy per-affected-doc cut-island table `cuts` (doc_id, cut =
+    * sorted array of merged >= minLen non-keeper islands). Exposed for
+    * plan-quality tests (the public entry checkpoints `cuts`).
     */
   private[graft] case class RemoveSpanFrames(base: DataFrame, cuts: DataFrame)
 
@@ -1279,9 +1306,10 @@ object Dedup {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"gram orders must be >= 1, got $ns")
     require(ns.distinct.length == ns.length, s"duplicate gram orders in $ns")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    // NOT persisted — single-consumer under the windowed interval stage
+    // (see [[dupSpanMultiFrames]])
     val base = docs
       .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val cuts = removalCutIntervals(base, ns, md5Substrate)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("iv"))
@@ -1291,21 +1319,32 @@ object Dedup {
   }
 
   /** The cut-eligible (non-keeper) duplicated window intervals of ALL
-    * orders — [[removeDupSpansFrames]]' interval stage over the fused
-    * tagged stream. keeper = min doc_id containing the gram: its
-    * occurrences are NOT cut-eligible, so one canonical copy of every
-    * duplicated gram survives removal. The dup set is small (duplicated
-    * grams are a small corpus fraction), so the join broadcasts under
-    * AQE. Exposed for the fused-vs-chained A/B
-    * (`graft.tools.SpanFusedAB`).
+    * orders — [[removeDupSpansFrames]]' interval stage as one gram-keyed
+    * window (see [[multiDupIntervals]] for the shape rationale). keeper =
+    * `min(doc_id) over (partition by n, g1, g2)`: its occurrences are NOT
+    * cut-eligible, so one canonical copy of every duplicated gram
+    * survives removal — the same expression that decides duplication
+    * yields the keeper for free.
     */
   private[graft] def removalCutIntervals(base: DataFrame, ns: Seq[Int],
       md5: Boolean): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("n", "g1", "g2")
+    taggedWindowRows(base, ns, md5)
+      .select(col("doc_id"), col("i"), col("n"),
+        min(col("doc_id")).over(w).as("keeper"),
+        max(col("doc_id")).over(w).as("mx"))
+      .filter(col("mx") > col("keeper") && col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("i").as("st"),
+        (col("i") + col("n").cast("long") - 1L).as("en"))
+  }
+
+  /** The RETIRED round-12 removal interval stage (aggregate + keeper join
+    * back) — kept as [[removalCutIntervals]]' measured twin for
+    * `graft.tools.SpanFanbackAB`.
+    */
+  private[graft] def removalCutIntervalsJoin(base: DataFrame, ns: Seq[Int],
+      md5: Boolean): DataFrame = {
     val grams = taggedWindowRows(base, ns, md5)
-    // >= 2 distinct docs == min != max, and the keeper IS that min — one
-    // map-side-combinable exchange over the raw window rows (see
-    // [[multiDupIntervals]] for the ×1000 measurement that retired the
-    // distinct→groupBy form here)
     val dupSet = grams
       .groupBy("n", "g1", "g2")
       .agg(min(col("doc_id")).as("keeper"), max(col("doc_id")).as("mx"))

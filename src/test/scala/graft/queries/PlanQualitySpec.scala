@@ -372,62 +372,55 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-lang aggregate must map-side combine")
   }
 
-  test("dup spans multi: interval fold is row-local across ALL gram orders — no window, keyed joins") {
+  test("dup spans multi: one gram-keyed window decides duplication in place — no join fan-back, row-local island fold") {
     // white-box: the public entry checkpoints the per-affected-doc span
-    // table (releasing the persisted token substrate), so the per-order
-    // semi-join substrate must be asserted on the lazy internals — same
-    // pattern as the near-dup frames guard above
+    // table, so the interval substrate must be asserted on the lazy
+    // internals — same pattern as the near-dup frames guard above
     val docs = graft.util.Tables.t(spark, dir, "documents")
     val f = graft.pipeline.Dedup.dupSpanMultiFrames(
       docs, Seq(8, 16, 32), 50, "doc_id", "text")
-    try {
-      import org.apache.spark.storage.StorageLevel
-      assert(f.base.storageLevel != StorageLevel.NONE,
-        "shared token substrate not persisted")
-      // three gram orders, one merge: the cross-order island merge must
-      // still fold inside one row after a single collect_list — a window
-      // over (doc, position) rows here would serialize every hot doc's
-      // interval set through one task per doc
-      val p = f.spans.queryExecution.executedPlan.toString()
-      assert(!p.contains("Window"), "multi-order span merge must fold row-locally")
-      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
-        "multi-order spans must join by key only")
-      assert(p.contains("LeftSemi"),
-        "per-order dup-set membership must be a semi join")
-      // the dup set is min/max(doc_id) over RAW window rows (>= 2 distinct
-      // docs == min != max) — one partially-aggregated exchange, no
-      // per-(doc, gram) distinct shuffle (the ×1000 superlinearity fix)
-      assert(p.contains("partial_min") && p.contains("partial_max"),
-        "per-gram min/max must map-side combine")
-    } finally f.base.unpersist(blocking = true)
+    val p = f.spans.queryExecution.executedPlan.toString()
+    // duplication (">= 2 distinct docs" == min != max doc) is decided by
+    // ONE window over the gram key — never a dup-set aggregate joined
+    // back to the raw stream (the retired shape re-shuffled the full
+    // tagged stream a second time; ×1000 d3 ≈ 1.1–1.4), and never a
+    // window over (doc, position) rows (one task per hot doc)
+    assert(p.contains("windowspecdefinition(n#"),
+      "duplication must be a gram-keyed window (partition by n, g1, g2)")
+    assert(!p.contains("windowspecdefinition(doc_id#"),
+      "no per-doc window — the island merge folds inside one row")
+    assert(!p.contains("Join"),
+      "no dup-set join fan-back — the window carries the verdict in place")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "multi-order spans must never nested-loop")
     // black-box: the published plan is the checkpointed span table joined
     // to one fresh tokenize pass plus the per-lang rollup
-    val p = planOf("p_dup_spans_multi")
-    assert(!p.contains("Window"), "final profile join must not window")
-    assert(p.contains("partial_count") || p.contains("partial_sum"),
+    val pub = planOf("p_dup_spans_multi")
+    assert(!pub.contains("Window"), "final profile join must not window")
+    assert(pub.contains("partial_count") || pub.contains("partial_sum"),
       "per-lang rollup must map-side combine")
   }
 
-  test("dup span removal: keyed cut-geometry joins, row-local folds, one lazy tokenize-join-slice to emit pieces") {
+  test("dup span removal: gram-keyed keeper window, row-local folds, one lazy tokenize-join-slice to emit pieces") {
     val docs = graft.util.Tables.t(spark, dir, "documents")
     val f = graft.pipeline.Dedup.removeDupSpansFrames(
       docs, Seq(8, 16, 32), 50, "doc_id", "text")
-    try {
-      import org.apache.spark.storage.StorageLevel
-      assert(f.base.storageLevel != StorageLevel.NONE,
-        "shared token substrate not persisted")
-      val p = f.cuts.queryExecution.executedPlan.toString()
-      assert(!p.contains("Window"), "cut-island merge must fold row-locally")
-      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
-        "keeper lookup must be an equi-join on the gram hash")
-      assert(p.contains("partial_count") || p.contains("partial_min"),
-        "per-gram (count, keeper) aggregate must map-side combine")
-    } finally f.base.unpersist(blocking = true)
+    val p = f.cuts.queryExecution.executedPlan.toString()
+    // keeper (min doc) and duplication (min != max) come from ONE window
+    // over the gram key; the cut-island merge still folds inside one row
+    assert(p.contains("windowspecdefinition(n#"),
+      "keeper/duplication must be a gram-keyed window")
+    assert(!p.contains("windowspecdefinition(doc_id#"),
+      "no per-doc window — the cut-island merge folds inside one row")
+    assert(!p.contains("Join"),
+      "no dup-set join fan-back — the window carries keeper in place")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "removal interval stage must never nested-loop")
     // the published plan: checkpointed cuts left-joined to one tokenize
     // pass, pieces cut by row-local fold + posexplode — never a window
-    val p = planOf("p_dup_span_removal")
-    assert(!p.contains("Window"), "piece cutting must be row-local, not a window")
-    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+    val pub = planOf("p_dup_span_removal")
+    assert(!pub.contains("Window"), "piece cutting must be row-local, not a window")
+    assert(!pub.contains("NestedLoop") && !pub.contains("Cartesian"),
       "the cuts join must be keyed on doc_id")
   }
 
