@@ -42,4 +42,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // share one heap, and an 8g heap measurably GC-throttles the bench.
   // Default scales with physical RAM so small machines don't swap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
-)
+  // code-cache headroom for the 104-query suite's thousands of generated
+  // classes. NOT a fix for the round-12 two-window bench discrepancy —
+  // that adjudicated to a per-JVM JIT code-quality lottery on the big
+  // string/binary codegen kernels (adjacent fresh-JVM quiet runs swing
+  // 1.3-6.5x per query while anchors hold ±5%; per-segment peaks 5/88/59
+  // MB rule out cache saturation at any tested size — BENCH_JITAB.json,
+  // SCALING.md round 13). Kept at 512m as free insurance for long-lived
+  // codegen-heavy drivers; Bench embeds per-segment peaks + JIT time in
+  // every artifact so future discrepancies carry compiler evidence.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

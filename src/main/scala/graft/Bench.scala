@@ -145,10 +145,28 @@ object Bench {
       yield 100.0 * (s1 - s0) / (t1 - t0).toDouble)
       .map(p => math.round(p * 100.0) / 100.0)
     val stealJson = stealPct.map(_.toString).getOrElse("null")
+    // JIT self-diagnostics (round 13): per-JVM 1.3-6x swings on
+    // string-kernel queries between quiet windows traced to code-cache
+    // pressure — record peak CodeHeap fill and total JIT time so any
+    // future two-window discrepancy carries its own compiler evidence.
+    import scala.jdk.CollectionConverters._
+    val codeHeaps = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.startsWith("CodeHeap"))
+    val ccPeakMb = codeHeaps.map(_.getPeakUsage.getUsed).sum >> 20
+    val ccMaxMb = codeHeaps.map(p => math.max(0L, p.getUsage.getMax)).sum >> 20
+    // per-segment peaks: the segmented code cache flushes per SEGMENT, so
+    // "sum << cap" can hide a saturated profiled-nmethods heap
+    val ccPools = codeHeaps.map { p =>
+      val n = p.getName.replace("CodeHeap '", "").stripSuffix("'")
+        .replaceAll("[^a-z0-9-]", "_")
+      s""""$n":{"peak_mb":${p.getPeakUsage.getUsed >> 20},"max_mb":${math.max(0L, p.getUsage.getMax) >> 20}}"""
+    }.mkString("{", ",", "}")
+    val jitSec = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .map(_.getTotalCompilationTime / 1e3).getOrElse(-1.0)
     // registry counts (independent of any ONLY filter) — the single source
     // README counters are generated from (tools/update_readme.py)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3","agg":"min","isolate":$isolate,"sf":"$sfDir","steal_pct":$stealJson,"wall_sec":$wallSec,"started_at":"$startedAt","ended_at":"$endedAt","n_registered":${SparkEntry.queries.size},"n_oracled":${SparkEntry.oracleSql.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3","agg":"min","isolate":$isolate,"sf":"$sfDir","steal_pct":$stealJson,"code_cache_peak_mb":$ccPeakMb,"code_cache_max_mb":$ccMaxMb,"code_heaps":$ccPools,"jit_sec":$jitSec,"wall_sec":$wallSec,"started_at":"$startedAt","ended_at":"$endedAt","n_registered":${SparkEntry.queries.size},"n_oracled":${SparkEntry.oracleSql.size}}"""
     println(json)
     // artifact hygiene: BENCH_LOCAL.json holds ONLY the headline number —
     // the full suite at the driver's bench scale (sf0.1), isolated mode.

@@ -32,6 +32,37 @@ class ReadmeCountersSpec extends AnyFunSuite {
         s"${SparkEntry.oracleSql.size} — run tools/update_readme.py")
   }
 
+  /** The test-count line drifted in round 12 (README said 323/46, the
+    * suite was 329/47) because this spec gated query counts only. Gate it
+    * against a SOURCE-derived count — every suite in this repo registers
+    * cases statically via `test(`/`property(` (verified: the static count
+    * equals the last test-report XML total exactly), so counting source
+    * registrations is stable within a run and independent of report-file
+    * write order during the very `sbt test` that executes this spec.
+    */
+  test("README test-count line matches the src/test registrations") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/test")
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    val reg = raw"^\s*(test|property)\(".r
+    val suite = raw"extends (AnyFunSuite|AnyFlatSpec|Properties)".r
+    var nTests = 0; var nSuites = 0
+    files.foreach { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      nTests += src.linesIterator.count(l => reg.findFirstIn(l).nonEmpty)
+      if (suite.findFirstIn(src).nonEmpty) nSuites += 1
+    }
+    val pat = raw"(\d+) ScalaTest cases across (\d+) suites".r
+    val m = pat.findFirstMatchIn(readme)
+    assert(m.nonEmpty,
+      "README.md lacks the generated test-count line — run tools/update_readme.py")
+    assert(m.get.group(1).toInt == nTests && m.get.group(2).toInt == nSuites,
+      s"README says ${m.get.group(1)} cases / ${m.get.group(2)} suites but " +
+        s"src/test registers $nTests across $nSuites — re-run `sbt test` " +
+        "then tools/update_readme.py")
+  }
+
   /** The headline must match the working-tree artifact OR the committed
     * one (`git show HEAD:BENCH_LOCAL.json`). Two legitimate states exist:
     * pre-commit after a fresh regen (README tracks the working tree, HEAD

@@ -5,7 +5,8 @@ the numbers (they drifted in rounds 5 AND 6).
 Sources:
   - query counts: BENCH_LOCAL.json's n_registered / n_oracled (written by
     graft.Bench from SparkEntry itself, independent of any ONLY filter)
-  - test counts: target/test-reports/TEST-*.xml from the last `sbt test`
+  - test counts: static test(/property( registrations under src/test
+    (equals the report-XML total; gated by ReadmeCountersSpec)
   - bench headline: BENCH_LOCAL.json total / steal_pct / query count
 
 Usage: python3 tools/update_readme.py [--check]
@@ -19,7 +20,6 @@ import json
 import os
 import re
 import sys
-import xml.etree.ElementTree as ET
 
 BEGIN = "<!-- AUTOGEN-COUNTERS (tools/update_readme.py) -->"
 END = "<!-- /AUTOGEN-COUNTERS -->"
@@ -29,10 +29,17 @@ CMP_END = "<!-- /AUTOGEN-BENCHCMP -->"
 
 def block(root: str) -> str:
     bench = json.load(open(f"{root}/BENCH_LOCAL.json"))
+    # Source-derived test counts — the same algorithm ReadmeCountersSpec
+    # gates with (every suite registers cases statically via test(/property(;
+    # the static count equals the report-XML total exactly). Deriving from
+    # source instead of target/test-reports keeps README regen correct even
+    # when the last `sbt test` predates newly added specs.
     n_tests = n_suites = 0
-    for f in glob.glob(f"{root}/target/test-reports/TEST-*.xml"):
-        n_tests += int(ET.parse(f).getroot().get("tests", 0))
-        n_suites += 1
+    for f in glob.glob(f"{root}/src/test/**/*.scala", recursive=True):
+        src = open(f, encoding="utf-8").read()
+        n_tests += len(re.findall(r"^\s*(?:test|property)\(", src, re.M))
+        if re.search(r"extends (?:AnyFunSuite|AnyFlatSpec|Properties)", src):
+            n_suites += 1
     # Bench writes steal_pct: null when /proc/stat is unreadable or the
     # deltas are degenerate — .get's default only covers a MISSING key, so
     # a null must be mapped to 'n/a' explicitly or the line reads 'None %'.
