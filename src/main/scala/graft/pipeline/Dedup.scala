@@ -1015,7 +1015,7 @@ object Dedup {
     * order (empty when the whole doc is cut, one full-range piece when
     * nothing is). Row-local.
     */
-  private[pipeline] def complementPieces(cuts: Column, nTokens: Column): Column = {
+  private[graft] def complementPieces(cuts: Column, nTokens: Column): Column = {
     val emptyArr = array().cast("array<struct<st:bigint,en:bigint>>")
     aggregate(
       cuts,

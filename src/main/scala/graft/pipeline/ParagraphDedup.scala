@@ -50,25 +50,45 @@ object ParagraphDedup {
     */
   val ParagraphSep: String = "\n{2,}"
 
-  /** Line separator for per-line dedup. Caveat for EXTREME documents: the
-    * span fold in [[unitSpans]] appends to an accumulator array, which
-    * Catalyst copies per step — O(units²) row-local work. Paragraph
-    * counts keep that trivial; a single document with hundreds of
-    * thousands of LINES concentrates quadratic work in one row (split the
-    * document first, or dedup such corpora at paragraph granularity).
+  /** Line separator for per-line dedup. Spans come from the native
+    * one-scan kernel (O(units) per document — see [[unitSpans]]), so a
+    * single document with hundreds of thousands of lines costs linear
+    * row-local work; only CUSTOM separator regexes fall back to the
+    * quadratic fold ([[unitSpansHof]]).
     */
   val LineSep: String = "\n"
 
   /** Character spans of the separator-split units of `text`, as
     * `array<struct<st:bigint, en:bigint>>` (0-based, inclusive; an empty
     * piece — leading/trailing/adjacent separators — has `en = st - 1`).
-    * Row-local: `split` gives the pieces, `regexp_extract_all` the
-    * separator matches (exactly `size(pieces) - 1` of them, in order, by
-    * the interleave identity), and one fold accumulates the char cursor.
-    * `sepRegex` MUST NOT match the empty string (the interleave identity
-    * breaks; `split` and `regexp_extract_all` would disagree on bounds).
+    * The two SHIPPED separators ([[ParagraphSep]]/[[LineSep]]) dispatch to
+    * the native one-scan kernel [[graft.functions.NewlineUnitSpans]] —
+    * O(units) per document, closing the fold's O(units²) `array_append`
+    * copying that made single documents with tens of thousands of LINES
+    * quadratic (the round-12 ADVICE caveat); custom separator regexes take
+    * the generic fold ([[unitSpansHof]]), which remains the definition the
+    * kernel is spec-pinned against.
     */
-  private[pipeline] def unitSpans(text: Column, sepRegex: String): Column = {
+  private[graft] def unitSpans(text: Column, sepRegex: String): Column =
+    sepRegex match {
+      case ParagraphSep =>
+        graft.functions.NewlineUnitSpans.newlineUnitSpans(text, 2)
+      case LineSep =>
+        graft.functions.NewlineUnitSpans.newlineUnitSpans(text, 1)
+      case _ => unitSpansHof(text, sepRegex)
+    }
+
+  /** The generic regex form of [[unitSpans]] — `split` gives the pieces,
+    * `regexp_extract_all` the separator matches (exactly
+    * `size(pieces) - 1` of them, in order, by the interleave identity),
+    * and one fold accumulates the char cursor. `sepRegex` MUST NOT match
+    * the empty string (the interleave identity breaks; `split` and
+    * `regexp_extract_all` would disagree on bounds). O(units²) per row —
+    * the fold's accumulator array is copied per step — which is fine at
+    * paragraph granularity and the reason the shipped separators take the
+    * native kernel instead.
+    */
+  private[graft] def unitSpansHof(text: Column, sepRegex: String): Column = {
     val pieces = split(text, sepRegex, -1)
     val seps = regexp_extract_all(text, lit(sepRegex), lit(0))
     val emptyArr = array().cast("array<struct<st:bigint,en:bigint>>")
