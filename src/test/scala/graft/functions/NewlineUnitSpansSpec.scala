@@ -98,6 +98,34 @@ class NewlineUnitSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("malformed UTF-8 degrades deterministically (no crash, spans cover the string)") {
+    // a truncated lead byte or a bare continuation byte breaks the
+    // numChars/byte-scan agreement other kernels had to size buffers for;
+    // here there is no buffer to overflow, but the spans must still be
+    // deterministic, start at 0, be contiguous (next.st == prev.en + sep),
+    // and never index past the char count the same byte-scan rule yields.
+    val hostile = Seq(
+      Array[Byte](0xE4.toByte, '\n', '\n', 'A', 'B'),
+      Array[Byte]('x', 0xC3.toByte, '\n', 0x85.toByte, '\n', 'r'),
+      Array[Byte](0x85.toByte, 0x85.toByte, '\n', '\n', 'a'))
+    for (bs <- hostile; minRun <- Seq(1, 2)) {
+      val s = UTF8String.fromBytes(bs)
+      val a = NewlineUnitSpanOps.spans(s, minRun)
+      val b = NewlineUnitSpanOps.spans(s, minRun)
+      def seq(g: org.apache.spark.sql.catalyst.util.GenericArrayData) =
+        (0 until g.numElements()).map { i =>
+          val r = g.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+        }
+      assert(seq(a) == seq(b), "non-deterministic on hostile bytes")
+      val spans = seq(a)
+      assert(spans.head._1 == 0L)
+      spans.foreach { case (st, en) => assert(en >= st - 1) }
+      assert(spans.sliding(2).forall {
+        case Seq((_, en1), (st2, _)) => st2 > en1; case _ => true
+      })
+    }
+  }
+
   test("dispatcher routes shipped separators to the kernel, custom to the fold") {
     val ss = spark; import ss.implicits._
     val df = Seq("a\n \nb\n\nc").toDF("t")
