@@ -2896,6 +2896,100 @@ object PipelineQueries {
       .orderBy("page_id", "unit_idx")
   }
 
+  /** The COMPOSED pretraining-cleanup pass (P58): paragraph dedup →
+    * canonical re-join → exact substring removal, one call
+    * ([[graft.pipeline.CleanPipeline.cleanCorpus]]), in the production
+    * order (CCNet/C4/RefinedWeb run the sub-document pass first). The
+    * oracle chains the two existing derivations END-TO-END — page units →
+    * normalized-string dup ranks → kept units re-joined with
+    * `chr(10)||chr(10)` → literal 20-gram strings over the CLEANED text →
+    * islands → pieces — and pins every cleaned document's piece geometry
+    * AND text md5 (uncut docs emit their full-range piece, so untouched
+    * text is pinned too). Substrate-adversarial twice over: the engine
+    * keys paragraphs on md5₆₀ fingerprints and substrings on 128-bit
+    * rolling hashes; DuckDB partitions by the literal normalized strings
+    * and literal gram strings. A boundary bug in EITHER stage — or in the
+    * hand-off between them — breaks the composed hashes even where each
+    * stage's own oracle might not notice.
+    */
+  val cleanPipelineQ: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_clean_pipeline",
+      s"""WITH ${pageUnitsSql("chr(10)||chr(10)")},
+         |cutset AS (SELECT page_id, idx FROM rk WHERE nocc >= 2 AND rn > 1),
+         |keptu AS (SELECT u.page_id, u.idx, u.piece FROM units u
+         |          LEFT JOIN cutset c ON c.page_id = u.page_id AND c.idx = u.idx
+         |          WHERE c.idx IS NULL),
+         |cleaned AS (SELECT page_id,
+         |              string_agg(piece, chr(10)||chr(10) ORDER BY idx) AS text
+         |            FROM keptu GROUP BY page_id),
+         |t AS (SELECT page_id,
+         |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |      FROM cleaned),
+         |gr AS (
+         |  SELECT page_id, i, array_to_string(toks[i:i+${minLen - 1}], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${minLen - 2})) AS i) ls),
+         |rk2 AS (SELECT page_id, i,
+         |          row_number() OVER (PARTITION BY g ORDER BY page_id, i) AS rn,
+         |          count(*) OVER (PARTITION BY g) AS nocc
+         |        FROM gr),
+         |iv AS (SELECT page_id, i AS st, i + ${minLen - 1} AS en
+         |       FROM rk2 WHERE nocc >= 2 AND rn > 1),
+         |m AS (SELECT page_id, st, en,
+         |        max(en) OVER (PARTITION BY page_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |s2 AS (SELECT page_id, st, en,
+         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY page_id ORDER BY st, en
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |cut AS (SELECT page_id, isl, min(st) AS st, max(en) AS en
+         |        FROM s2 GROUP BY page_id, isl),
+         |nt AS (SELECT page_id, len(toks) AS n FROM t),
+         |ct AS (SELECT page_id, sum(en - st + 1) AS cut_tokens FROM cut
+         |       GROUP BY page_id),
+         |b AS (SELECT page_id, st, en,
+         |        lag(en) OVER (PARTITION BY page_id ORDER BY st) AS prev_en
+         |      FROM cut),
+         |gaps AS (
+         |  SELECT page_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
+         |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
+         |  UNION ALL
+         |  SELECT tl.page_id, tl.pst, nt.n AS pen
+         |  FROM (SELECT page_id, max(en) + 1 AS pst FROM cut GROUP BY page_id) tl
+         |  JOIN nt ON nt.page_id = tl.page_id WHERE nt.n >= tl.pst
+         |  UNION ALL
+         |  SELECT nt.page_id, 1 AS pst, nt.n AS pen
+         |  FROM nt LEFT JOIN (SELECT DISTINCT page_id FROM cut) cd
+         |    ON cd.page_id = nt.page_id
+         |  WHERE nt.n >= 1 AND cd.page_id IS NULL),
+         |pieces AS (SELECT page_id,
+         |             row_number() OVER (PARTITION BY page_id ORDER BY pst) - 1
+         |               AS piece_idx,
+         |             pst, pen
+         |           FROM gaps)
+         |SELECT p.page_id, p.piece_idx::BIGINT AS piece_idx,
+         |       (p.pst - 1)::BIGINT AS st, (p.pen - 1)::BIGINT AS en,
+         |       (p.pen - p.pst + 1)::BIGINT AS n_tokens,
+         |       coalesce(ct.cut_tokens, 0)::BIGINT AS cut_tokens,
+         |       md5(array_to_string(t.toks[p.pst:p.pen], ' ')) AS text_hash
+         |FROM pieces p
+         |JOIN t ON t.page_id = p.page_id
+         |LEFT JOIN ct ON ct.page_id = p.page_id
+         |ORDER BY p.page_id, piece_idx""".stripMargin) { (s, dir) =>
+      graft.pipeline.CleanPipeline.cleanCorpus(
+          pages(s, dir, "\n\n").select(col("page_id").as("doc_id"), col("text")),
+          minLen = minLen)
+        .select(col("doc_id").as("page_id"), col("piece_idx"), col("st"),
+          col("en"), col("n_tokens"), col("cut_tokens"),
+          md5(col("text")).as("text_hash"))
+        .orderBy("page_id", "piece_idx")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
@@ -2915,5 +3009,5 @@ object PipelineQueries {
     incrementalSubstrRemoval, packSpanMasks,
     bigramLmQuality, weightedSampleQ,
     paragraphDedupQ, lineDedupQ, paragraphDedupBytes,
-    incrementalParagraphDedup)
+    incrementalParagraphDedup, cleanPipelineQ)
 }

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Behavior coverage for the composed cleanup pass (P58) — the DuckDB
+  * oracle (`p_clean_pipeline`) pins the full chain to the hash; this spec
+  * pins the SEMANTIC claims a user relies on: production order (the
+  * paragraph stage runs first, so the substring stage never sees cut
+  * paragraphs), keeper discipline at both stages, docs that lose every
+  * unit vanish, untouched docs emit one full-range piece, and the
+  * canonical re-join is token-space invariant.
+  */
+class CleanPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-cleanpipeline-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run20(words: Char): String =
+    (1 to 25).map(i => s"$words$i").mkString(" ") // a 25-token unique-ish run
+
+  test("production order: the paragraph stage cuts before the substring stage looks") {
+    val ss = spark; import ss.implicits._
+    // BOILER paragraph (26 tokens) duplicated across docs 1 and 2; doc 2
+    // also shares a 25-token run with doc 3 inside otherwise-unique text
+    val boiler = "cookie notice " + run20('b')
+    val shared = run20('s')
+    val docs = Seq(
+      (1L, s"${run20('a')}\n\n$boiler"),
+      (2L, s"$boiler\n\n$shared early body"),
+      (3L, s"late body $shared\n\n${run20('z')}")).toDF("doc_id", "text")
+    val out = CleanPipeline.cleanCorpus(docs, minLen = 20)
+      .select("doc_id", "piece_idx", "st", "en", "n_tokens", "cut_tokens", "text")
+      .collect()
+
+    // doc 1 keeps the boiler (first occurrence) and its own run: one
+    // full-range piece, zero substring cuts
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.length == 1 && d1.head.getAs[Long]("cut_tokens") == 0L)
+    assert(d1.head.getAs[String]("text").contains("cookie notice"))
+
+    // doc 2's boiler paragraph is GONE before the substring stage (its
+    // text never contains the boiler tokens), and as the first occurrence
+    // of the shared run it KEEPS that run
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.nonEmpty && d2.forall(!_.getAs[String]("text").contains("cookie")))
+    assert(d2.exists(_.getAs[String]("text").contains("s1 s2")))
+
+    // doc 3 loses the shared run to the keeper (doc 2): cut_tokens > 0 and
+    // no piece contains it
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.nonEmpty && d3.head.getAs[Long]("cut_tokens") >= 25L)
+    assert(d3.forall(!_.getAs[String]("text").contains("s1 s2 s3")))
+  }
+
+  test("a doc whose every unit is a non-keeper duplicate emits nothing") {
+    val ss = spark; import ss.implicits._
+    val p1 = run20('p'); val p2 = run20('q')
+    val docs = Seq(
+      (1L, s"$p1\n\n$p2"),
+      (2L, s"$p1\n\n$p2")).toDF("doc_id", "text")
+    val out = CleanPipeline.cleanCorpus(docs, minLen = 20)
+    assert(out.filter(col("doc_id") === 2L).count() == 0L)
+    // ...and doc 1 survives whole (it is the keeper at BOTH stages)
+    assert(out.filter(col("doc_id") === 1L).count() == 1L)
+  }
+
+  test("composition identity: cleanCorpus == removal over re-joined kept units") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, s"${run20('a')}\n\n${run20('b')}"),
+      (2L, s"${run20('b')}\n\n${run20('c')} ${run20('a')}")).toDF("doc_id", "text")
+    val composed = CleanPipeline.cleanCorpus(docs, minLen = 20)
+    val manual = Dedup.removeDupSpansExact(
+      CleanPipeline.rejoinKept(
+        ParagraphDedup.dedupUnits(docs, ParagraphDedup.ParagraphSep,
+          "doc_id", "text"), "\n\n"), 20)
+    assert(composed.exceptAll(manual).isEmpty && manual.exceptAll(composed).isEmpty)
+  }
+
+  test("the canonical joiner is token-space invariant") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L, s"${run20('a')}\n\n\n\n${run20('b')}")).toDF("doc_id", "text")
+    val a = CleanPipeline.cleanCorpus(docs, joiner = "\n\n", minLen = 20)
+    val b = CleanPipeline.cleanCorpus(docs, joiner = " ", minLen = 20)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
