@@ -37,21 +37,114 @@ import org.apache.spark.sql.functions._
   */
 object CleanPipeline {
 
+  /** `materializeIntermediate` (default true): stage 2 consumes the
+    * cleaned corpus TWICE (its substrate persist and its lazy emission
+    * tail), and unlike the removal family's usual raw-parquet input the
+    * cleaned corpus is a derived chain — re-deriving it per consumer
+    * measured 1.4× slower at ×1000 (CLEANPIPE_AB.json, interleaved,
+    * geometry-pinned), so the default `localCheckpoint`s it once. On a
+    * real cluster prefer staging the cleaned corpus to the lake between
+    * passes (write + read back): a local checkpoint truncates lineage,
+    * so an executor loss mid-stage-2 cannot recompute — the same reason
+    * a production chain persists its intermediate anyway. `false` keeps
+    * the fully-lazy stream-to-sink shape.
+    */
   def cleanCorpus(docs: DataFrame,
       sepRegex: String = ParagraphDedup.ParagraphSep,
       joiner: String = "\n\n", minLen: Int = 20,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cleaned = rejoinKept(
+      idCol: String = "doc_id", textCol: String = "text",
+      materializeIntermediate: Boolean = true): DataFrame = {
+    val cleaned0 = rejoinKept(
       ParagraphDedup.dedupUnits(docs, sepRegex, idCol, textCol), joiner)
+    val cleaned =
+      if (materializeIntermediate) cleaned0.localCheckpoint() else cleaned0
     Dedup.removeDupSpansExact(cleaned, minLen)
   }
 
   /** Kept units re-assembled into cleaned documents: `(doc_id, text)`,
     * units in original order joined with the canonical separator.
     */
-  private[pipeline] def rejoinKept(kept: DataFrame, joiner: String): DataFrame =
+  private[graft] def rejoinKept(kept: DataFrame, joiner: String): DataFrame =
     kept.groupBy("doc_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("unit_idx"), col("text")))),
           x => x.getField("text")), joiner).as("text"))
+
+  // ---- Incremental (daily-crawl) form --------------------------------
+
+  /** The corpus-side state of INCREMENTAL composed cleanup: the paragraph
+    * stage's unit-fingerprint index plus the substring stage's gram index
+    * built over the CLEANED corpus (stage 2 of the batch chain sees
+    * cleaned text, so its index must too). `joiner` rides along so a
+    * probe can never re-join with a mismatched canonical separator.
+    *
+    * CONTRACT — MONOTONE doc ids (every increment id GREATER than every
+    * indexed id), stronger than the component indexes' disjointness: a
+    * smaller increment id sharing a unit with a corpus doc would steal
+    * the union keeper, meaning the batch chain would cut the CORPUS
+    * copy — text an incremental pass has already emitted and can never
+    * re-emit. Under monotone ids union keepers always land corpus-side
+    * (or increment-internal for new content), so the cleaned corpus is
+    * stable and increment output is exactly batch-equal. Daily crawls
+    * assign ids monotonically, so this is the natural deployment shape.
+    */
+  final case class CleanIndex(para: ParagraphDedup.ParagraphIndex,
+      substr: Dedup.ExactSubstrIndex, joiner: String) {
+    def unpersist(): Unit = { para.unpersist(); substr.unpersist() }
+  }
+
+  /** Build both stages' corpus-side state once; probe per increment with
+    * [[incrementalCleanCorpus]], fold shipped increments forward with
+    * [[updateCleanIndex]]. The substring index is built over the CLEANED
+    * corpus (one batch paragraph pass — the same pass that produced the
+    * corpus the lake actually stores).
+    */
+  def buildCleanIndex(corpus: DataFrame,
+      sepRegex: String = ParagraphDedup.ParagraphSep,
+      joiner: String = "\n\n", minLen: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): CleanIndex = {
+    val para = ParagraphDedup.buildParagraphIndex(corpus, sepRegex, idCol, textCol)
+    val cleaned = rejoinKept(
+      ParagraphDedup.dedupUnits(corpus, sepRegex, idCol, textCol), joiner)
+    CleanIndex(para, Dedup.buildExactSubstrIndex(cleaned, minLen), joiner)
+  }
+
+  /** INCREMENTAL composed cleanup — the daily-crawl twin of
+    * [[cleanCorpus]]: the increment is paragraph-deduped against the unit
+    * index (exactly batch-equal, P57), re-joined canonically, and
+    * substring-probed against the cleaned-corpus gram index (exactly
+    * batch-equal, P52). Under the monotone-id contract the composition is
+    * itself exactly batch-equal: running [[cleanCorpus]] over
+    * corpus ∪ increment and restricting to increment docs yields these
+    * rows bit-for-bit (pinned by the `p_incremental_clean_pipeline`
+    * oracle and `CleanPipelineSpec`).
+    */
+  def incrementalCleanCorpus(incoming: DataFrame, index: CleanIndex,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.incrementalRemoveDupSpansExact(
+      // increment-sized, consumed twice by stage 2 (substrate + emission):
+      // checkpoint once — cheap at any scale, same rationale as the batch
+      // form's materializeIntermediate default
+      rejoinKept(
+        ParagraphDedup.incrementalDedupUnits(incoming, index.para, idCol, textCol),
+        index.joiner).localCheckpoint(),
+      index.substr)
+
+  /** Fold a shipped increment into both halves: the paragraph index folds
+    * over the RAW increment (its state is pre-clean unit fingerprints),
+    * the substring index over the CLEANED increment (its state mirrors
+    * the cleaned lake) — cleaned against the CURRENT paragraph index,
+    * before that index absorbs the increment. Returns a NEW persisted
+    * index; retire the old one once the swap is durable.
+    */
+  def updateCleanIndex(index: CleanIndex, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): CleanIndex = {
+    val cleanedInc = rejoinKept(
+      ParagraphDedup.incrementalDedupUnits(incoming, index.para, idCol, textCol),
+      index.joiner)
+    CleanIndex(
+      ParagraphDedup.updateParagraphIndex(index.para, incoming, idCol, textCol),
+      Dedup.updateExactSubstrIndex(index.substr, cleanedInc),
+      index.joiner)
+  }
 }

@@ -2990,6 +2990,102 @@ object PipelineQueries {
     }
   }
 
+  /** INCREMENTAL composed cleanup (P58's daily-crawl form): the HIGH-id
+    * pages (page_id > 4/5 of max — a MONOTONE split, the composed-index
+    * contract: a smaller increment id could steal a union keeper and
+    * change the already-emitted cleaned corpus) probed as an increment
+    * against [[graft.pipeline.CleanPipeline.buildCleanIndex]] state built
+    * from the low-id pages. Batch-equality oracle: DuckDB runs the FULL
+    * composed chain over ALL pages and restricts output to the increment
+    * side — the probe's two index joins (unit fingerprints, cleaned-corpus
+    * grams) must reconstruct union verdicts exactly, through the re-join
+    * hand-off.
+    */
+  val incrementalCleanPipeline: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_incremental_clean_pipeline",
+      s"""WITH ${pageUnitsSql("chr(10)||chr(10)")},
+         |cutset AS (SELECT page_id, idx FROM rk WHERE nocc >= 2 AND rn > 1),
+         |keptu AS (SELECT u.page_id, u.idx, u.piece FROM units u
+         |          LEFT JOIN cutset c ON c.page_id = u.page_id AND c.idx = u.idx
+         |          WHERE c.idx IS NULL),
+         |cleaned AS (SELECT page_id,
+         |              string_agg(piece, chr(10)||chr(10) ORDER BY idx) AS text
+         |            FROM keptu GROUP BY page_id),
+         |t AS (SELECT page_id,
+         |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |      FROM cleaned),
+         |gr AS (
+         |  SELECT page_id, i, array_to_string(toks[i:i+${minLen - 1}], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${minLen - 2})) AS i) ls),
+         |rk2 AS (SELECT page_id, i,
+         |          row_number() OVER (PARTITION BY g ORDER BY page_id, i) AS rn,
+         |          count(*) OVER (PARTITION BY g) AS nocc
+         |        FROM gr),
+         |iv AS (SELECT page_id, i AS st, i + ${minLen - 1} AS en
+         |       FROM rk2 WHERE nocc >= 2 AND rn > 1),
+         |m AS (SELECT page_id, st, en,
+         |        max(en) OVER (PARTITION BY page_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |s2 AS (SELECT page_id, st, en,
+         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY page_id ORDER BY st, en
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |cut AS (SELECT page_id, isl, min(st) AS st, max(en) AS en
+         |        FROM s2 GROUP BY page_id, isl),
+         |nt AS (SELECT page_id, len(toks) AS n FROM t),
+         |ct AS (SELECT page_id, sum(en - st + 1) AS cut_tokens FROM cut
+         |       GROUP BY page_id),
+         |b AS (SELECT page_id, st, en,
+         |        lag(en) OVER (PARTITION BY page_id ORDER BY st) AS prev_en
+         |      FROM cut),
+         |gaps AS (
+         |  SELECT page_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
+         |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
+         |  UNION ALL
+         |  SELECT tl.page_id, tl.pst, nt.n AS pen
+         |  FROM (SELECT page_id, max(en) + 1 AS pst FROM cut GROUP BY page_id) tl
+         |  JOIN nt ON nt.page_id = tl.page_id WHERE nt.n >= tl.pst
+         |  UNION ALL
+         |  SELECT nt.page_id, 1 AS pst, nt.n AS pen
+         |  FROM nt LEFT JOIN (SELECT DISTINCT page_id FROM cut) cd
+         |    ON cd.page_id = nt.page_id
+         |  WHERE nt.n >= 1 AND cd.page_id IS NULL),
+         |pieces AS (SELECT page_id,
+         |             row_number() OVER (PARTITION BY page_id ORDER BY pst) - 1
+         |               AS piece_idx,
+         |             pst, pen
+         |           FROM gaps)
+         |SELECT p.page_id, p.piece_idx::BIGINT AS piece_idx,
+         |       (p.pst - 1)::BIGINT AS st, (p.pen - 1)::BIGINT AS en,
+         |       (p.pen - p.pst + 1)::BIGINT AS n_tokens,
+         |       coalesce(ct.cut_tokens, 0)::BIGINT AS cut_tokens,
+         |       md5(array_to_string(t.toks[p.pst:p.pen], ' ')) AS text_hash
+         |FROM pieces p
+         |JOIN t ON t.page_id = p.page_id
+         |LEFT JOIN ct ON ct.page_id = p.page_id
+         |WHERE p.page_id > (SELECT (max(page_id) * 4) // 5 FROM pages)
+         |ORDER BY p.page_id, piece_idx""".stripMargin) { (s, dir) =>
+      val pg = pages(s, dir, "\n\n")
+        .select(col("page_id").as("doc_id"), col("text"))
+      val k = pg.agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
+      val idx = graft.pipeline.CleanPipeline.buildCleanIndex(
+        pg.filter(col("doc_id") <= k))
+      try
+        graft.pipeline.CleanPipeline.incrementalCleanCorpus(
+            pg.filter(col("doc_id") > k), idx)
+          .select(col("doc_id").as("page_id"), col("piece_idx"), col("st"),
+            col("en"), col("n_tokens"), col("cut_tokens"),
+            md5(col("text")).as("text_hash"))
+          .orderBy("page_id", "piece_idx")
+      finally idx.unpersist()
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
@@ -3009,5 +3105,5 @@ object PipelineQueries {
     incrementalSubstrRemoval, packSpanMasks,
     bigramLmQuality, weightedSampleQ,
     paragraphDedupQ, lineDedupQ, paragraphDedupBytes,
-    incrementalParagraphDedup, cleanPipelineQ)
+    incrementalParagraphDedup, cleanPipelineQ, incrementalCleanPipeline)
 }

@@ -90,6 +90,44 @@ class CleanPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(composed.exceptAll(manual).isEmpty && manual.exceptAll(composed).isEmpty)
   }
 
+  test("incremental composed == batch over the union, across an index fold") {
+    val ss = spark; import ss.implicits._
+    val boiler = "legal footer " + run20('f')
+    val r1 = run20('g'); val r2 = run20('h')
+    val corpus = Seq(
+      (1L, s"${run20('a')}\n\n$boiler\n\n$r1"),
+      (2L, s"${run20('b')}\n\n${run20('c')}")).toDF("doc_id", "text")
+    // inc1 repeats a corpus paragraph AND introduces new content (r2)
+    val inc1 = Seq(
+      (10L, s"$boiler\n\n$r2 fresh tail"),
+      (11L, s"${run20('d')}")).toDF("doc_id", "text")
+    // inc2 repeats corpus-run r1, inc1's paragraph content AND inc1's run
+    // r2 — cutting the latter two REQUIRES the fold to have carried inc1
+    val inc2 = Seq(
+      (20L, s"$r1 then $r2 and more"),
+      (21L, s"${run20('d')}\n\n${run20('e')}")).toDF("doc_id", "text")
+
+    val batch = CleanPipeline.cleanCorpus(
+      corpus.unionByName(inc1).unionByName(inc2), minLen = 20)
+    val idx0 = CleanPipeline.buildCleanIndex(corpus)
+    val out1 = CleanPipeline.incrementalCleanCorpus(inc1, idx0)
+    val idx1 = CleanPipeline.updateCleanIndex(idx0, inc1)
+    val out2 = CleanPipeline.incrementalCleanCorpus(inc2, idx1)
+    try {
+      val b1 = batch.filter(col("doc_id") >= 10L && col("doc_id") < 20L)
+      val b2 = batch.filter(col("doc_id") >= 20L)
+      assert(out1.exceptAll(b1).isEmpty && b1.exceptAll(out1).isEmpty)
+      assert(out2.exceptAll(b2).isEmpty && b2.exceptAll(out2).isEmpty)
+      // the fold mattered: inc2 lost content to inc1-side keepers
+      val d20 = out2.filter(col("doc_id") === 20L).collect()
+      assert(d20.nonEmpty && d20.head.getAs[Long]("cut_tokens") >= 25L)
+      assert(d20.forall(!_.getAs[String]("text").contains("h1 h2 h3")))
+      // 21's first paragraph duplicates inc1's doc 11 — cut at stage 1
+      val d21 = out2.filter(col("doc_id") === 21L).collect()
+      assert(d21.forall(!_.getAs[String]("text").contains("d1 d2 d3")))
+    } finally { idx1.unpersist(); idx0.unpersist() }
+  }
+
   test("the canonical joiner is token-space invariant") {
     val ss = spark; import ss.implicits._
     val docs = Seq((1L, s"${run20('a')}\n\n\n\n${run20('b')}")).toDF("doc_id", "text")
