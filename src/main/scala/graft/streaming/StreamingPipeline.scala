@@ -87,6 +87,16 @@ final case class StreamingParagraphDedup(
     query: org.apache.spark.sql.streaming.StreamingQuery,
     currentIndex: () => graft.pipeline.ParagraphDedup.ParagraphIndex)
 
+/** Handle on a running COMPOSED-cleanup stream
+  * ([[StreamingPipeline.cleanCorpusStream]]): `currentIndex()` is the
+  * two-stage corpus ∪ processed-batches state (paragraph unit index +
+  * cleaned-corpus gram index) — what deployment persists for the next
+  * run, and what the caller unpersists.
+  */
+final case class StreamingCleanPipeline(
+    query: org.apache.spark.sql.streaming.StreamingQuery,
+    currentIndex: () => graft.pipeline.CleanPipeline.CleanIndex)
+
 /** Structured Streaming variants of the stateless pipeline operators
   * (SURVEY.md §7.5: the reference is strictly batch; streaming enters only
   * on the extension surface). The same codegen'd column expressions from
@@ -407,6 +417,46 @@ object StreamingPipeline {
       }
       .start()
     StreamingParagraphDedup(q, () => idx)
+  }
+
+  /** Streaming COMPOSED cleanup (P58/P59's stream form) — every
+    * micro-batch runs the full production chain against the two-stage
+    * index (paragraph-probe → canonical re-join → substring-probe,
+    * [[graft.pipeline.CleanPipeline.incrementalCleanCorpus]] — exactly
+    * batch-equal under the monotone-id contract), its cleaned pieces
+    * handed to `sink`, and BOTH index halves folded forward
+    * ([[graft.pipeline.CleanPipeline.updateCleanIndex]]: raw batch into
+    * the paragraph half, CLEANED batch into the gram half) before the
+    * next trigger. foreachBatch for the same reason as the component
+    * twins: the probes need the batch's own aggregates, and the index is
+    * corpus-sized cross-batch state living outside the state store.
+    *
+    * At-least-once epochs + a NON-idempotent count fold (both halves):
+    * same-process retries are guarded by epoch, exactly as in
+    * [[removeDupSpansExactStream]] — a restart from checkpoint must pair
+    * a re-read index with the offsets it was folded to.
+    */
+  def cleanCorpusStream(docs: DataFrame,
+      initial: graft.pipeline.CleanPipeline.CleanIndex,
+      sink: (DataFrame, Long) => Unit): StreamingCleanPipeline = {
+    @volatile var idx = initial
+    var lastFolded = Long.MinValue
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.pipeline.CleanPipeline.incrementalCleanCorpus(batch, idx),
+          epoch)
+        if (epoch > lastFolded) {
+          val next = graft.pipeline.CleanPipeline.updateCleanIndex(idx, batch)
+          // materialize both halves before retiring the superseded index
+          next.para.units.count(); next.substr.grams.count()
+          if (idx ne initial) idx.unpersist()
+          idx = next
+          lastFolded = epoch
+        }
+      }
+      .start()
+    StreamingCleanPipeline(q, () => idx)
   }
 
   /** Gap-based user sessionization with CUSTOM state

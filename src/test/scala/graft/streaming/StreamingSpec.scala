@@ -442,6 +442,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"docs 10 (vs corpus) and 20 (vs batch-1 fold) must be cut: $cutDocs")
   }
 
+  test("streaming composed cleanup: both index halves fold, every batch batch-equal") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def run25(c: Char): String = (1 to 25).map(i => s"$c$i").mkString(" ")
+    val boiler = "terms banner " + run25('f')
+    val corpus = Seq((0L, s"$boiler\n\n${run25('r')} tail")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, s"$boiler\n\n${run25('s')} fresh"), // boiler cut at STAGE 1 vs corpus
+      (11L, run25('t')))                        // unique; batch 2 repeats both ways
+    val batch2 = Seq(
+      (20L, s"intro ${run25('s')} also ${run25('r')}"), // STAGE 2 cuts s (b1 fold,
+                                                        // through the CLEANED gram
+                                                        // index) AND r (corpus)
+      (21L, s"${run25('t')}\n\n${run25('u')}")) // STAGE 1 cuts t vs the b1 fold
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cut_tokens"), r.getAs[String]("text"))).toSeq
+
+    val idx0 = graft.pipeline.CleanPipeline.buildCleanIndex(corpus)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val h = StreamingPipeline.cleanCorpusStream(
+      input.toDF().toDF("doc_id", "text"), idx0,
+      (pieces, _) => got.synchronized { got ++= shape(pieces.collect()) })
+    try {
+      input.addData(batch1: _*); h.query.processAllAvailable()
+      input.addData(batch2: _*); h.query.processAllAvailable()
+    } finally h.query.stop()
+
+    val union = corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text"))
+    // the surviving two-half handle must equal a fresh union build: the
+    // paragraph half over raw docs, the gram half over the CLEANED union
+    val finalIdx = h.currentIndex()
+    val fresh = graft.pipeline.CleanPipeline.buildCleanIndex(union)
+    def unitSet(i: graft.pipeline.ParagraphDedup.ParagraphIndex) =
+      i.units.collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))).toSet
+    def gramSet(i: graft.pipeline.Dedup.ExactSubstrIndex) = i.grams.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("nocc"),
+        (r.getStruct(3).getLong(0), r.getStruct(3).getLong(1)))).toSet
+    assert(unitSet(finalIdx.para) == unitSet(fresh.para),
+      "post-stream paragraph half must equal a fresh union build")
+    assert(gramSet(finalIdx.substr) == gramSet(fresh.substr),
+      "post-stream gram half must equal a fresh build over the CLEANED union")
+    finalIdx.unpersist(); fresh.unpersist(); idx0.unpersist()
+
+    val expected = shape(graft.pipeline.CleanPipeline.cleanCorpus(union)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 10L)
+      .orderBy("doc_id", "piece_idx").collect())
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected,
+      "streamed pieces diverge from the composed batch run over the union")
+    // doc 20 lost BOTH runs at stage 2; doc 21 lost its first paragraph at
+    // stage 1 (so its pieces never contain t1..t25 and carry no stage-2 cut)
+    val d20 = got.filter(_._1 == 20L)
+    assert(d20.nonEmpty && d20.head._6 >= 50L, s"doc 20 must lose both runs: $d20")
+    assert(got.filter(_._1 == 21L).forall(!_._7.contains("t1 t2")),
+      "doc 21's duplicated paragraph must be gone before stage 2")
+  }
+
   test("streaming incremental near-dup: the index fold makes every batch probe corpus ∪ prior batches") {
     val sp = spark
     import sp.implicits._
