@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The composed pretraining-cleanup pass, in production order (CCNet/C4/
@@ -70,6 +70,83 @@ object CleanPipeline {
         transform(array_sort(collect_list(struct(col("unit_idx"), col("text")))),
           x => x.getField("text")), joiner).as("text"))
 
+  /** The FULL production cleanup chain — [[cleanCorpus]] with the
+    * document-level near-dup stage the real pipelines (CCNet, RefinedWeb;
+    * SURVEY §2.6) run between the sub-document pass and substring removal:
+    *
+    *   1. paragraph/line exact dedup ([[ParagraphDedup.dedupUnits]]) and
+    *      canonical re-join — the cleaned corpus;
+    *   2. document-level dedup over the CLEANED text: exact-duplicate
+    *      collapse to min-id representatives ([[Dedup.collapseReps]]),
+    *      MinHash + banded-LSH candidate pairs verified by exact Jaccard
+    *      ≥ `threshold` ([[Dedup.nearDupFramesFromReps]]), connected-
+    *      component cluster resolution ([[Dedup.dupClusters]]), and
+    *      KEEP-BEST representative selection ([[Dedup.keepBest]]) under
+    *      the caller's `quality` policy — every other cluster member is
+    *      dropped whole;
+    *   3. exact duplicated-substring removal over the surviving documents
+    *      ([[Dedup.removeDupSpansExact]]).
+    *
+    * Output = the piece schema over SURVIVING docs only: a document
+    * dropped as an exact duplicate or a near-dup cluster loser emits
+    * nothing; survivors emit their cleaned pieces (uncut survivors one
+    * full-range piece). `quality` scores a cleaned document — a `Column`
+    * over stage 1's `(doc_id, text)` — and defaults to cleaned-text
+    * length ("keep the longest"), cast to integer by [[Dedup.keepBest]];
+    * ties break to the smaller doc id, so the policy is total and
+    * deterministic.
+    *
+    * Stage boundaries matter: near-dup runs over CLEANED text (CCNet
+    * orders it this way because boilerplate paragraphs otherwise make
+    * unrelated pages near-duplicates), and substring removal runs LAST so
+    * its gram ranks never count occurrences inside documents that dedup
+    * discards anyway.
+    *
+    * Scale shape: stage 1 as in [[cleanCorpus]]; stage 2 adds ONE
+    * corpus-sized exchange (the rep collapse — its output is also the
+    * persisted signature substrate, so the banding chain and the survivor
+    * accounting reuse it rather than re-deriving the cleaned corpus) plus
+    * the near-dup family's keyed-bucket stages; pairs, clusters, keep-best
+    * and the loser set are all candidate-sized (vanishing fractions of the
+    * corpus) and checkpoint small, so the survivor anti-join broadcasts
+    * under AQE. Stage 3 is the removal family's shape over the surviving
+    * reps. The survivor table is `localCheckpoint`ed between stages (the
+    * same persist-the-hand-off rationale — and measured default — as
+    * `materializeIntermediate`): stage 3 consumes it twice (token
+    * substrate + emission tail), and on a real cluster it is the cleaned
+    * artifact a production run stages to the lake anyway.
+    */
+  def fullCleanCorpus(docs: DataFrame,
+      sepRegex: String = ParagraphDedup.ParagraphSep,
+      joiner: String = "\n\n", minLen: Int = 20,
+      shingleK: Int = 5, nHashes: Int = 18, rowsPerBand: Int = 6,
+      threshold: Double = 0.7, quality: Column = length(col("text")),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cleaned = rejoinKept(
+      ParagraphDedup.dedupUnits(docs, sepRegex, idCol, textCol), joiner)
+    // docs shorter than the shingle width never band (the signature kernel
+    // self-guards), so ALL reps flow through: short docs simply cannot
+    // near-dup-match and survive to stage 3 unless exact-duplicated.
+    val f = Dedup.nearDupFramesFromReps(Dedup.collapseReps(cleaned),
+      shingleK, nHashes, rowsPerBand, threshold)
+    val survivors =
+      try {
+        val pairs = f.verified.localCheckpoint() // eager: runs the pipeline
+        f.candShingles.unpersist(blocking = false)
+        val clusters = Dedup.dupClusters(pairs)
+        // losers = cluster members that are not their cluster's keep-best
+        // winner; quality is scored on the persisted reps (every cluster
+        // member is a rep — collapseReps ran first)
+        val losers = clusters
+          .join(Dedup.keepBest(clusters, f.spread, quality)
+            .select(col("keep_id").as("v")), Seq("v"), "left_anti")
+          .select(col("v").as("doc_id"))
+          .localCheckpoint()
+        f.spread.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+      } finally f.spread.unpersist(blocking = false)
+    Dedup.removeDupSpansExact(survivors, minLen)
+  }
+
   // ---- Incremental (daily-crawl) form --------------------------------
 
   /** The corpus-side state of INCREMENTAL composed cleanup: the paragraph
@@ -87,9 +164,21 @@ object CleanPipeline {
     * (or increment-internal for new content), so the cleaned corpus is
     * stable and increment output is exactly batch-equal. Daily crawls
     * assign ids monotonically, so this is the natural deployment shape.
+    *
+    * ENFORCED MECHANICALLY ([[IdContract]]): both halves carry a
+    * `max_doc_id` watermark maintained by build/update and persisted with
+    * the index; every probe and fold `require`s increment ids strictly
+    * above it — the paragraph half checks the RAW increment, the
+    * substring half the cleaned increment — so a violating increment
+    * fails loudly instead of silently rewriting emitted corpus text.
     */
   final case class CleanIndex(para: ParagraphDedup.ParagraphIndex,
       substr: Dedup.ExactSubstrIndex, joiner: String) {
+    /** The composed index's watermark — the paragraph half's, which sees
+      * every raw corpus id (the substring half's may sit lower when the
+      * largest absorbed doc emitted no cleaned text).
+      */
+    def maxDocId: Long = para.maxDocId
     def unpersist(): Unit = { para.unpersist(); substr.unpersist() }
   }
 
@@ -106,7 +195,12 @@ object CleanPipeline {
     val para = ParagraphDedup.buildParagraphIndex(corpus, sepRegex, idCol, textCol)
     val cleaned = rejoinKept(
       ParagraphDedup.dedupUnits(corpus, sepRegex, idCol, textCol), joiner)
-    CleanIndex(para, Dedup.buildExactSubstrIndex(cleaned, minLen), joiner)
+    // the substring half inherits the paragraph half's watermark rather
+    // than re-computing max(id) over `cleaned` — the cleaned corpus is a
+    // derived chain, and an eager max over it would cost a full extra
+    // stage-1 pass for a number the raw side already knows
+    CleanIndex(para,
+      Dedup.exactSubstrIndexAt(cleaned, minLen, para.maxDocId), joiner)
   }
 
   /** INCREMENTAL composed cleanup — the daily-crawl twin of

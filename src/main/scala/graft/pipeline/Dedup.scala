@@ -203,20 +203,34 @@ object Dedup {
   private[graft] case class NearDupFrames(
       spread: DataFrame, candShingles: DataFrame, verified: DataFrame)
 
-  private[graft] def nearDupFrames(docs: DataFrame, k: Int, nHashes: Int,
-      rowsPerBand: Int, threshold: Double): NearDupFrames = {
-    // collapse EXACT duplicates first (one representative per normalized-
-    // text fingerprint, min doc_id): exact-dup groups would otherwise land
-    // in one LSH bucket and expand N²/2 candidate pairs — the adversarial
-    // case (N copies of boilerplate) is precisely what dedup corpora
-    // contain. Exact-dup membership is `exactDupStats`' job; near-dup runs
-    // over representatives.
-    val reps = docs
+  /** Exact-duplicate representative collapse: one row per normalized-text
+    * fingerprint, the min-doc_id member as representative — the shared
+    * first step of every doc-level near-dup entry (exact-dup groups would
+    * otherwise land in one LSH bucket and expand N²/2 candidate pairs —
+    * the adversarial case, N copies of boilerplate, is precisely what
+    * dedup corpora contain). One map-side-combinable aggregate.
+    */
+  private[graft] def collapseReps(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         TextPipeline.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
       .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
+
+  private[graft] def nearDupFrames(docs: DataFrame, k: Int, nHashes: Int,
+      rowsPerBand: Int, threshold: Double): NearDupFrames =
+    nearDupFramesFromReps(collapseReps(docs), k, nHashes, rowsPerBand,
+      threshold)
+
+  /** [[nearDupFrames]] minus the rep collapse — the entry the composed
+    * full-cleanup pass uses, so a caller that already holds the collapsed
+    * representatives (and needs them for survivor accounting afterwards)
+    * never pays a second corpus-sized exchange. `reps` must be exactly
+    * [[collapseReps]]' output shape (doc_id, text), exact-dup free.
+    */
+  private[graft] def nearDupFramesFromReps(reps: DataFrame, k: Int,
+      nHashes: Int, rowsPerBand: Int, threshold: Double): NearDupFrames = {
     // spread docs across the cluster BEFORE the signature pass: the doc
     // table itself is small (one parquet split locally), but the per-doc
     // signature kernel is |text|·k MD5 bytes of CPU. The partition count
@@ -227,7 +241,7 @@ object Dedup {
     // measured SLOWER: the groupBy's own exchange partial-aggregates
     // map-side, collapsing duplicate texts before they cross the wire.)
     val spread = reps.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      reps.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // cand's two consumers (candIds, verify) reference IDENTICAL subtrees,
     // so the bucket aggregation's exchange is reused — persisting it only
@@ -278,7 +292,11 @@ object Dedup {
   def incrementalNearDup(incoming: DataFrame, corpus: DataFrame,
       k: Int = 5, nHashes: Int = 18, rowsPerBand: Int = 6,
       threshold: Double = 0.7): DataFrame = {
+    // one-shot throwaway index: UNWATERMARKED (see IdContract — there is
+    // no persisted emission for the monotone contract to protect here, so
+    // the documented disjoint-id contract stays the caller's)
     val idx = buildNearDupIndex(corpus, k, nHashes, rowsPerBand)
+      .copy(maxDocId = IdContract.Unwatermarked)
     try incrementalNearDup(incoming, idx, threshold)
     finally idx.unpersist()
   }
@@ -294,7 +312,8 @@ object Dedup {
     * matches. Call [[NearDupIndex.unpersist]] when retiring the index.
     */
   final case class NearDupIndex(docStore: DataFrame, bands: DataFrame,
-      k: Int, nHashes: Int, rowsPerBand: Int) {
+      k: Int, nHashes: Int, rowsPerBand: Int,
+      maxDocId: Long = IdContract.Unwatermarked) {
     def unpersist(): Unit = {
       docStore.unpersist(blocking = false)
       bands.unpersist(blocking = false)
@@ -310,18 +329,14 @@ object Dedup {
     */
   def buildNearDupIndex(corpus: DataFrame, k: Int = 5, nHashes: Int = 18,
       rowsPerBand: Int = 6): NearDupIndex = {
-    val reps = corpus
-      .select(col("doc_id"), col("text"),
-        TextPipeline.fingerprint(col("text")).as("fp"))
-      .groupBy("fp")
-      .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
-      .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
+    val reps = collapseReps(corpus)
     val spread = reps.repartition(
       corpus.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val b = docBands(spread, k = k, nHashes = nHashes, rowsPerBand = rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    NearDupIndex(spread, b, k, nHashes, rowsPerBand)
+    NearDupIndex(spread, b, k, nHashes, rowsPerBand,
+      IdContract.maxId(corpus, "doc_id"))
   }
 
   /** Fold an increment into a [[NearDupIndex]] — the near-dup analogue of
@@ -352,6 +367,11 @@ object Dedup {
     */
   def updateNearDupIndex(index: NearDupIndex, incoming: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): NearDupIndex = {
+    // watermarked folds reject replays/non-monotone ids outright (the
+    // (doc_id, fp) band keying below remains the safety net for
+    // unwatermarked indexes, where re-ingestion is merely documented)
+    val wm = IdContract.requireAboveAndAdvance(incoming, idCol,
+      index.maxDocId, "updateNearDupIndex")
     def withFp(df: DataFrame) = df.select(col("doc_id"), col("text"),
       TextPipeline.fingerprint(col("text")).as("fp"))
     val store = withFp(index.docStore)
@@ -377,7 +397,7 @@ object Dedup {
       .unionByName(docBands(newReps, k = index.k, nHashes = index.nHashes,
         rowsPerBand = index.rowsPerBand))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    NearDupIndex(store, bands, index.k, index.nHashes, index.rowsPerBand)
+    NearDupIndex(store, bands, index.k, index.nHashes, index.rowsPerBand, wm)
   }
 
   /** Persist a [[NearDupIndex]] to `dir` as parquet — the cross-restart
@@ -396,8 +416,8 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/bands")
     val spark = index.docStore.sparkSession
     import spark.implicits._
-    Seq((index.k, index.nHashes, index.rowsPerBand))
-      .toDF("k", "n_hashes", "rows_per_band")
+    Seq((index.k, index.nHashes, index.rowsPerBand, index.maxDocId))
+      .toDF("k", "n_hashes", "rows_per_band", "max_doc_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -414,7 +434,10 @@ object Dedup {
       spark.read.parquet(s"$dir/bands")
         .persist(StorageLevel.MEMORY_AND_DISK),
       meta.getAs[Int]("k"), meta.getAs[Int]("n_hashes"),
-      meta.getAs[Int]("rows_per_band"))
+      meta.getAs[Int]("rows_per_band"),
+      if (meta.schema.fieldNames.contains("max_doc_id"))
+        meta.getAs[Long]("max_doc_id")
+      else IdContract.Unwatermarked)
   }
 
   /** The amortized form: probe a prebuilt [[NearDupIndex]]. Only the
@@ -423,13 +446,10 @@ object Dedup {
     */
   def incrementalNearDup(incoming: DataFrame, index: NearDupIndex,
       threshold: Double): DataFrame = {
+    IdContract.requireAbove(incoming, "doc_id", index.maxDocId,
+      "incrementalNearDup")
     val k = index.k
-    val incReps = incoming
-      .select(col("doc_id"), col("text"),
-        TextPipeline.fingerprint(col("text")).as("fp"))
-      .groupBy("fp")
-      .agg(min(struct(col("doc_id"), col("text"))).as("rep"))
-      .select(col("rep.doc_id").as("doc_id"), col("rep.text").as("text"))
+    val incReps = collapseReps(incoming)
     val incSpread = incReps.repartition(
       incoming.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1368,7 +1388,8 @@ object Dedup {
     * co-locate without shuffling the index. Call [[ExactSubstrIndex
     * .unpersist]] when retiring it.
     */
-  final case class ExactSubstrIndex(grams: DataFrame, minLen: Int) {
+  final case class ExactSubstrIndex(grams: DataFrame, minLen: Int,
+      maxDocId: Long = IdContract.Unwatermarked) {
     def unpersist(): Unit = grams.unpersist(blocking = false)
   }
 
@@ -1393,12 +1414,25 @@ object Dedup {
     * increment into it with [[updateExactSubstrIndex]].
     */
   def buildExactSubstrIndex(corpus: DataFrame, minLen: Int,
-      idCol: String = "doc_id", textCol: String = "text"): ExactSubstrIndex = {
+      idCol: String = "doc_id", textCol: String = "text"): ExactSubstrIndex =
+    exactSubstrIndexAt(corpus, minLen, IdContract.maxId(corpus, idCol),
+      idCol, textCol)
+
+  /** [[buildExactSubstrIndex]] with a caller-supplied [[IdContract]]
+    * watermark — for callers whose corpus is a DERIVED chain (the composed
+    * cleanup's cleaned corpus) where `max(id)` is already known from the
+    * raw side and re-deriving the chain just to re-compute it would cost a
+    * full extra pass. Pass [[IdContract.Unwatermarked]] for the one-shot
+    * unenforced mode.
+    */
+  private[graft] def exactSubstrIndexAt(corpus: DataFrame, minLen: Int,
+      maxDocId: Long, idCol: String = "doc_id",
+      textCol: String = "text"): ExactSubstrIndex = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     ExactSubstrIndex(
       exactGramAgg(corpus, minLen, idCol, textCol)
         .persist(StorageLevel.MEMORY_AND_DISK),
-      minLen)
+      minLen, maxDocId)
   }
 
   /** Fold an increment into the index — occurrence counts ADD and keepers
@@ -1409,14 +1443,17 @@ object Dedup {
     * old one ([[ExactSubstrIndex.unpersist]]) once the swap is durable.
     */
   def updateExactSubstrIndex(index: ExactSubstrIndex, incoming: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): ExactSubstrIndex =
+      idCol: String = "doc_id", textCol: String = "text"): ExactSubstrIndex = {
+    val wm = IdContract.requireAboveAndAdvance(incoming, idCol,
+      index.maxDocId, "updateExactSubstrIndex")
     ExactSubstrIndex(
       index.grams
         .unionByName(exactGramAgg(incoming, index.minLen, idCol, textCol))
         .groupBy("g1", "g2")
         .agg(sum(col("nocc")).as("nocc"), min(col("keeper")).as("keeper"))
         .persist(StorageLevel.MEMORY_AND_DISK),
-      index.minLen)
+      index.minLen, wm)
+  }
 
   /** Persist an [[ExactSubstrIndex]] to `dir` as parquet — `grams/`
     * clustered into `nBuckets` files by `(g1, g2)` (a bucketed table on a
@@ -1430,17 +1467,24 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/grams")
     val spark = index.grams.sparkSession
     import spark.implicits._
-    Seq(index.minLen).toDF("min_len")
+    Seq((index.minLen, index.maxDocId)).toDF("min_len", "max_doc_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Reload a disk-persisted index ([[writeExactSubstrIndex]]) in a fresh
     * session; persists lazily, so the first probe pays the parquet scan.
+    * The [[IdContract]] watermark round-trips with the index (pre-
+    * watermark dirs reload unwatermarked).
     */
-  def readExactSubstrIndex(spark: SparkSession, dir: String): ExactSubstrIndex =
+  def readExactSubstrIndex(spark: SparkSession, dir: String): ExactSubstrIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head
     ExactSubstrIndex(
       spark.read.parquet(s"$dir/grams").persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$dir/meta").head.getAs[Int]("min_len"))
+      meta.getAs[Int]("min_len"),
+      if (meta.schema.fieldNames.contains("max_doc_id"))
+        meta.getAs[Long]("max_doc_id")
+      else IdContract.Unwatermarked)
+  }
 
   /** INCREMENTAL exact duplicated-substring removal — the daily-crawl twin
     * of [[removeDupSpansExact]], mirroring [[incrementalNearDup]] vs its
@@ -1476,6 +1520,8 @@ object Dedup {
       index: ExactSubstrIndex, idCol: String = "doc_id",
       textCol: String = "text", keepFirst: Boolean = true,
       emitOriginal: Boolean = false): DataFrame = {
+    IdContract.requireAbove(incoming, idCol, index.maxDocId,
+      "incrementalRemoveDupSpansExact")
     val f = incrementalExactSubstrFrames(incoming, index, idCol, textCol,
       keepFirst)
     val cuts = // eager: affected docs only; finally: no substrate leak on failure
@@ -1488,11 +1534,14 @@ object Dedup {
   /** Convenience form: build the index from a corpus `DataFrame`, probe
     * once, retire it. Deployment should hold a persisted/bucketed index
     * ([[buildExactSubstrIndex]] / [[writeExactSubstrIndex]]) instead —
-    * this rebuilds the corpus-side aggregate every call.
+    * this rebuilds the corpus-side aggregate every call. The throwaway
+    * index is UNWATERMARKED ([[IdContract]]): a one-shot probe emits only
+    * the increment, so increment-side batch equality under plain id
+    * disjointness — the caller's contract here — is all it promises.
     */
   def incrementalRemoveDupSpansExact(incoming: DataFrame, corpus: DataFrame,
       minLen: Int): DataFrame = {
-    val idx = buildExactSubstrIndex(corpus, minLen)
+    val idx = exactSubstrIndexAt(corpus, minLen, IdContract.Unwatermarked)
     try incrementalRemoveDupSpansExact(incoming, idx)
     finally idx.unpersist()
   }

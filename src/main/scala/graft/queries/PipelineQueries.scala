@@ -3086,6 +3086,153 @@ object PipelineQueries {
     }
   }
 
+  /** The FULL production cleanup chain (P60): paragraph dedup → canonical
+    * re-join → document-level near-dup (exact-rep collapse, MinHash LSH
+    * pairs, connected-component clusters, keep-best by cleaned-text
+    * length) → exact substring removal over the survivors, one call
+    * ([[graft.pipeline.CleanPipeline.fullCleanCorpus]]) — the pass
+    * CCNet/RefinedWeb actually run. The oracle chains ALL THREE stages'
+    * literal-substrate derivations in one WITH chain: page units →
+    * normalized-string dup ranks → string_agg re-join → literal
+    * normalized-string rep collapse → literal 5-char-shingle minhash
+    * bands → candidate pairs → exact Jaccard → 3 unrolled CC rounds →
+    * keep-best row_number → literal 20-gram islands over the SURVIVORS →
+    * pieces, pinning every surviving document's piece geometry and text
+    * md5. Substrate-adversarial at every hand-off: the engine keys on
+    * md5₆₀ fingerprints / native minhash signatures / 128-bit rolling
+    * gram hashes; the oracle partitions by the literal strings. A
+    * boundary bug in ANY stage — or a wrongly-dropped / wrongly-kept
+    * document — breaks the composed hashes.
+    */
+  val fullPipelineQ: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_full_pipeline",
+      s"""WITH ${pageUnitsSql("chr(10)||chr(10)")},
+         |cutset AS (SELECT page_id, idx FROM rk WHERE nocc >= 2 AND rn > 1),
+         |keptu AS (SELECT u.page_id, u.idx, u.piece FROM units u
+         |          LEFT JOIN cutset c ON c.page_id = u.page_id AND c.idx = u.idx
+         |          WHERE c.idx IS NULL),
+         |cleaned AS (SELECT page_id,
+         |              string_agg(piece, chr(10)||chr(10) ORDER BY idx) AS text
+         |            FROM keptu GROUP BY page_id),
+         |crep AS (
+         |  SELECT min(page_id) AS page_id, arg_min(text, page_id) AS text
+         |  FROM (SELECT page_id, text,
+         |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |        FROM cleaned)
+         |  GROUP BY norm),
+         |nddocs AS (SELECT page_id AS doc_id, lower(text) AS t FROM crep
+         |           WHERE len(text) >= 5),
+         |ndpos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM nddocs),
+         |ndsh AS (SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS sh FROM ndpos),
+         |ndhb AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashPrime} AS hb FROM ndsh),
+         |ndmh AS (
+         |  SELECT doc_id, s.seed, min((hb * s.a + s.b) % ${Dedup.MinhashPrime}) AS minhash
+         |  FROM ndhb, (VALUES ${Dedup.minhashSeeds(18).zipWithIndex
+          .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+          .mkString(", ")}) s(seed, a, b)
+         |  GROUP BY doc_id, s.seed),
+         |ndbands AS (
+         |  SELECT doc_id, (seed // 6)::INT AS band,
+         |         ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15))::BIGINT AS bh
+         |  FROM ndmh GROUP BY doc_id, seed // 6),
+         |ndcand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM ndbands a JOIN ndbands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ndsz AS (SELECT doc_id, count(*) AS sz FROM ndsh GROUP BY doc_id),
+         |ndint AS (
+         |  SELECT c.d1, c.d2, count(*) AS nab
+         |  FROM ndcand c JOIN ndsh a ON a.doc_id = c.d1 JOIN ndsh b ON b.doc_id = c.d2 AND b.sh = a.sh
+         |  GROUP BY c.d1, c.d2),
+         |ndpairs AS (
+         |  SELECT d1, d2 FROM ndint
+         |  JOIN ndsz s1 ON s1.doc_id = d1 JOIN ndsz s2 ON s2.doc_id = d2
+         |  WHERE nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE >= 0.7),
+         |e AS (SELECT d1 AS a, d2 AS b FROM ndpairs UNION SELECT d2, d1 FROM ndpairs),
+         |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),
+         |l1 AS (SELECT v, min(lbl) AS lbl FROM (
+         |         SELECT v, lbl FROM l0
+         |         UNION ALL SELECT e.b, l0.lbl FROM e JOIN l0 ON l0.v = e.a) GROUP BY v),
+         |l2 AS (SELECT v, min(lbl) AS lbl FROM (
+         |         SELECT v, lbl FROM l1
+         |         UNION ALL SELECT e.b, l1.lbl FROM e JOIN l1 ON l1.v = e.a) GROUP BY v),
+         |l3 AS (SELECT v, min(lbl) AS lbl FROM (
+         |         SELECT v, lbl FROM l2
+         |         UNION ALL SELECT e.b, l2.lbl FROM e JOIN l2 ON l2.v = e.a) GROUP BY v),
+         |kq AS (SELECT l3.v, l3.lbl, len(c.text) AS quality
+         |       FROM l3 JOIN crep c ON c.page_id = l3.v),
+         |kr AS (SELECT v, row_number() OVER (PARTITION BY lbl
+         |         ORDER BY quality DESC, v ASC) AS rn FROM kq),
+         |losers AS (SELECT v FROM kr WHERE rn > 1),
+         |surv AS (SELECT page_id, text FROM crep
+         |         WHERE page_id NOT IN (SELECT v FROM losers)),
+         |t AS (SELECT page_id,
+         |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |      FROM surv),
+         |gr AS (
+         |  SELECT page_id, i, array_to_string(toks[i:i+${minLen - 1}], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${minLen - 2})) AS i) ls),
+         |rk2 AS (SELECT page_id, i,
+         |          row_number() OVER (PARTITION BY g ORDER BY page_id, i) AS rn,
+         |          count(*) OVER (PARTITION BY g) AS nocc
+         |        FROM gr),
+         |iv AS (SELECT page_id, i AS st, i + ${minLen - 1} AS en
+         |       FROM rk2 WHERE nocc >= 2 AND rn > 1),
+         |m AS (SELECT page_id, st, en,
+         |        max(en) OVER (PARTITION BY page_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |s2 AS (SELECT page_id, st, en,
+         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY page_id ORDER BY st, en
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |cut AS (SELECT page_id, isl, min(st) AS st, max(en) AS en
+         |        FROM s2 GROUP BY page_id, isl),
+         |nt AS (SELECT page_id, len(toks) AS n FROM t),
+         |ct AS (SELECT page_id, sum(en - st + 1) AS cut_tokens FROM cut
+         |       GROUP BY page_id),
+         |b AS (SELECT page_id, st, en,
+         |        lag(en) OVER (PARTITION BY page_id ORDER BY st) AS prev_en
+         |      FROM cut),
+         |gaps AS (
+         |  SELECT page_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
+         |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
+         |  UNION ALL
+         |  SELECT tl.page_id, tl.pst, nt.n AS pen
+         |  FROM (SELECT page_id, max(en) + 1 AS pst FROM cut GROUP BY page_id) tl
+         |  JOIN nt ON nt.page_id = tl.page_id WHERE nt.n >= tl.pst
+         |  UNION ALL
+         |  SELECT nt.page_id, 1 AS pst, nt.n AS pen
+         |  FROM nt LEFT JOIN (SELECT DISTINCT page_id FROM cut) cd
+         |    ON cd.page_id = nt.page_id
+         |  WHERE nt.n >= 1 AND cd.page_id IS NULL),
+         |pieces AS (SELECT page_id,
+         |             row_number() OVER (PARTITION BY page_id ORDER BY pst) - 1
+         |               AS piece_idx,
+         |             pst, pen
+         |           FROM gaps)
+         |SELECT p.page_id, p.piece_idx::BIGINT AS piece_idx,
+         |       (p.pst - 1)::BIGINT AS st, (p.pen - 1)::BIGINT AS en,
+         |       (p.pen - p.pst + 1)::BIGINT AS n_tokens,
+         |       coalesce(ct.cut_tokens, 0)::BIGINT AS cut_tokens,
+         |       md5(array_to_string(t.toks[p.pst:p.pen], ' ')) AS text_hash
+         |FROM pieces p
+         |JOIN t ON t.page_id = p.page_id
+         |LEFT JOIN ct ON ct.page_id = p.page_id
+         |ORDER BY p.page_id, piece_idx""".stripMargin) { (s, dir) =>
+      graft.pipeline.CleanPipeline.fullCleanCorpus(
+          pages(s, dir, "\n\n").select(col("page_id").as("doc_id"), col("text")),
+          minLen = minLen)
+        .select(col("doc_id").as("page_id"), col("piece_idx"), col("st"),
+          col("en"), col("n_tokens"), col("cut_tokens"),
+          md5(col("text")).as("text_hash"))
+        .orderBy("page_id", "piece_idx")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
@@ -3105,5 +3252,6 @@ object PipelineQueries {
     incrementalSubstrRemoval, packSpanMasks,
     bigramLmQuality, weightedSampleQ,
     paragraphDedupQ, lineDedupQ, paragraphDedupBytes,
-    incrementalParagraphDedup, cleanPipelineQ, incrementalCleanPipeline)
+    incrementalParagraphDedup, cleanPipelineQ, incrementalCleanPipeline,
+    fullPipelineQ)
 }

@@ -128,6 +128,85 @@ class CleanPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { idx1.unpersist(); idx0.unpersist() }
   }
 
+  // ---- fullCleanCorpus (P60): + document-level near-dup stage ---------
+
+  /** ~200 unique-ish tokens — long enough that adding one word keeps
+    * shingle Jaccard ≈ 0.996, far above both the LSH band threshold and
+    * the 0.7 verify cut.
+    */
+  private def longRun(tag: Char): String =
+    (1 to 200).map(i => s"$tag$i").mkString(" ")
+
+  test("full chain: exact-dup reps, near-dup keep-best, substring cuts — in one pass") {
+    val ss = spark; import ss.implicits._
+    val base = longRun('n')
+    val shared = run20('s')
+    val docs = Seq(
+      // near-dup pair: 2 is LONGER, so keep-best (cleaned length) keeps 2
+      // and drops 1 — the policy, not min-id, decides
+      (1L, base),
+      (2L, s"$base zz9 tail"),
+      // same words, different paragraph structure: cleaned texts normalize
+      // equal, so stage 2a's exact-rep collapse keeps 5 and drops 6
+      // (stage 1 does NOT fire here — the unit fingerprints differ)
+      (5L, s"${run20('v')}\n\n${run20('w')}"),
+      (6L, s"${run20('v')} ${run20('w')}"),
+      // substring overlap only (jaccard far below 0.7): both survive
+      // doc-level dedup; 8 loses the shared run at stage 3
+      (7L, s"$shared ${run20('x')}"),
+      (8L, s"${run20('y')} $shared")).toDF("doc_id", "text")
+    val out = CleanPipeline.fullCleanCorpus(docs, minLen = 20)
+    val ids = out.select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(2L, 5L, 7L, 8L))
+    // keep-best kept the LONGER near-dup: doc 2 whole, untouched
+    val d2 = out.filter(col("doc_id") === 2L).collect()
+    assert(d2.length == 1 && d2.head.getAs[Long]("cut_tokens") == 0L)
+    // the substring stage still ran over survivors: 8 lost the shared run
+    val d8 = out.filter(col("doc_id") === 8L).collect()
+    assert(d8.nonEmpty && d8.head.getAs[Long]("cut_tokens") >= 20L)
+    assert(d8.forall(!_.getAs[String]("text").contains("s1 s2 s3")))
+    // ...and 7, the keeper occurrence, kept it
+    assert(out.filter(col("doc_id") === 7L).collect()
+      .exists(_.getAs[String]("text").contains("s1 s2 s3")))
+  }
+
+  test("full-chain composition identity against the stage-wise build") {
+    val ss = spark; import ss.implicits._
+    val base = longRun('m')
+    val docs = Seq(
+      (1L, s"${run20('a')}\n\n$base"),
+      (2L, s"$base extra"),
+      (3L, s"${run20('a')}\n\n${run20('c')} ${run20('d')}"),
+      (4L, s"${run20('d')} solo tail")).toDF("doc_id", "text")
+    val composed = CleanPipeline.fullCleanCorpus(docs, minLen = 20)
+    val cleaned = CleanPipeline.rejoinKept(
+      ParagraphDedup.dedupUnits(docs, ParagraphDedup.ParagraphSep,
+        "doc_id", "text"), "\n\n")
+    val reps = Dedup.collapseReps(cleaned)
+    val clusters = Dedup.dupClusters(Dedup.nearDupPairs(cleaned))
+    val losers = clusters
+      .join(Dedup.keepBest(clusters, reps, length(col("text")))
+        .select(col("keep_id").as("v")), Seq("v"), "left_anti")
+      .select(col("v").as("doc_id"))
+    val manual = Dedup.removeDupSpansExact(
+      reps.join(losers, Seq("doc_id"), "left_anti"), 20)
+    assert(composed.exceptAll(manual).isEmpty && manual.exceptAll(composed).isEmpty)
+  }
+
+  test("the keep-best quality policy is the caller's: inverted quality flips the winner") {
+    val ss = spark; import ss.implicits._
+    val base = longRun('p')
+    val docs = Seq(
+      (1L, base),
+      (2L, s"$base longer tail words")).toDF("doc_id", "text")
+    val longest = CleanPipeline.fullCleanCorpus(docs, minLen = 20)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val shortest = CleanPipeline.fullCleanCorpus(docs, minLen = 20,
+        quality = -length(col("text")))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(longest == Set(2L) && shortest == Set(1L))
+  }
+
   test("the canonical joiner is token-space invariant") {
     val ss = spark; import ss.implicits._
     val docs = Seq((1L, s"${run20('a')}\n\n\n\n${run20('b')}")).toDF("doc_id", "text")
