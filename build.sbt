@@ -52,4 +52,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // codegen-heavy drivers; Bench embeds per-segment peaks + JIT time in
   // every artifact so future discrepancies carry compiler evidence.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
-) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
+  // filter: an empty-string env var would otherwise contribute Array("")
+  // — a single empty JVM option that fails the forked java launch
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -261,11 +261,15 @@ object ParagraphDedup {
     * corpus-sized; here it is far smaller: one row per distinct
     * PARAGRAPH, not per token window — tens of bytes per corpus unit).
     * `sepRegex` rides along so a probe can never split with a mismatched
-    * unit notion. On a lake this is a table bucketed by `fp` so increment
-    * probes co-locate without shuffling the index. Call [[ParagraphIndex
-    * .unpersist]] when retiring it.
+    * unit notion, and `maxDocId` is the [[IdContract]] watermark every
+    * probe/fold `require`s increment ids strictly above
+    * ([[IdContract.Unwatermarked]] disables enforcement — the one-shot
+    * convenience overload's mode). On a lake this is a table bucketed by
+    * `fp` so increment probes co-locate without shuffling the index. Call
+    * [[ParagraphIndex.unpersist]] when retiring it.
     */
-  final case class ParagraphIndex(units: DataFrame, sepRegex: String) {
+  final case class ParagraphIndex(units: DataFrame, sepRegex: String,
+      maxDocId: Long = IdContract.Unwatermarked) {
     def unpersist(): Unit = units.unpersist(blocking = false)
   }
 
@@ -292,7 +296,8 @@ object ParagraphDedup {
     ParagraphIndex(
       unitFpAgg(corpus, sepRegex, idCol, textCol)
         .persist(StorageLevel.MEMORY_AND_DISK),
-      sepRegex)
+      sepRegex,
+      IdContract.maxId(corpus, idCol))
   }
 
   /** Fold an increment into the index — occurrence counts ADD and keepers
@@ -305,17 +310,22 @@ object ParagraphDedup {
     * COUNT half is not idempotent: re-folding the same increment inflates
     * `nocc` — keepers stay exact, so cut GEOMETRY survives a replay, but
     * a unit unique to the replayed increment then reads as duplicated.
-    * Guard replays by epoch (see the streaming twin).
+    * Replays and non-monotone ids are REJECTED mechanically when the index
+    * is watermarked: the fold `require`s every increment id strictly above
+    * `maxDocId` and advances the watermark ([[IdContract]]).
     */
   def updateParagraphIndex(index: ParagraphIndex, incoming: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): ParagraphIndex =
+      idCol: String = "doc_id", textCol: String = "text"): ParagraphIndex = {
+    val wm = IdContract.requireAboveAndAdvance(incoming, idCol,
+      index.maxDocId, "updateParagraphIndex")
     ParagraphIndex(
       index.units
         .unionByName(unitFpAgg(incoming, index.sepRegex, idCol, textCol))
         .groupBy("fp")
         .agg(sum(col("nocc")).as("nocc"), min(col("keeper")).as("keeper"))
         .persist(StorageLevel.MEMORY_AND_DISK),
-      index.sepRegex)
+      index.sepRegex, wm)
+  }
 
   /** Persist a [[ParagraphIndex]] to `dir` as parquet — `units/` clustered
     * into `nBuckets` files by `fp` (a bucketed table on a real warehouse,
@@ -329,18 +339,25 @@ object ParagraphDedup {
       .write.mode("overwrite").parquet(s"$dir/units")
     val spark = index.units.sparkSession
     import spark.implicits._
-    Seq(index.sepRegex).toDF("sep_regex")
+    Seq((index.sepRegex, index.maxDocId)).toDF("sep_regex", "max_doc_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Reload a disk-persisted index ([[writeParagraphIndex]]) in a fresh
     * session; persists lazily, so the first probe pays the parquet scan.
+    * The [[IdContract]] watermark round-trips with the index (indexes
+    * written before the watermark existed reload unwatermarked).
     */
   def readParagraphIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): ParagraphIndex =
+      dir: String): ParagraphIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head
     ParagraphIndex(
       spark.read.parquet(s"$dir/units").persist(StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$dir/meta").head.getAs[String]("sep_regex"))
+      meta.getAs[String]("sep_regex"),
+      if (meta.schema.fieldNames.contains("max_doc_id"))
+        meta.getAs[Long]("max_doc_id")
+      else IdContract.Unwatermarked)
+  }
 
   /** INCREMENTAL paragraph/line dedup — the daily-crawl twin of
     * [[dedupUnits]], mirroring the substring family's index probe: the
@@ -359,7 +376,9 @@ object ParagraphDedup {
     * over corpus ∪ increment (pinned in ParagraphDedupSpec on a random
     * corpus with INTERLEAVED doc ids). REQUIRES the increment's doc ids
     * to be disjoint from the corpus's (re-submitting an indexed doc
-    * double-counts its units — the substring-index contract).
+    * double-counts its units — the substring-index contract); when the
+    * index is watermarked (every `build`/`update` product), the stronger
+    * monotone form is ENFORCED here — see [[IdContract]].
     *
     * Scale shape: the increment side is O(|increment|) everywhere; the
     * index join is the only corpus-sized term and co-locates against the
@@ -370,6 +389,8 @@ object ParagraphDedup {
     */
   def incrementalDedupUnits(incoming: DataFrame, index: ParagraphIndex,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    IdContract.requireAbove(incoming, idCol, index.maxDocId,
+      "incrementalDedupUnits")
     val base = unitTable(incoming, index.sepRegex, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (dupSet, cuts) =
@@ -398,11 +419,20 @@ object ParagraphDedup {
   /** Convenience form: build the index from a corpus `DataFrame`, probe
     * once, retire it. Deployment should hold a persisted/bucketed index
     * ([[buildParagraphIndex]] / [[writeParagraphIndex]]) instead — this
-    * rebuilds the corpus-side aggregate every call.
+    * rebuilds the corpus-side aggregate every call. The throwaway index is
+    * UNWATERMARKED: a one-shot probe emits only the increment, so there is
+    * no persisted corpus emission for the monotone contract to protect —
+    * increment-side batch equality holds under plain id disjointness,
+    * which stays the caller's contract here (and is what lets oracles and
+    * specs pin keeper exactness under interleaved ids).
     */
   def incrementalDedupUnits(incoming: DataFrame, corpus: DataFrame,
       sepRegex: String): DataFrame = {
-    val idx = buildParagraphIndex(corpus, sepRegex)
+    require(sepRegex.nonEmpty, "separator regex must be non-empty")
+    val idx = ParagraphIndex(
+      unitFpAgg(corpus, sepRegex, "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      sepRegex)
     try incrementalDedupUnits(incoming, idx)
     finally idx.unpersist()
   }

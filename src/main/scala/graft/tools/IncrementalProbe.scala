@@ -109,7 +109,9 @@ object IncrementalProbe {
     drop()
 
     val (idx, build) = timed {
+      // unwatermarked: hashed-id (interleaved) corpus/increment split
       val i = graft.pipeline.Dedup.buildNearDupIndex(corpus)
+        .copy(maxDocId = graft.pipeline.IdContract.Unwatermarked)
       // materialize both persisted frames — deployment would write them out
       i.docStore.count(); i.bands.count()
       i

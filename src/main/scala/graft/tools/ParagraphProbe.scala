@@ -104,7 +104,10 @@ object ParagraphProbe {
     drop()
 
     val (idx, build) = timed {
+      // unwatermarked: the probe's 90/10 split is by HASHED doc_id
+      // (interleaved), which the monotone watermark rejects by design
       val i = P.buildParagraphIndex(corpus)
+        .copy(maxDocId = graft.pipeline.IdContract.Unwatermarked)
       i.units.count() // materialize — deployment would write it out
       i
     }

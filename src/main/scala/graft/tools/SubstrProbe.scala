@@ -113,7 +113,9 @@ object SubstrProbe {
     drop()
 
     val (idx, build) = timed {
+      // unwatermarked: hashed-id (interleaved) corpus/increment split
       val i = graft.pipeline.Dedup.buildExactSubstrIndex(corpus, MinLen)
+        .copy(maxDocId = graft.pipeline.IdContract.Unwatermarked)
       i.grams.count() // materialize — deployment would write it out
       i
     }

@@ -206,7 +206,12 @@ class ParagraphDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     def unitsOf(ix: ParagraphDedup.ParagraphIndex) =
       ix.units.collect().map(r => (r.getLong(0), r.getLong(1),
         (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))).toSet
+    // UNWATERMARKED on purpose: the fold is a fingerprint-wise monoid, so
+    // this spec pins it under INTERLEAVED ids (corpus even, inc odd) —
+    // which the monotone watermark would reject by design; IdContractSpec
+    // covers the enforcement itself
     val idx = ParagraphDedup.buildParagraphIndex(corpus)
+      .copy(maxDocId = IdContract.Unwatermarked)
     val folded = ParagraphDedup.updateParagraphIndex(idx, inc)
     val direct = ParagraphDedup.buildParagraphIndex(corpus.unionByName(inc))
     assert(unitsOf(folded) == unitsOf(direct), "fold != direct build")

@@ -1176,7 +1176,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
         r.getAs[Long]("st"), r.getAs[Long]("en"),
         r.getAs[Long]("cut_tokens"), r.getAs[String]("text"))).toSeq
+    // UNWATERMARKED on purpose: this spec pins keeper exactness under
+    // INTERLEAVED ids (mod-3 split), which the monotone watermark would
+    // reject by design — IdContractSpec covers the enforcement itself
     val idxA = Dedup.buildExactSubstrIndex(dayA, minLen)
+      .copy(maxDocId = IdContract.Unwatermarked)
     // keepFirst = false: every occurrence of a duplicated window cut
     val batchNoKeep = shape(Dedup.removeDupSpansExact(
       dayA.unionByName(dayB), minLen, keepFirst = false)

@@ -40,6 +40,21 @@ def block(root: str) -> str:
         n_tests += len(re.findall(r"^\s*(?:test|property)\(", src, re.M))
         if re.search(r"extends (?:AnyFunSuite|AnyFlatSpec|Properties)", src):
             n_suites += 1
+    # Cross-check against the last sbt test-report XML when present: the
+    # static count assumes every suite registers cases statically — a
+    # dynamically registered test() (inside a loop) or an ignore()d test
+    # would silently drift BOTH numbers from what sbt actually runs, and
+    # the report total is the ground truth for that. Warning only: the
+    # XML may legitimately predate newly added specs.
+    xml_total = 0
+    for f in glob.glob(f"{root}/target/test-reports/*.xml"):
+        m = re.search(r'tests="(\d+)"', open(f, encoding="utf-8").read())
+        if m:
+            xml_total += int(m.group(1))
+    if xml_total and xml_total != n_tests:
+        print(f"WARNING: src/test registers {n_tests} cases but the last "
+              f"test-report XML totals {xml_total} — dynamic/ignored tests? "
+              "(re-run `sbt test` if specs were just added)", file=sys.stderr)
     # Bench writes steal_pct: null when /proc/stat is unreadable or the
     # deltas are degenerate — .get's default only covers a MISSING key, so
     # a null must be mapped to 'n/a' explicitly or the line reads 'None %'.
@@ -54,7 +69,9 @@ def block(root: str) -> str:
         f"- bench headline: {len(bench['queries'])} queries in "
         f"{bench['value']:.1f} s at {bench['sf'].rstrip('/').rsplit('/', 1)[-1]}, "
         f"local[32], steal {steal_str} % "
-        f"(BENCH_LOCAL.json)",
+        f"(BENCH_LOCAL.json"
+        + (f", per-query min across {bench['jvms']} fresh JVMs"
+           if bench.get("jvms") else "") + ")",
         END,
     ]
     return "\n".join(lines)
