@@ -215,14 +215,24 @@ object CleanPipeline {
     */
   def incrementalCleanCorpus(incoming: DataFrame, index: CleanIndex,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    Dedup.incrementalRemoveDupSpansExact(
-      // increment-sized, consumed twice by stage 2 (substrate + emission):
-      // checkpoint once — cheap at any scale, same rationale as the batch
-      // form's materializeIntermediate default
-      rejoinKept(
-        ParagraphDedup.incrementalDedupUnits(incoming, index.para, idCol, textCol),
-        index.joiner).localCheckpoint(),
-      index.substr)
+    incrementalCleanCorpusWithCleaned(incoming, index, idCol, textCol)._1
+
+  /** [[incrementalCleanCorpus]] plus the CHECKPOINTED cleaned increment
+    * (the stage-1 hand-off) — for callers that also fold the index (the
+    * streaming twin), so the paragraph probe + re-join runs ONCE per
+    * micro-batch instead of once for the sink and again for the fold.
+    */
+  private[graft] def incrementalCleanCorpusWithCleaned(incoming: DataFrame,
+      index: CleanIndex, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    // increment-sized, consumed twice by stage 2 (substrate + emission)
+    // and once more by a folding caller: checkpoint once — cheap at any
+    // scale, same rationale as the batch form's materializeIntermediate
+    val cleanedInc = rejoinKept(
+      ParagraphDedup.incrementalDedupUnits(incoming, index.para, idCol, textCol),
+      index.joiner).localCheckpoint()
+    (Dedup.incrementalRemoveDupSpansExact(cleanedInc, index.substr), cleanedInc)
+  }
 
   /** Fold a shipped increment into both halves: the paragraph index folds
     * over the RAW increment (its state is pre-clean unit fingerprints),
@@ -232,13 +242,210 @@ object CleanPipeline {
     * index; retire the old one once the swap is durable.
     */
   def updateCleanIndex(index: CleanIndex, incoming: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): CleanIndex = {
-    val cleanedInc = rejoinKept(
-      ParagraphDedup.incrementalDedupUnits(incoming, index.para, idCol, textCol),
-      index.joiner)
+      idCol: String = "doc_id", textCol: String = "text"): CleanIndex =
+    updateCleanIndexWith(index, incoming,
+      rejoinKept(
+        ParagraphDedup.incrementalDedupUnits(incoming, index.para, idCol, textCol),
+        index.joiner),
+      idCol, textCol)
+
+  /** [[updateCleanIndex]] with a caller-supplied cleaned increment — the
+    * other half of the derive-once contract
+    * ([[incrementalCleanCorpusWithCleaned]]): the streaming twin hands the
+    * checkpointed stage-1 output to both the sink path and this fold.
+    * `cleanedInc` MUST be the increment cleaned against the CURRENT
+    * paragraph index with this index's joiner.
+    */
+  private[graft] def updateCleanIndexWith(index: CleanIndex,
+      incoming: DataFrame, cleanedInc: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): CleanIndex =
     CleanIndex(
       ParagraphDedup.updateParagraphIndex(index.para, incoming, idCol, textCol),
       Dedup.updateExactSubstrIndex(index.substr, cleanedInc),
       index.joiner)
+
+  // ---- Incremental FULL chain (doc-level stage included) ---------------
+
+  /** The corpus-side state of the INCREMENTAL full cleanup chain
+    * ([[fullCleanCorpus]]'s daily-crawl form): the paragraph unit index,
+    * the near-dup LSH index over ALL cleaned-corpus representatives
+    * (losers included — an increment doc whose only contact is a dropped
+    * corpus duplicate is still corpus-represented content and must not
+    * resurrect it), and the substring gram index over the corpus
+    * SURVIVORS' cleaned text (stage 3 of the batch chain never counts
+    * occurrences inside discarded documents, so its index must not
+    * either). `threshold` rides along so a probe can never verify with a
+    * mismatched cut.
+    *
+    * KEEPER POLICY — FIRST-INGESTED (min id), not quality keep-best, and
+    * necessarily so: an incremental deployment has already emitted its
+    * survivors, and a later, higher-quality near-duplicate cannot retract
+    * shipped training data. Quality-based keep-best is therefore
+    * inherently a BATCH (per-epoch re-run) policy — [[fullCleanCorpus]]'s
+    * `quality` parameter — while the incremental form freezes the corpus:
+    * an increment doc with ANY corpus contact (exact fingerprint or
+    * verified near-dup, against any indexed rep) is dropped, and
+    * increment-internal clusters keep their smallest id.
+    *
+    * BATCH EQUALITY: under the monotone-id contract (enforced via the
+    * halves' [[IdContract]] watermarks), increment output is exactly
+    * `fullCleanCorpus(corpus ∪ increment, quality = lit(0))` restricted to
+    * increment ids — UNLESS the increment BRIDGES two distinct corpus
+    * near-dup clusters (one increment doc verifying ≥ threshold against
+    * members of both). A bridge merges the corpus clusters, and the batch
+    * run would retro-drop one already-emitted corpus keeper — exactly the
+    * retraction an incremental deployment cannot perform; this form keeps
+    * the frozen corpus and both oracles pin THESE semantics
+    * (`CleanPipelineSpec` pins the no-bridge equality and documents the
+    * bridge divergence explicitly).
+    */
+  final case class FullCleanIndex(para: ParagraphDedup.ParagraphIndex,
+      nearDup: Dedup.NearDupIndex, substr: Dedup.ExactSubstrIndex,
+      corpusFps: DataFrame, joiner: String, threshold: Double) {
+    /** The composed watermark — the paragraph half's (sees every raw id). */
+    def maxDocId: Long = para.maxDocId
+    def unpersist(): Unit = {
+      para.unpersist(); nearDup.unpersist(); substr.unpersist()
+      corpusFps.unpersist(blocking = false)
+    }
   }
+
+  /** Build the corpus-side [[FullCleanIndex]] once; probe per increment
+    * with [[incrementalFullClean]], fold shipped increments forward with
+    * [[updateFullCleanIndex]]. The build runs the batch chain's corpus
+    * legs exactly once: one paragraph pass, one signature chain (shared
+    * between the LSH index and the corpus's own cluster resolution via
+    * [[Dedup.nearDupPairsFromIndex]]), one gram pass over the survivors.
+    */
+  def buildFullCleanIndex(corpus: DataFrame,
+      sepRegex: String = ParagraphDedup.ParagraphSep,
+      joiner: String = "\n\n", minLen: Int = 20,
+      shingleK: Int = 5, nHashes: Int = 18, rowsPerBand: Int = 6,
+      threshold: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text"): FullCleanIndex = {
+    val para = ParagraphDedup.buildParagraphIndex(corpus, sepRegex, idCol, textCol)
+    val cleaned = rejoinKept(
+      ParagraphDedup.dedupUnits(corpus, sepRegex, idCol, textCol), joiner)
+      .localCheckpoint()
+    val nd = Dedup.buildNearDupIndex(cleaned, shingleK, nHashes, rowsPerBand)
+    // corpus-internal resolution, min-id keepers: losers are exactly the
+    // non-label members of their connected component
+    val losers = Dedup.dupClusters(Dedup.nearDupPairsFromIndex(nd, threshold))
+      .filter(col("v") =!= col("lbl"))
+      .select(col("v").as("doc_id"))
+      .localCheckpoint()
+    val survivors = nd.docStore.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // the cleaned corpus's exact-fingerprint SET (8 bytes/rep — the probe's
+    // shorter-than-shingle exact-contact check must not re-hash the
+    // corpus-sized doc store per increment). The doc store holds one rep
+    // per fingerprint, so no distinct is needed.
+    val fps = nd.docStore
+      .select(TextPipeline.fingerprint(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    FullCleanIndex(para, nd,
+      Dedup.exactSubstrIndexAt(survivors, minLen, para.maxDocId),
+      fps, joiner, threshold)
+  }
+
+  /** One increment's full probe — pieces plus the two intermediates a
+    * folding caller ([[updateFullCleanIndex]], the streaming twin) needs,
+    * so nothing is derived twice: the checkpointed cleaned increment and
+    * the checkpointed increment survivors.
+    */
+  private[graft] case class FullCleanProbe(pieces: DataFrame,
+      cleanedInc: DataFrame, survivors: DataFrame)
+
+  private[graft] def fullCleanProbe(incoming: DataFrame, index: FullCleanIndex,
+      idCol: String, textCol: String): FullCleanProbe = {
+    // stage 1: paragraph-probe + canonical re-join (watermark enforced by
+    // the paragraph probe); checkpointed — consumed by the rep collapse
+    val cleanedInc = rejoinKept(
+      ParagraphDedup.incrementalDedupUnits(incoming, index.para, idCol, textCol),
+      index.joiner).localCheckpoint()
+    // stage 2a: exact-dup collapse WITHIN the increment (min-id rep)
+    val incReps = Dedup.collapseReps(cleanedInc).localCheckpoint()
+    // exact contact with ANY indexed rep — covers documents shorter than
+    // the shingle width, which never band and so can never near-dup-match
+    val exactHit = incReps
+      .select(col("doc_id"), TextPipeline.fingerprint(col("text")).as("fp"))
+      .join(index.corpusFps, Seq("fp"), "left_semi")
+      .select(col("doc_id").cast("long").as("v"))
+    // cross-side near-dup contact against the frozen corpus index
+    val cross = Dedup.incrementalNearDupFromReps(incReps, index.nearDup,
+      index.threshold)
+    // increment-internal pairs + min-label clusters
+    val f = Dedup.nearDupFramesFromReps(incReps, index.nearDup.k,
+      index.nearDup.nHashes, index.nearDup.rowsPerBand, index.threshold)
+    val internal =
+      try f.verified.localCheckpoint()
+      finally {
+        f.spread.unpersist(blocking = false)
+        f.candShingles.unpersist(blocking = false)
+      }
+    val clusters = Dedup.dupClusters(internal)
+    // survival: a rep survives iff its internal cluster (singleton when
+    // unpaired) has NO corpus contact and the rep is the cluster min —
+    // exactly the union-CC verdict under monotone ids (any corpus contact
+    // puts a smaller-than-increment id in the union cluster)
+    val labeled = incReps.select(col("doc_id").cast("long").as("v"))
+      .join(clusters, Seq("v"), "left")
+      .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
+    val contactedLbls = labeled
+      .join(exactHit.unionByName(cross.select(col("d1").cast("long").as("v")))
+        .distinct(), Seq("v"), "left_semi")
+      .select("lbl").distinct()
+    val losers = labeled.filter(col("v") =!= col("lbl")).select("v")
+      .unionByName(labeled.join(contactedLbls, Seq("lbl"), "left_semi")
+        .select("v"))
+      .distinct()
+      .select(col("v").as("doc_id"))
+      .localCheckpoint()
+    val survivors = incReps.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // stage 3: substring-probe against the corpus-survivor gram index
+    FullCleanProbe(
+      Dedup.incrementalRemoveDupSpansExact(survivors, index.substr),
+      cleanedInc, survivors)
+  }
+
+  /** INCREMENTAL full cleanup — [[fullCleanCorpus]]'s daily-crawl twin
+    * under the frozen-corpus, first-ingested-keeper semantics documented
+    * on [[FullCleanIndex]]. Emits the increment's surviving pieces.
+    */
+  def incrementalFullClean(incoming: DataFrame, index: FullCleanIndex,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    fullCleanProbe(incoming, index, idCol, textCol).pieces
+
+  /** Fold a shipped increment into all three halves: paragraph index over
+    * the RAW increment, near-dup index over the CLEANED increment (ALL
+    * its reps — losers stay probe-visible, as in the build), substring
+    * index over the increment SURVIVORS (stage 3's substrate is surviving
+    * text only). Returns a NEW persisted index; retire the old one once
+    * the swap is durable.
+    */
+  def updateFullCleanIndex(index: FullCleanIndex, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): FullCleanIndex =
+    updateFullCleanIndexWith(index, incoming,
+      fullCleanProbe(incoming, index, idCol, textCol), idCol, textCol)
+
+  /** [[updateFullCleanIndex]] with the probe already in hand — the
+    * derive-once contract for callers that sink and fold the same batch
+    * (the streaming twin).
+    */
+  private[graft] def updateFullCleanIndexWith(index: FullCleanIndex,
+      incoming: DataFrame, probe: FullCleanProbe,
+      idCol: String, textCol: String): FullCleanIndex =
+    FullCleanIndex(
+      ParagraphDedup.updateParagraphIndex(index.para, incoming, idCol, textCol),
+      Dedup.updateNearDupIndex(index.nearDup, probe.cleanedInc),
+      Dedup.updateExactSubstrIndex(index.substr, probe.survivors),
+      // the fp SET folds by union-distinct (the doc store keeps one rep
+      // per fp, so its fp set only ever grows by the increment's fps)
+      index.corpusFps
+        .unionByName(probe.cleanedInc
+          .select(TextPipeline.fingerprint(col("text")).as("fp")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      index.joiner, index.threshold)
 }

@@ -440,6 +440,25 @@ object Dedup {
       else IdContract.Unwatermarked)
   }
 
+  /** Verified near-dup pairs WITHIN a prebuilt index — corpus-internal
+    * cluster resolution straight off the PERSISTED band table (no
+    * re-banding, no re-collapse): bucket-expand candidates, semi-join the
+    * doc store for candidate texts, exact-Jaccard verify. The composed
+    * full-cleanup build uses this so the index construction and the
+    * corpus's own dedup share one signature chain.
+    */
+  private[graft] def nearDupPairsFromIndex(index: NearDupIndex,
+      threshold: Double): DataFrame = {
+    val cand = candidatePairs(index.bands)
+    val candIds = cand
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val candSh = shingles(
+        index.docStore.join(candIds, Seq("doc_id"), "left_semi"), k = index.k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try jaccardVerify(cand, candSh, threshold).localCheckpoint()
+    finally candSh.unpersist(blocking = false)
+  }
+
   /** The amortized form: probe a prebuilt [[NearDupIndex]]. Only the
     * increment pays a signature chain; the index frames are reused as-is
     * and are NOT unpersisted here (the caller owns their lifecycle).
@@ -448,10 +467,20 @@ object Dedup {
       threshold: Double): DataFrame = {
     IdContract.requireAbove(incoming, "doc_id", index.maxDocId,
       "incrementalNearDup")
+    incrementalNearDupFromReps(collapseReps(incoming), index, threshold)
+  }
+
+  /** [[incrementalNearDup]] minus the rep collapse and the watermark check
+    * — for callers that already hold the increment's exact-dup
+    * representatives (the composed full-cleanup probe, which needs them
+    * again for survivor accounting). `incReps` must be [[collapseReps]]'
+    * output shape.
+    */
+  private[graft] def incrementalNearDupFromReps(incReps: DataFrame,
+      index: NearDupIndex, threshold: Double): DataFrame = {
     val k = index.k
-    val incReps = collapseReps(incoming)
     val incSpread = incReps.repartition(
-      incoming.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      incReps.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val incBands = docBands(
       incSpread, k = k, nHashes = index.nHashes,

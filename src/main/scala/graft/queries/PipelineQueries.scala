@@ -3233,6 +3233,195 @@ object PipelineQueries {
     }
   }
 
+  /** INCREMENTAL full cleanup chain (P61, the daily-crawl twin of P60
+    * under frozen-corpus, first-ingested-keeper semantics — see
+    * [[graft.pipeline.CleanPipeline.FullCleanIndex]]): the high-id pages
+    * probed against state built from the low-id pages (monotone split).
+    * The oracle computes THE SAME SEMANTICS on the literal substrate, end
+    * to end: union paragraph chain (batch-equal per side under monotone
+    * ids) → per-side literal-norm rep collapse → corpus-internal minhash
+    * pairs + 3 unrolled CC rounds + min-id keepers → corpus survivors →
+    * increment survival (no exact-norm contact, no verified cross pair
+    * anywhere in the internal cluster, cluster min id) → literal 20-gram
+    * islands over corpus-survivors ∪ increment-survivors, restricted to
+    * increment pages. Substrate-adversarial at every hand-off, like P60.
+    */
+  val incrementalFullPipeline: Q = {
+    val minLen = 20
+    val seedsSql = Dedup.minhashSeeds(18).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    // the shingle → minhash → band chain over a rep CTE (page_id, text)
+    def mh(p: String, repCte: String): String =
+      s"""${p}docs AS (SELECT page_id AS doc_id, lower(text) AS t FROM $repCte
+         |            WHERE len(text) >= 5),
+         |${p}pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM ${p}docs),
+         |${p}sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS sh FROM ${p}pos),
+         |${p}hb AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashPrime} AS hb FROM ${p}sh),
+         |${p}mh AS (
+         |  SELECT doc_id, s.seed, min((hb * s.a + s.b) % ${Dedup.MinhashPrime}) AS minhash
+         |  FROM ${p}hb, (VALUES $seedsSql) s(seed, a, b)
+         |  GROUP BY doc_id, s.seed),
+         |${p}bands AS MATERIALIZED (
+         |  SELECT doc_id, (seed // 6)::INT AS band,
+         |         ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15))::BIGINT AS bh
+         |  FROM ${p}mh GROUP BY doc_id, seed // 6)""".stripMargin
+    // exact-Jaccard-verified pairs from a candidate CTE (d1, d2) whose
+    // sides' shingle tables are sh1/sh2
+    def verify(p: String, cand: String, sh1: String, sh2: String): String =
+      s"""${p}sz1 AS (SELECT doc_id, count(*) AS sz FROM $sh1 GROUP BY doc_id),
+         |${p}sz2 AS (SELECT doc_id, count(*) AS sz FROM $sh2 GROUP BY doc_id),
+         |${p}inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS nab
+         |  FROM $cand c JOIN $sh1 a ON a.doc_id = c.d1
+         |               JOIN $sh2 b ON b.doc_id = c.d2 AND b.sh = a.sh
+         |  GROUP BY c.d1, c.d2),
+         |${p}pairs AS MATERIALIZED (
+         |  SELECT d1, d2 FROM ${p}inter
+         |  JOIN ${p}sz1 s1 ON s1.doc_id = d1 JOIN ${p}sz2 s2 ON s2.doc_id = d2
+         |  WHERE nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE >= 0.7)""".stripMargin
+    // 3 unrolled min-label CC rounds over a pairs CTE (d1, d2) → ${p}l3
+    def cc(p: String, pairs: String): String =
+      s"""${p}e AS (SELECT d1 AS a, d2 AS b FROM $pairs UNION SELECT d2, d1 FROM $pairs),
+         |${p}l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM ${p}e),
+         |${p}l1 AS MATERIALIZED (SELECT v, min(lbl) AS lbl FROM (
+         |         SELECT v, lbl FROM ${p}l0
+         |         UNION ALL SELECT e.b, l.lbl FROM ${p}e e JOIN ${p}l0 l ON l.v = e.a) GROUP BY v),
+         |${p}l2 AS MATERIALIZED (SELECT v, min(lbl) AS lbl FROM (
+         |         SELECT v, lbl FROM ${p}l1
+         |         UNION ALL SELECT e.b, l.lbl FROM ${p}e e JOIN ${p}l1 l ON l.v = e.a) GROUP BY v),
+         |${p}l3 AS MATERIALIZED (SELECT v, min(lbl) AS lbl FROM (
+         |         SELECT v, lbl FROM ${p}l2
+         |         UNION ALL SELECT e.b, l.lbl FROM ${p}e e JOIN ${p}l2 l ON l.v = e.a) GROUP BY v)""".stripMargin
+    Q.sql(
+      "p_incremental_full_pipeline",
+      s"""WITH ${pageUnitsSql("chr(10)||chr(10)")},
+         |cutset AS (SELECT page_id, idx FROM rk WHERE nocc >= 2 AND rn > 1),
+         |keptu AS (SELECT u.page_id, u.idx, u.piece FROM units u
+         |          LEFT JOIN cutset c ON c.page_id = u.page_id AND c.idx = u.idx
+         |          WHERE c.idx IS NULL),
+         |cleaned AS MATERIALIZED (SELECT page_id,
+         |              string_agg(piece, chr(10)||chr(10) ORDER BY idx) AS text
+         |            FROM keptu GROUP BY page_id),
+         |spl AS (SELECT (max(page_id) * 4) // 5 AS k FROM pages),
+         |ccl AS (SELECT c.page_id, c.text FROM cleaned c, spl WHERE c.page_id <= spl.k),
+         |icl AS (SELECT c.page_id, c.text FROM cleaned c, spl WHERE c.page_id > spl.k),
+         |crep AS MATERIALIZED (
+         |  SELECT min(page_id) AS page_id, arg_min(text, page_id) AS text, norm
+         |  FROM (SELECT page_id, text,
+         |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |        FROM ccl)
+         |  GROUP BY norm),
+         |irep AS MATERIALIZED (
+         |  SELECT min(page_id) AS page_id, arg_min(text, page_id) AS text, norm
+         |  FROM (SELECT page_id, text,
+         |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |        FROM icl)
+         |  GROUP BY norm),
+         |${mh("c_", "crep")},
+         |${mh("i_", "irep")},
+         |c_cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM c_bands a JOIN c_bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |${verify("cv_", "c_cand", "c_sh", "c_sh")},
+         |${cc("cc_", "cv_pairs")},
+         |c_losers AS (SELECT v FROM cc_l3 WHERE v <> lbl),
+         |surv_c AS (SELECT page_id, text FROM crep
+         |           WHERE page_id NOT IN (SELECT v FROM c_losers)),
+         |x_cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM i_bands a JOIN c_bands b ON a.band = b.band AND a.bh = b.bh),
+         |${verify("xv_", "x_cand", "i_sh", "c_sh")},
+         |i_cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM i_bands a JOIN i_bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |${verify("iv_", "i_cand", "i_sh", "i_sh")},
+         |${cc("ic_", "iv_pairs")},
+         |contact AS (SELECT d1 AS v FROM xv_pairs
+         |            UNION SELECT i.page_id FROM irep i JOIN crep c ON c.norm = i.norm),
+         |labeled AS (SELECT i.page_id AS v, coalesce(l.lbl, i.page_id) AS lbl
+         |            FROM irep i LEFT JOIN ic_l3 l ON l.v = i.page_id),
+         |bad_lbl AS (SELECT DISTINCT lb.lbl FROM labeled lb
+         |            JOIN contact ct ON ct.v = lb.v),
+         |i_losers AS (SELECT v FROM labeled WHERE v <> lbl
+         |             UNION SELECT v FROM labeled
+         |             WHERE lbl IN (SELECT lbl FROM bad_lbl)),
+         |surv_i AS (SELECT page_id, text FROM irep
+         |           WHERE page_id NOT IN (SELECT v FROM i_losers)),
+         |t AS MATERIALIZED (SELECT page_id,
+         |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |      FROM (SELECT page_id, text FROM surv_c
+         |            UNION ALL SELECT page_id, text FROM surv_i)),
+         |gr AS (
+         |  SELECT page_id, i, array_to_string(toks[i:i+${minLen - 1}], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${minLen - 2})) AS i) ls),
+         |rk2 AS (SELECT page_id, i,
+         |          row_number() OVER (PARTITION BY g ORDER BY page_id, i) AS rn,
+         |          count(*) OVER (PARTITION BY g) AS nocc
+         |        FROM gr),
+         |iv AS (SELECT page_id, i AS st, i + ${minLen - 1} AS en
+         |       FROM rk2 WHERE nocc >= 2 AND rn > 1),
+         |m AS (SELECT page_id, st, en,
+         |        max(en) OVER (PARTITION BY page_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |      FROM iv),
+         |s2 AS (SELECT page_id, st, en,
+         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY page_id ORDER BY st, en
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |cut AS (SELECT page_id, isl, min(st) AS st, max(en) AS en
+         |        FROM s2 GROUP BY page_id, isl),
+         |nt AS (SELECT page_id, len(toks) AS n FROM t),
+         |ct AS (SELECT page_id, sum(en - st + 1) AS cut_tokens FROM cut
+         |       GROUP BY page_id),
+         |b AS (SELECT page_id, st, en,
+         |        lag(en) OVER (PARTITION BY page_id ORDER BY st) AS prev_en
+         |      FROM cut),
+         |gaps AS (
+         |  SELECT page_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
+         |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
+         |  UNION ALL
+         |  SELECT tl.page_id, tl.pst, nt.n AS pen
+         |  FROM (SELECT page_id, max(en) + 1 AS pst FROM cut GROUP BY page_id) tl
+         |  JOIN nt ON nt.page_id = tl.page_id WHERE nt.n >= tl.pst
+         |  UNION ALL
+         |  SELECT nt.page_id, 1 AS pst, nt.n AS pen
+         |  FROM nt LEFT JOIN (SELECT DISTINCT page_id FROM cut) cd
+         |    ON cd.page_id = nt.page_id
+         |  WHERE nt.n >= 1 AND cd.page_id IS NULL),
+         |pieces AS (SELECT page_id,
+         |             row_number() OVER (PARTITION BY page_id ORDER BY pst) - 1
+         |               AS piece_idx,
+         |             pst, pen
+         |           FROM gaps)
+         |SELECT p.page_id, p.piece_idx::BIGINT AS piece_idx,
+         |       (p.pst - 1)::BIGINT AS st, (p.pen - 1)::BIGINT AS en,
+         |       (p.pen - p.pst + 1)::BIGINT AS n_tokens,
+         |       coalesce(ct.cut_tokens, 0)::BIGINT AS cut_tokens,
+         |       md5(array_to_string(t.toks[p.pst:p.pen], ' ')) AS text_hash
+         |FROM pieces p
+         |JOIN t ON t.page_id = p.page_id
+         |LEFT JOIN ct ON ct.page_id = p.page_id
+         |WHERE p.page_id > (SELECT k FROM spl)
+         |ORDER BY p.page_id, piece_idx""".stripMargin) { (s, dir) =>
+      val pg = pages(s, dir, "\n\n")
+        .select(col("page_id").as("doc_id"), col("text"))
+      val k = pg.agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
+      val idx = graft.pipeline.CleanPipeline.buildFullCleanIndex(
+        pg.filter(col("doc_id") <= k), minLen = minLen)
+      try
+        graft.pipeline.CleanPipeline.incrementalFullClean(
+            pg.filter(col("doc_id") > k), idx)
+          .select(col("doc_id").as("page_id"), col("piece_idx"), col("st"),
+            col("en"), col("n_tokens"), col("cut_tokens"),
+            md5(col("text")).as("text_hash"))
+          .orderBy("page_id", "piece_idx")
+      finally idx.unpersist()
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
@@ -3253,5 +3442,5 @@ object PipelineQueries {
     bigramLmQuality, weightedSampleQ,
     paragraphDedupQ, lineDedupQ, paragraphDedupBytes,
     incrementalParagraphDedup, cleanPipelineQ, incrementalCleanPipeline,
-    fullPipelineQ)
+    fullPipelineQ, incrementalFullPipeline)
 }

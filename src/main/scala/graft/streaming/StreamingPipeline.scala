@@ -97,6 +97,15 @@ final case class StreamingCleanPipeline(
     query: org.apache.spark.sql.streaming.StreamingQuery,
     currentIndex: () => graft.pipeline.CleanPipeline.CleanIndex)
 
+/** Handle on a running FULL-cleanup stream
+  * ([[StreamingPipeline.fullCleanCorpusStream]]): `currentIndex()` is the
+  * three-stage corpus ∪ processed-batches state (paragraph unit index +
+  * cleaned-rep LSH index + survivor gram index).
+  */
+final case class StreamingFullCleanPipeline(
+    query: org.apache.spark.sql.streaming.StreamingQuery,
+    currentIndex: () => graft.pipeline.CleanPipeline.FullCleanIndex)
+
 /** Structured Streaming variants of the stateless pipeline operators
   * (SURVEY.md §7.5: the reference is strictly batch; streaming enters only
   * on the extension surface). The same codegen'd column expressions from
@@ -444,10 +453,15 @@ object StreamingPipeline {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        sink(graft.pipeline.CleanPipeline.incrementalCleanCorpus(batch, idx),
-          epoch)
+        // derive the cleaned batch ONCE (checkpointed) and hand it to both
+        // the sink path and the gram-half fold — the fold used to re-run
+        // the paragraph probe + re-join per trigger
+        val (pieces, cleanedBatch) = graft.pipeline.CleanPipeline
+          .incrementalCleanCorpusWithCleaned(batch, idx)
+        sink(pieces, epoch)
         if (epoch > lastFolded) {
-          val next = graft.pipeline.CleanPipeline.updateCleanIndex(idx, batch)
+          val next = graft.pipeline.CleanPipeline
+            .updateCleanIndexWith(idx, batch, cleanedBatch, "doc_id", "text")
           // materialize both halves before retiring the superseded index
           next.para.units.count(); next.substr.grams.count()
           if (idx ne initial) idx.unpersist()
@@ -457,6 +471,46 @@ object StreamingPipeline {
       }
       .start()
     StreamingCleanPipeline(q, () => idx)
+  }
+
+  /** Streaming FULL cleanup (P60/P61's stream form) — every micro-batch
+    * runs the whole production chain against the three-stage index
+    * (paragraph-probe → re-join → frozen-corpus doc-level dedup with
+    * first-ingested keepers → survivor substring-probe,
+    * [[graft.pipeline.CleanPipeline.incrementalFullClean]]), its pieces
+    * handed to `sink`, and ALL THREE halves folded forward
+    * ([[graft.pipeline.CleanPipeline.updateFullCleanIndex]]: raw batch
+    * into the paragraph half, CLEANED batch reps into the LSH half, batch
+    * SURVIVORS into the gram half). The probe is derived ONCE per trigger
+    * and shared between the sink path and the fold (the derive-once
+    * contract of `fullCleanProbe`). Same at-least-once/epoch-guard notes
+    * as [[cleanCorpusStream]].
+    */
+  def fullCleanCorpusStream(docs: DataFrame,
+      initial: graft.pipeline.CleanPipeline.FullCleanIndex,
+      sink: (DataFrame, Long) => Unit): StreamingFullCleanPipeline = {
+    @volatile var idx = initial
+    var lastFolded = Long.MinValue
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val probe = graft.pipeline.CleanPipeline
+          .fullCleanProbe(batch, idx, "doc_id", "text")
+        sink(probe.pieces, epoch)
+        if (epoch > lastFolded) {
+          val next = graft.pipeline.CleanPipeline
+            .updateFullCleanIndexWith(idx, batch, probe, "doc_id", "text")
+          // materialize all halves before retiring the superseded index
+          next.para.units.count(); next.substr.grams.count()
+          next.nearDup.docStore.count(); next.nearDup.bands.count()
+          next.corpusFps.count()
+          if (idx ne initial) idx.unpersist()
+          idx = next
+          lastFolded = epoch
+        }
+      }
+      .start()
+    StreamingFullCleanPipeline(q, () => idx)
   }
 
   /** Gap-based user sessionization with CUSTOM state

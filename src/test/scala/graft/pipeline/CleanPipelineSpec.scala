@@ -207,6 +207,83 @@ class CleanPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(longest == Set(2L) && shortest == Set(1L))
   }
 
+  test("incremental full chain == batch (first-ingested policy) over the union, across a fold") {
+    val ss = spark; import ss.implicits._
+    val base1 = longRun('a'); val base2 = longRun('b')
+    val sharedRun = run20('s')
+    val corpus = Seq(
+      (1L, base1),                       // near-dup cluster {1,2}: 1 keeps (min id)
+      (2L, s"$base1 x9 end"),
+      (3L, s"$sharedRun ${run20('u')}"), // survivor; 21 repeats its run later
+      (4L, "tiny")).toDF("doc_id", "text") // shorter than the shingle width
+    val inc1 = Seq(
+      (10L, base2),                      // novel — survives
+      (11L, s"$base1 y7"),               // near-dups corpus 1/2 — dropped
+      (12L, "tiny")                      // EXACT dup of 4, too short to band —
+    ).toDF("doc_id", "text")             //   dropped via the fp contact path
+    val inc2 = Seq(
+      (20L, s"$base2 z5 tail"),          // near-dups INC1's 10 — dropped only
+                                         //   if the fold carried inc1
+      (21L, s"${run20('w')} $sharedRun"),// substring cut vs corpus survivor 3
+      (22L, longRun('q'))).toDF("doc_id", "text")
+
+    val union = corpus.unionByName(inc1).unionByName(inc2)
+    val batch = CleanPipeline.fullCleanCorpus(union, minLen = 20,
+      quality = lit(0L)) // min-id keepers — the incremental form's policy
+    val idx0 = CleanPipeline.buildFullCleanIndex(corpus, minLen = 20)
+    val out1 = CleanPipeline.incrementalFullClean(inc1, idx0)
+    val idx1 = CleanPipeline.updateFullCleanIndex(idx0, inc1)
+    val out2 = CleanPipeline.incrementalFullClean(inc2, idx1)
+    try {
+      val b1 = batch.filter(col("doc_id") >= 10L && col("doc_id") < 20L)
+      val b2 = batch.filter(col("doc_id") >= 20L)
+      assert(out1.exceptAll(b1).isEmpty && b1.exceptAll(out1).isEmpty)
+      assert(out2.exceptAll(b2).isEmpty && b2.exceptAll(out2).isEmpty)
+      val ids1 = out1.select("doc_id").distinct().as[Long].collect().toSet
+      val ids2 = out2.select("doc_id").distinct().as[Long].collect().toSet
+      assert(ids1 == Set(10L), s"inc1 survivors: $ids1")
+      assert(ids2 == Set(21L, 22L), s"inc2 survivors: $ids2")
+      // the substring stage ran against the corpus-survivor gram index
+      val d21 = out2.filter(col("doc_id") === 21L).collect()
+      assert(d21.nonEmpty && d21.head.getAs[Long]("cut_tokens") >= 20L)
+      assert(d21.forall(!_.getAs[String]("text").contains("s1 s2 s3")))
+    } finally { idx1.unpersist(); idx0.unpersist() }
+  }
+
+  test("a bridge increment diverges from batch by design: the frozen corpus is never retracted") {
+    val ss = spark; import ss.implicits._
+    // two corpus docs sharing a middle Q (j(C1,C2) ≈ |Q|/(|P|+|Q|+|R|) < 0.7
+    // — distinct clusters) and a bridge X = P+Q+R with j(X,Ci) = (1+j12)/2
+    // ≈ 0.82 — above threshold on BOTH sides. rowsPerBand = 3 so the LSH
+    // reliably surfaces the ~0.82 candidates.
+    val p = (1 to 100).map(i => s"p$i").mkString(" ")
+    val q = (1 to 200).map(i => s"q$i").mkString(" ")
+    val r = (1 to 100).map(i => s"r$i").mkString(" ")
+    val corpus = Seq((1L, s"$p $q"), (2L, s"$q $r")).toDF("doc_id", "text")
+    val inc = Seq((10L, s"$p $q $r")).toDF("doc_id", "text")
+    val union = corpus.unionByName(inc)
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("doc_id").distinct().as[Long].collect().toSet
+    // batch over the union MERGES the corpus clusters: keeper = min id 1;
+    // corpus doc 2 — already emitted by the incremental deployment — is
+    // retro-dropped, and the bridge doc with it
+    val batchUnion = CleanPipeline.fullCleanCorpus(union, minLen = 20,
+      quality = lit(0L), rowsPerBand = 3)
+    assert(ids(batchUnion) == Set(1L),
+      s"bridge construction failed to merge: ${ids(batchUnion)}")
+    // the corpus alone keeps both (distinct clusters)
+    val batchCorpus = CleanPipeline.fullCleanCorpus(corpus, minLen = 20,
+      quality = lit(0L), rowsPerBand = 3)
+    assert(ids(batchCorpus) == Set(1L, 2L))
+    // the incremental form drops the bridge doc (corpus contact) but the
+    // frozen corpus keeps doc 2 — emitted text is never retracted; this IS
+    // the documented divergence from the batch union run
+    val idx = CleanPipeline.buildFullCleanIndex(corpus, minLen = 20,
+      rowsPerBand = 3)
+    try assert(ids(CleanPipeline.incrementalFullClean(inc, idx)).isEmpty)
+    finally idx.unpersist()
+  }
+
   test("the canonical joiner is token-space invariant") {
     val ss = spark; import ss.implicits._
     val docs = Seq((1L, s"${run20('a')}\n\n\n\n${run20('b')}")).toDF("doc_id", "text")

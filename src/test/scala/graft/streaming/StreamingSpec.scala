@@ -442,6 +442,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"docs 10 (vs corpus) and 20 (vs batch-1 fold) must be cut: $cutDocs")
   }
 
+  test("streaming FULL cleanup: all three halves fold, every batch equals the incremental probe chain") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def long200(c: Char): String = (1 to 200).map(i => s"$c$i").mkString(" ")
+    def run25(c: Char): String = (1 to 25).map(i => s"$c$i").mkString(" ")
+    val baseA = long200('a'); val baseB = long200('b')
+    val corpus = Seq(
+      (0L, baseA),                              // near-dup anchor
+      (1L, s"${run25('r')} ${run25('m')} ok")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, s"$baseA x9 tail"),  // near-dups corpus 0 — dropped whole
+      (11L, baseB))              // novel — survives; batch 2 near-dups it
+    val batch2 = Seq(
+      (20L, s"$baseB y7 end"),   // near-dups BATCH-1 doc 11 — dropped ONLY
+                                 //   because the LSH half folded b1
+      (21L, s"${run25('w')} ${run25('r')}")) // survives doc-level; loses the
+                                 //   r-run at stage 3 vs corpus survivor 1
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cut_tokens"), r.getAs[String]("text"))).toSeq
+
+    val idx0 = graft.pipeline.CleanPipeline.buildFullCleanIndex(corpus)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val h = StreamingPipeline.fullCleanCorpusStream(
+      input.toDF().toDF("doc_id", "text"), idx0,
+      (pieces, _) => got.synchronized { got ++= shape(pieces.collect()) })
+    try {
+      input.addData(batch1: _*); h.query.processAllAvailable()
+      input.addData(batch2: _*); h.query.processAllAvailable()
+    } finally h.query.stop()
+
+    // every micro-batch must equal the incremental probe chain run by hand
+    val idxA = graft.pipeline.CleanPipeline.buildFullCleanIndex(corpus)
+    val exp1 = shape(graft.pipeline.CleanPipeline.incrementalFullClean(
+      batch1.toDF("doc_id", "text"), idxA).orderBy("doc_id", "piece_idx").collect())
+    val idxB = graft.pipeline.CleanPipeline.updateFullCleanIndex(
+      idxA, batch1.toDF("doc_id", "text"))
+    val exp2 = shape(graft.pipeline.CleanPipeline.incrementalFullClean(
+      batch2.toDF("doc_id", "text"), idxB).orderBy("doc_id", "piece_idx").collect())
+    assert(got.sortBy(t => (t._1, t._2)).toSeq ==
+      (exp1 ++ exp2).sortBy(t => (t._1, t._2)),
+      "streamed pieces diverge from the incremental probe chain")
+    val survivors = got.map(_._1).toSet
+    assert(survivors == Set(11L, 21L), s"survivors: $survivors")
+    assert(got.filter(_._1 == 21L).forall(!_._7.contains("r1 r2 r3")),
+      "doc 21 must lose the corpus-survivor run at stage 3")
+    val finalIdx = h.currentIndex()
+    // the folded gram half equals a fresh build over corpus+stream
+    // SURVIVORS' cleaned text (the batch chain's stage-3 substrate)
+    val unionSurv = graft.pipeline.CleanPipeline.fullCleanCorpus(
+      corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text")),
+      quality = org.apache.spark.sql.functions.lit(0L))
+      .select("doc_id").distinct()
+    assert(finalIdx.maxDocId == 21L, s"watermark: ${finalIdx.maxDocId}")
+    assert(unionSurv.count() == 4L) // 0, 1, 11, 21 — batch agrees (no bridge)
+    finalIdx.unpersist(); idxB.unpersist(); idxA.unpersist(); idx0.unpersist()
+  }
+
   test("streaming composed cleanup: both index halves fold, every batch batch-equal") {
     val sp = spark
     import sp.implicits._
