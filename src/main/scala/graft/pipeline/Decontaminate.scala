@@ -21,15 +21,18 @@ import graft.util.Det
   * the rolling-polynomial substrate is an explicit opt-in
   * (`md5Substrate = false`) for corpora the operator trusts.
   *
-  * MIGRATION WARNING (the default FLIPPED from rolling to md5): the two
-  * substrates produce disjoint key spaces, and a mismatch FAILS OPEN — an
-  * `evalGramArray`/`evalGramSet` persisted under one substrate probed via
-  * `contaminatedFlag` under the other matches nothing, so every document
-  * reads uncontaminated. An `Array[Long]` carries no substrate tag, so
-  * this cannot be detected at probe time: any eval gram set persisted
-  * before the default flip MUST be rebuilt (or probed with an explicit
-  * `md5Substrate = false`). Keep the build and probe calls' substrate
-  * argument in the same line of code wherever the set is persisted.
+  * MIGRATION HAZARD, CLOSED BY THE TYPE (the default FLIPPED from rolling
+  * to md5 in round 12): the two substrates produce disjoint key spaces,
+  * and a mismatch FAILS OPEN — a gram set built under one substrate
+  * probed under the other matches nothing, so every document reads
+  * uncontaminated. A bare `Array[Long]` carries no substrate tag, so the
+  * public probe surface no longer accepts one: eval gram sets travel as
+  * [[EvalGrams]] — keys + gram order + substrate in one value, built only
+  * by [[evalGrams]] — and [[contaminatedFlag]] reads the substrate and
+  * `n` from the tag, making an accidental build/probe mismatch
+  * unrepresentable. (The untagged internals survive as `private[graft]`
+  * for the cross-substrate pinning specs.) Any gram set persisted before
+  * the flip must still be rebuilt once.
   *
   * Scale notes (100 TB): under the rolling opt-in, gram keys are rolled
   * INSIDE each row straight off the token array (`RollingGramKeys` —
@@ -107,14 +110,35 @@ object Decontaminate {
       .select("doc_id").distinct()
   }
 
+  /** A driver-held eval gram set TAGGED with everything a probe must
+    * match to be meaningful: the sorted key array, the gram order `n`,
+    * and the key substrate. Build only via [[evalGrams]] (or deserialize
+    * all three fields together) — [[contaminatedFlag]] reads `n` and the
+    * substrate from the tag, so the fail-open build/probe substrate
+    * mismatch the object doc describes cannot be expressed through the
+    * public surface.
+    */
+  final case class EvalGrams(keys: Array[Long], n: Int, md5Substrate: Boolean) {
+    require(keys.nonEmpty, "eval gram set is empty")
+  }
+
+  /** Build the tagged eval gram set ([[EvalGrams]]) — the only public
+    * constructor of probe-able gram state.
+    */
+  def evalGrams(evalDocs: DataFrame, n: Int, maxGrams: Int = 1 << 22,
+      md5Substrate: Boolean = true): EvalGrams =
+    EvalGrams(evalGramArray(evalDocs, n, maxGrams, md5Substrate), n,
+      md5Substrate)
+
   /** Driver-held distinct eval gram hashes as a SORTED primitive array —
-    * the form [[contaminatedFlag]] probes (binary search). Real eval sets
-    * (a few benchmarks) are tiny; the cap fails LOUDLY if someone points
-    * this at a corpus-sized "eval" side, where the distributed semi join
-    * is the right plan. At the cap this is 8 bytes/gram (32 MB) — a boxed
+    * UNTAGGED internals of [[evalGrams]], `private[graft]` so the typed
+    * wrapper is the only public probe substrate. Real eval sets (a few
+    * benchmarks) are tiny; the cap fails LOUDLY if someone points this at
+    * a corpus-sized "eval" side, where the distributed semi join is the
+    * right plan. At the cap this is 8 bytes/gram (32 MB) — a boxed
     * `Map[Long, _]` of the same grams costs ~8× that in driver transient.
     */
-  def evalGramArray(evalDocs: DataFrame, n: Int,
+  private[graft] def evalGramArray(evalDocs: DataFrame, n: Int,
                     maxGrams: Int = 1 << 22,
                     md5Substrate: Boolean = true): Array[Long] = {
     val grams = gramKeys(evalDocs, n, md5Substrate).select("gh").distinct()
@@ -127,22 +151,21 @@ object Decontaminate {
     arr
   }
 
-  /** Boxed-map form of [[evalGramArray]], kept for callers that hold the
-    * set as a map; prefer the array form at large set sizes.
-    */
-  def evalGramSet(evalDocs: DataFrame, n: Int,
-                  maxGrams: Int = 1 << 22,
-                  md5Substrate: Boolean = true): Map[Long, Int] =
-    evalGramArray(evalDocs, n, maxGrams, md5Substrate).map(_ -> 1).toMap
-
-  /** Row-local contamination verdict against a literal eval gram set:
-    * TRUE iff any word n-gram of the text hash-hits the set. The keys
-    * MUST come from [[evalGramArray]] / [[evalGramSet]] of the same build
-    * AND the same `md5Substrate` choice (both default to md5), evaluated
+  /** Row-local contamination verdict against a TAGGED eval gram set
+    * ([[EvalGrams]]): TRUE iff any word n-gram of the text hash-hits the
+    * set. Gram order and key substrate come from the tag — the only
+    * public form, so a build/probe mismatch is unrepresentable. Evaluated
     * with higher-order functions inside the row — no explode, no join, no
     * state — so the same column runs on a batch or STREAMING DataFrame in
     * append mode (the ingest-time filter shape; `StreamingSpec` pins
     * batch ≡ stream).
+    */
+  def contaminatedFlag(textCol: org.apache.spark.sql.Column,
+                       grams: EvalGrams): org.apache.spark.sql.Column =
+    contaminatedFlag(textCol, grams.keys, grams.n, grams.md5Substrate)
+
+  /** Untagged internals of the flag ([[EvalGrams]] is the public form;
+    * the cross-substrate pinning specs probe this directly).
     *
     * The set probe is the native [[graft.functions.LongSetContains]]
     * (sorted-array binary search, O(log \|set\|) per gram) — NOT a
@@ -150,9 +173,9 @@ object Decontaminate {
     * linear key scan that would make this O(grams·\|set\|) per row at the
     * 2²² cap.
     */
-  def contaminatedFlag(textCol: org.apache.spark.sql.Column,
+  private[graft] def contaminatedFlag(textCol: org.apache.spark.sql.Column,
                        evalGrams: Array[Long], n: Int,
-                       md5Substrate: Boolean = true): org.apache.spark.sql.Column = {
+                       md5Substrate: Boolean): org.apache.spark.sql.Column = {
     require(evalGrams.nonEmpty, "eval gram set is empty")
     val keys =
       if (md5Substrate)
@@ -162,11 +185,6 @@ object Decontaminate {
           TextPipeline.tokens(textCol), n)
     exists(keys, g => graft.functions.BroadcastLookup.inLongSet(g, evalGrams))
   }
-
-  /** Boxed-map overload (delegates to the array form). */
-  def contaminatedFlag(textCol: org.apache.spark.sql.Column,
-                       evalGrams: Map[Long, Int], n: Int): org.apache.spark.sql.Column =
-    contaminatedFlag(textCol, evalGrams.keys.toArray, n)
 
   /** Per-source contamination audit: every train doc counted once, hits
     * flagged via left join against the contaminated-id set.

@@ -885,8 +885,9 @@ object Dedup {
     * in place, so duplicated rows flow straight to the per-doc fold.
     *
     * Why a window and not the aggregate + join-back this replaced (round
-    * 13; the retired shape survives as [[multiDupIntervalsJoin]] for the
-    * A/B): the dup-SET form still had to ship the verdict back to the
+    * 13; the retired join shape's A/B evidence is committed in
+    * SPANFANBACK_AB.json — the shape itself is deleted so no production
+    * path can reach it): the dup-SET form still had to ship the verdict back to the
     *  rows — at ×1000 the dup set outgrows any broadcast, so the probe
     * join re-shuffled the full ~1.2 B-row tagged stream a SECOND time
     * (plus re-scanning the substrate for the probe side), and the pair
@@ -895,7 +896,8 @@ object Dedup {
     * handful of rows (duplication fan), and WindowExec's buffer spills,
     * so a hyper-duplicated boilerplate gram degrades to disk instead of
     * blowing an aggregate hash table. Geometry is bit-identical
-    * (fingerprint-pinned in `SpanFanbackAB`; oracles unchanged).
+    * (fingerprint-pinned by the round-13 SpanFanbackAB run,
+    * SPANFANBACK_AB.json; oracles unchanged).
     */
   private[graft] def multiDupIntervals(base: DataFrame, ns: Seq[Int],
       md5: Boolean): DataFrame = {
@@ -905,23 +907,6 @@ object Dedup {
         min(col("doc_id")).over(w).as("mn"),
         max(col("doc_id")).over(w).as("mx"))
       .filter(col("mx") > col("mn"))
-      .select(col("doc_id"), col("i").as("st"),
-        (col("i") + col("n").cast("long") - 1L).as("en"))
-  }
-
-  /** The RETIRED round-12 interval stage — per-gram (min, max) aggregate,
-    * dup set joined back to the raw rows — kept only as the measured twin
-    * of [[multiDupIntervals]] (`graft.tools.SpanFanbackAB` pins interval
-    * multisets identical and times both shapes at the decade corpora).
-    */
-  private[graft] def multiDupIntervalsJoin(base: DataFrame, ns: Seq[Int],
-      md5: Boolean): DataFrame = {
-    val grams = taggedWindowRows(base, ns, md5)
-    val dupSet = grams
-      .groupBy("n", "g1", "g2")
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mx") > col("mn")).select("n", "g1", "g2")
-    grams.join(dupSet, Seq("n", "g1", "g2"), "left_semi")
       .select(col("doc_id"), col("i").as("st"),
         (col("i") + col("n").cast("long") - 1L).as("en"))
   }
@@ -1383,23 +1368,6 @@ object Dedup {
         min(col("doc_id")).over(w).as("keeper"),
         max(col("doc_id")).over(w).as("mx"))
       .filter(col("mx") > col("keeper") && col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"), col("i").as("st"),
-        (col("i") + col("n").cast("long") - 1L).as("en"))
-  }
-
-  /** The RETIRED round-12 removal interval stage (aggregate + keeper join
-    * back) — kept as [[removalCutIntervals]]' measured twin for
-    * `graft.tools.SpanFanbackAB`.
-    */
-  private[graft] def removalCutIntervalsJoin(base: DataFrame, ns: Seq[Int],
-      md5: Boolean): DataFrame = {
-    val grams = taggedWindowRows(base, ns, md5)
-    val dupSet = grams
-      .groupBy("n", "g1", "g2")
-      .agg(min(col("doc_id")).as("keeper"), max(col("doc_id")).as("mx"))
-      .filter(col("mx") > col("keeper")).select("n", "g1", "g2", "keeper")
-    grams.join(dupSet, Seq("n", "g1", "g2"))
-      .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("i").as("st"),
         (col("i") + col("n").cast("long") - 1L).as("en"))
   }

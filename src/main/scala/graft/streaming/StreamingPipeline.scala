@@ -186,24 +186,18 @@ object StreamingPipeline {
       minInVocabPermille, minMeanTf)
 
   /** Streaming benchmark decontamination: flags rows sharing any word
-    * n-gram with a FIXED eval set (`Decontaminate.evalGramSet`, built
-    * offline — real eval sets are tiny). Row-local literal-map lookups,
-    * zero state, append mode — contaminated training data never lands in
-    * the lake instead of being audited out later.
+    * n-gram with a FIXED eval set ([[graft.pipeline.Decontaminate
+    * .EvalGrams]], built offline by `Decontaminate.evalGrams` — real eval
+    * sets are tiny; the tag carries gram order and key substrate, so a
+    * stream can never probe with a mismatched build). Row-local sorted-
+    * array lookups, zero state, append mode — contaminated training data
+    * never lands in the lake instead of being audited out later.
     */
-  def decontaminateStream(docs: DataFrame, evalGrams: Map[Long, Int], n: Int,
+  def decontaminateStream(docs: DataFrame,
+                          evalGrams: graft.pipeline.Decontaminate.EvalGrams,
                           textCol: String = "text"): DataFrame =
     docs.withColumn("contaminated",
-      graft.pipeline.Decontaminate.contaminatedFlag(col(textCol), evalGrams, n))
-
-  /** Primitive-array overload of [[decontaminateStream]] — the form to
-    * prefer at large eval sets (8 bytes/gram vs a boxed map's ~8×;
-    * `Decontaminate.evalGramArray` builds it sorted).
-    */
-  def decontaminateStream(docs: DataFrame, evalGrams: Array[Long], n: Int,
-                          textCol: String): DataFrame =
-    docs.withColumn("contaminated",
-      graft.pipeline.Decontaminate.contaminatedFlag(col(textCol), evalGrams, n))
+      graft.pipeline.Decontaminate.contaminatedFlag(col(textCol), evalGrams))
 
   /** Streaming bigram-LM quality filter (P43's stream twin): a FIXED
     * driver-held LM (`TextPipeline.bigramLmModel`, trained offline)

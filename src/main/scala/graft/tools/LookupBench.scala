@@ -56,7 +56,8 @@ object LookupBench {
     }
 
     val native = (m: Map[Long, Int]) =>
-      graft.pipeline.Decontaminate.contaminatedFlag(col("text"), m, 3)
+      graft.pipeline.Decontaminate.contaminatedFlag(col("text"),
+        m.keys.toArray.sorted, 3, md5Substrate = true)
     val literal = (m: Map[Long, Int]) => {
       val lit0 = typedlit(m)
       exists(graft.pipeline.TextPipeline.wordGramArray(col("text"), 3),

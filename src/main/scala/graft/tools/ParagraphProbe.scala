@@ -158,19 +158,27 @@ object ParagraphProbe {
     idx.unpersist()
     val steal = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
       yield math.round(10000.0 * (s1 - s0) / (t1 - t0)) / 100.0)
-    val prev = Files.readString(Paths.get(outPath)).trim
-      .replaceAll(""","cold_[a-z_]+":(null|-?[0-9.]+([Ee][+-]?[0-9]+)?)""", "")
-    require(prev.endsWith("}"), s"$outPath is not a JSON object")
-    val warmGeom = """"geom":(-?\d+)""".r.findFirstMatchIn(prev)
-      .map(_.group(1).toLong)
+    // real JSON round-trip (json4s ships with Spark): regex surgery on the
+    // artifact text silently corrupted pretty-printed or re-ordered
+    // artifacts — parse, drop stale cold_* fields, append, re-serialize
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val prevJ = JsonMethods.parse(Files.readString(Paths.get(outPath))) match {
+      case o: JObject => o
+      case other => sys.error(s"$outPath is not a JSON object: $other")
+    }
+    val warmGeom = prevJ.obj.collectFirst { case ("geom", JInt(g)) => g.toLong }
     require(warmGeom.contains(fpC._2),
       s"cold geometry ${fpC._2} != warm run's $warmGeom — split drifted")
-    val merged = prev.dropRight(1) +
-      s""","cold_reload_sec":$reload,"cold_probe_sec":$cold,""" +
-      s""""cold_rewarm_sec":$warm,""" +
-      s""""cold_steal_pct":${steal.map(_.toString).getOrElse("null")}}"""
-    println(merged)
-    Files.writeString(Paths.get(outPath), merged + "\n")
+    val merged = JObject(
+      prevJ.obj.filterNot(_._1.startsWith("cold_")) ++ List(
+        "cold_reload_sec" -> JDouble(reload),
+        "cold_probe_sec" -> JDouble(cold),
+        "cold_rewarm_sec" -> JDouble(warm),
+        "cold_steal_pct" -> steal.map(JDouble(_)).getOrElse(JNull)))
+    val out = JsonMethods.compact(JsonMethods.render(merged))
+    println(out)
+    Files.writeString(Paths.get(outPath), out + "\n")
     spark.stop()
   }
 }

@@ -73,11 +73,21 @@ object SpanTailProbe {
         .collect()
     }
 
-    // leg 2: + per-doc island fold, checkpointed (what the public entry does)
+    // leg 2: + per-doc island fold, checkpointed (what the public entry
+    // does). Any substrate the frames persisted is released and caches
+    // dropped before the later legs — block-manager residency from this
+    // leg would otherwise skew the emission/full-tail timings the probe
+    // exists to isolate (the isolation discipline of CleanPipelineAB).
     val (cuts, tCuts) = timed {
       val f = D.removeDupSpansFrames(docs, ns, minLen, "doc_id", "text")
-      f.cuts.localCheckpoint()
+      try f.cuts.localCheckpoint()
+      // blocking, so leg 3 starts with the substrate's blocks actually
+      // gone (a lazy unpersist could still be resident mid-leg); the
+      // checkpointed cuts themselves must stay persisted — they ARE the
+      // later legs' input
+      finally f.base.unpersist(blocking = true)
     }
+    spark.catalog.clearCache()
     val nCutDocs = cuts.count()
     val cutBytes = cuts.queryExecution.optimizedPlan.stats.sizeInBytes
 

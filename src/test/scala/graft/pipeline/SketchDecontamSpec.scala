@@ -152,14 +152,17 @@ class SketchDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.getLong(0)).toSet
       val arr = Decontaminate.evalGramArray(evalDocs, n)
       if (arr.nonEmpty) {
+        // the tagged public form and the raw private internals must agree
         val viaFlag = train.withColumn("c",
-            Decontaminate.contaminatedFlag(col("text"), arr, n))
+            Decontaminate.contaminatedFlag(col("text"),
+              Decontaminate.evalGrams(evalDocs, n)))
           .filter(col("c")).collect().map(_.getLong(0)).toSet
         assert(viaFlag == viaJoin, s"round $round n=$n: flag $viaFlag != join $viaJoin")
-        val viaMap = train.withColumn("c",
-            Decontaminate.contaminatedFlag(col("text"), arr.map(_ -> 1).toMap, n))
+        val viaRaw = train.withColumn("c",
+            Decontaminate.contaminatedFlag(col("text"), arr, n,
+              md5Substrate = true))
           .filter(col("c")).collect().map(_.getLong(0)).toSet
-        assert(viaMap == viaJoin, s"round $round n=$n: map form diverged")
+        assert(viaRaw == viaJoin, s"round $round n=$n: raw internals diverged")
       }
       // the rolling opt-in must be self-consistent too (array build, flag
       // probe and semi join all keyed on the same rolling substrate)
@@ -169,8 +172,8 @@ class SketchDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
           .contaminatedDocs(train, evalDocs, n, md5Substrate = false)
           .collect().map(_.getLong(0)).toSet
         val flagRoll = train.withColumn("c",
-            Decontaminate.contaminatedFlag(col("text"), arrRoll, n,
-              md5Substrate = false))
+            Decontaminate.contaminatedFlag(col("text"),
+              Decontaminate.EvalGrams(arrRoll, n, md5Substrate = false)))
           .filter(col("c")).collect().map(_.getLong(0)).toSet
         assert(flagRoll == joinRoll, s"round $round n=$n: rolling flag diverged")
       }

@@ -822,18 +822,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(batchHits.nonEmpty && batchHits != Set(0L, 1L, 2L, 3L),
       "fixture must exercise both verdicts")
-    val grams = Decontaminate.evalGramSet(evalDocs, n)
-    // the primitive-array form (the large-set shape) must agree with the
-    // boxed-map form on every verdict
-    val gramArr = Decontaminate.evalGramArray(evalDocs, n)
+    // the TAGGED form (the only public probe surface) must agree with
+    // the distributed semi join on every verdict
+    val grams = Decontaminate.evalGrams(evalDocs, n)
     val viaArray = train
       .withColumn("contaminated",
-        Decontaminate.contaminatedFlag(org.apache.spark.sql.functions.col("text"), gramArr, n))
+        Decontaminate.contaminatedFlag(org.apache.spark.sql.functions.col("text"), grams))
       .filter("contaminated").collect().map(_.getLong(0)).toSet
-    assert(viaArray == batchHits, s"array form $viaArray != batch $batchHits")
+    assert(viaArray == batchHits, s"tagged form $viaArray != batch $batchHits")
     val input = MemoryStream[(Long, String)]
     val q = StreamingPipeline.decontaminateStream(
-      input.toDF().toDF("doc_id", "text"), grams, n)
+      input.toDF().toDF("doc_id", "text"), grams)
       .writeStream.format("memory").queryName("decon_out")
       .outputMode("append").start()
     try {
