@@ -536,4 +536,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       "index probe and emission joins must be keyed (fp, doc_id)")
   }
+
+  test("full cleanup chain (batch + incremental): keyed joins only, no window, no nested loop") {
+    // the doc-level stage resolves eagerly inside the call (pairs/
+    // clusters/keep-best checkpoint small); the returned plan is stage 3
+    // over the checkpointed survivors plus the emission tail — row-local
+    // folds, gram-/doc-keyed joins, never a window or an unkeyed join
+    val p = planOf("p_full_pipeline")
+    assert(!p.contains("Window"),
+      "full-chain emission must fold islands row-locally")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "full-chain joins must be keyed")
+    val pi = planOf("p_incremental_full_pipeline")
+    assert(!pi.contains("Window"),
+      "incremental full-chain emission must fold row-locally")
+    assert(!pi.contains("NestedLoop") && !pi.contains("Cartesian"),
+      "incremental full-chain joins must be keyed")
+  }
 }
