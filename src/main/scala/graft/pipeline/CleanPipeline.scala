@@ -348,6 +348,44 @@ object CleanPipeline {
       fps, joiner, threshold)
   }
 
+  /** Persist a [[FullCleanIndex]] to `dir` as parquet — the cross-restart
+    * half of the daily-crawl story, composing the halves' own bucketed
+    * writers (paragraph units by fp, near-dup bands by (band, bh),
+    * survivor grams by (g1, g2) — each co-locating its probe join on a
+    * lake) plus the fingerprint set (bucketed by fp) and a meta table
+    * pinning the joiner and verify threshold so a reloaded probe can
+    * never re-join or verify with a mismatched scheme. Watermarks ride in
+    * each half's own meta.
+    */
+  def writeFullCleanIndex(index: FullCleanIndex, dir: String,
+      nBuckets: Int = 64): Unit = {
+    ParagraphDedup.writeParagraphIndex(index.para, s"$dir/para", nBuckets)
+    Dedup.writeNearDupIndex(index.nearDup, s"$dir/neardup", nBuckets)
+    Dedup.writeExactSubstrIndex(index.substr, s"$dir/substr", nBuckets)
+    index.corpusFps.repartition(nBuckets, col("fp"))
+      .write.mode("overwrite").parquet(s"$dir/fps")
+    val spark = index.corpusFps.sparkSession
+    import spark.implicits._
+    Seq((index.joiner, index.threshold)).toDF("joiner", "threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a disk-persisted index ([[writeFullCleanIndex]]) in a fresh
+    * session; every half persists lazily, so the first probe pays the
+    * parquet scans.
+    */
+  def readFullCleanIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): FullCleanIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    FullCleanIndex(
+      ParagraphDedup.readParagraphIndex(spark, s"$dir/para"),
+      Dedup.readNearDupIndex(spark, s"$dir/neardup"),
+      Dedup.readExactSubstrIndex(spark, s"$dir/substr"),
+      spark.read.parquet(s"$dir/fps")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      meta.getAs[String]("joiner"), meta.getAs[Double]("threshold"))
+  }
+
   /** One increment's full probe — pieces plus the two intermediates a
     * folding caller ([[updateFullCleanIndex]], the streaming twin) needs,
     * so nothing is derived twice: the checkpointed cleaned increment and

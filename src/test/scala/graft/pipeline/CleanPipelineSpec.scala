@@ -250,6 +250,33 @@ class CleanPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { idx1.unpersist(); idx0.unpersist() }
   }
 
+  test("the full-clean index survives a disk round-trip: identical probe, watermark and knobs") {
+    val ss = spark; import ss.implicits._
+    val base = longRun('d')
+    val corpus = Seq(
+      (1L, base),
+      (2L, s"$base tail9"),
+      (3L, s"${run20('e')}\n\n${run20('f')}")).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, s"$base other9 end"),       // near-dups the corpus cluster — dropped
+      (11L, s"${run20('f')} ${run20('g')}"), // loses the f-run at stage 3
+      (12L, longRun('h'))).toDF("doc_id", "text")
+    val idx = CleanPipeline.buildFullCleanIndex(corpus, minLen = 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fullidx").toString
+    CleanPipeline.writeFullCleanIndex(idx, dir, nBuckets = 2)
+    val rd = CleanPipeline.readFullCleanIndex(spark, dir)
+    try {
+      assert(rd.joiner == idx.joiner && rd.threshold == idx.threshold)
+      assert(rd.maxDocId == idx.maxDocId && rd.substr.maxDocId == idx.substr.maxDocId)
+      val a = CleanPipeline.incrementalFullClean(inc, idx)
+      val b = CleanPipeline.incrementalFullClean(inc, rd)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "reloaded index probes differently")
+      val ids = b.select("doc_id").distinct().as[Long].collect().toSet
+      assert(ids == Set(11L, 12L), s"survivors: $ids")
+    } finally { rd.unpersist(); idx.unpersist() }
+  }
+
   test("a bridge increment diverges from batch by design: the frozen corpus is never retracted") {
     val ss = spark; import ss.implicits._
     // two corpus docs sharing a middle Q (j(C1,C2) ≈ |Q|/(|P|+|Q|+|R|) < 0.7
