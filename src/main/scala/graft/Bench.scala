@@ -50,68 +50,85 @@ object Bench {
     */
   private def runMulti(jvms: Int): Unit = {
     import scala.jdk.CollectionConverters._
+    // real JSON round-trip (json4s ships with Spark): the former regex
+    // surgery took the merged query set from child 1 ONLY — a query absent
+    // from the first artifact silently vanished from the headline — and
+    // could mis-split on any brace/comma drift (the same fragility class
+    // removed from ParagraphProbe in r14)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
     val childOuts = (1 to jvms).map(i =>
       java.nio.file.Files.createTempFile(s"bench_jvm${i}_", ".json"))
-    val childJsons = childOuts.zipWithIndex.map { case (out, i) =>
-      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
-      val pb = new ProcessBuilder(cmd)
-      pb.environment().put("SPARK_GRAFT_JVMS", "1")
-      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
-      // child stdout is its own JSON line — silence it so the parent's
-      // merged line is the only "metric" on stdout (the driver greps it)
-      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      System.err.println(s"[bench] fresh JVM ${i + 1}/$jvms ...")
-      val rc = pb.start().waitFor()
-      require(rc == 0, s"bench child JVM ${i + 1} exited $rc")
-      new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
-    }
-    def num(json: String, key: String): Option[Double] =
-      (s""""$key"\\s*:\\s*(-?[0-9.Ee+]+)""").r.findFirstMatchIn(json)
-        .map(_.group(1).toDouble)
-    def queryMap(json: String): Seq[(String, Double)] =
-      """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
-        .map(_.group(1)).getOrElse("")
-        .split(",").filter(_.contains(":")).toSeq
-        .map { kv =>
-          val Array(k, v) = kv.split(":", 2)
-          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+    try {
+      val childJs: Seq[JObject] = childOuts.zipWithIndex.map { case (out, i) =>
+        val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_JVMS", "1")
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+        // child stdout is its own JSON line — silence it so the parent's
+        // merged line is the only "metric" on stdout (the driver greps it)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        System.err.println(s"[bench] fresh JVM ${i + 1}/$jvms ...")
+        val rc = pb.start().waitFor()
+        require(rc == 0, s"bench child JVM ${i + 1} exited $rc")
+        JsonMethods.parse(new String(
+            java.nio.file.Files.readAllBytes(out), "UTF-8")) match {
+          case o: JObject => o
+          case other =>
+            sys.error(s"bench child ${i + 1} artifact is not a JSON object: $other")
         }
-    val perJvm = childJsons.map(queryMap)
-    val names = perJvm.head.map(_._1)
-    // per-query min over the POSITIVE (successful) runs; a query with no
-    // successful run in any JVM keeps a failure-marker negative time
-    val merged = names.map { n =>
-      val vs = perJvm.flatMap(_.toMap.get(n))
-      val ok = vs.filter(_ > 0)
-      n -> (if (ok.nonEmpty) ok.min else vs.min)
-    }
-    val qs = merged.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = merged.map(_._2).filter(_ > 0).sum
-    val nFailed = merged.count(_._2 < 0)
-    def arr(key: String): String =
-      childJsons.map(j => num(j, key).map(_.toString).getOrElse("null"))
-        .mkString("[", ",", "]")
-    // steal: the MAX child window (the conservative noise bound a reader
-    // should judge the headline against)
-    val steals = childJsons.flatMap(num(_, "steal_pct"))
-    val stealJson = if (steals.isEmpty) "null"
-      else (math.round(steals.max * 100.0) / 100.0).toString
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3 per JVM","agg":"per-query min across $jvms fresh JVMs","jvms":$jvms,"isolate":true,"sf":"$sfDir","steal_pct":$stealJson,"per_jvm_total":${arr("value")},"per_jvm_steal":${arr("steal_pct")},"per_jvm_jit_sec":${arr("jit_sec")},"per_jvm_wall_sec":${arr("wall_sec")},"n_registered":${SparkEntry.queries.size},"n_oracled":${SparkEntry.oracleSql.size}}"""
-    println(json)
-    val sfNorm = sfDir.stripSuffix("/")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (sfNorm.contains("/scale/")) "BENCH_SCALE.json"
-      else if (!sfNorm.endsWith("sf0.1")) "BENCH_DEV.json"
-      else "BENCH_LOCAL.json")
-    Files.writeString(Paths.get(outFile), json + "\n")
-    childOuts.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      def numOf(j: JObject, key: String): Option[Double] =
+        j.obj.collectFirst {
+          case (`key`, JDouble(d)) => d
+          case (`key`, JInt(n)) => n.toDouble
+          case (`key`, JLong(n)) => n.toDouble
+        }
+      def queryMap(j: JObject): Map[String, Double] =
+        j.obj.collectFirst { case ("queries", q: JObject) => q }
+          .map(_.obj.collect {
+            case (k, JDouble(d)) => k -> d
+            case (k, JInt(n)) => k -> n.toDouble
+            case (k, JLong(n)) => k -> n.toDouble
+          }.toMap)
+          .getOrElse(Map.empty[String, Double])
+      val perJvm = childJs.map(queryMap)
+      // merge over the UNION of query names across children, sorted; a
+      // per-query min over the POSITIVE (successful) runs; a query with no
+      // successful run in any JVM keeps a failure-marker negative time
+      val names = perJvm.flatMap(_.keys).distinct.sorted
+      val merged = names.map { n =>
+        val vs = perJvm.flatMap(_.get(n))
+        val ok = vs.filter(_ > 0)
+        n -> (if (ok.nonEmpty) ok.min else vs.min)
+      }
+      val qs = merged.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = merged.map(_._2).filter(_ > 0).sum
+      val nFailed = merged.count(_._2 < 0)
+      def arr(key: String): String =
+        childJs.map(j => numOf(j, key).map(_.toString).getOrElse("null"))
+          .mkString("[", ",", "]")
+      // steal: the MAX child window (the conservative noise bound a reader
+      // should judge the headline against)
+      val steals = childJs.flatMap(numOf(_, "steal_pct"))
+      val stealJson = if (steals.isEmpty) "null"
+        else (math.round(steals.max * 100.0) / 100.0).toString
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"runs_per_query":"2-3 per JVM","agg":"per-query min across $jvms fresh JVMs","jvms":$jvms,"isolate":true,"sf":"$sfDir","steal_pct":$stealJson,"per_jvm_total":${arr("value")},"per_jvm_steal":${arr("steal_pct")},"per_jvm_jit_sec":${arr("jit_sec")},"per_jvm_wall_sec":${arr("wall_sec")},"n_registered":${SparkEntry.queries.size},"n_oracled":${SparkEntry.oracleSql.size}}"""
+      println(json)
+      val sfNorm = sfDir.stripSuffix("/")
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (sfNorm.contains("/scale/")) "BENCH_SCALE.json"
+        else if (!sfNorm.endsWith("sf0.1")) "BENCH_DEV.json"
+        else "BENCH_LOCAL.json")
+      Files.writeString(Paths.get(outFile), json + "\n")
+    } finally childOuts.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   def main(args: Array[String]): Unit = {

@@ -92,9 +92,10 @@ object CleanPipeline {
     * nothing; survivors emit their cleaned pieces (uncut survivors one
     * full-range piece). `quality` scores a cleaned document — a `Column`
     * over stage 1's `(doc_id, text)` — and defaults to cleaned-text
-    * length ("keep the longest"), cast to integer by [[Dedup.keepBest]];
-    * ties break to the smaller doc id, so the policy is total and
-    * deterministic.
+    * length ("keep the longest"); [[Dedup.keepBest]] compares it on the Det
+    * 1e-6 integer grid, so fractional model scores (P37's
+    * `classifierScore`) order correctly; ties (within 1e-6) break to the
+    * smaller doc id, so the policy is total and deterministic.
     *
     * Stage boundaries matter: near-dup runs over CLEANED text (CCNet
     * orders it this way because boilerplate paragraphs otherwise make

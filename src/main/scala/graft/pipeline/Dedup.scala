@@ -599,24 +599,38 @@ object Dedup {
   /** Representative selection over resolved duplicate clusters: production
     * dedup keeps the BEST document of each cluster (longest, highest
     * quality score, …), not the minimum id. Input: `clusters` = (v, lbl)
-    * from [[dupClusters]] plus a per-doc INTEGER quality column; output one
+    * from [[dupClusters]] plus a per-doc quality column; output one
     * row per cluster: (cluster_rep, keep_id, keep_quality, n_docs), where
     * keep_id is the argmax by (quality desc, id asc). The argmax is a
     * single struct-max aggregation — max over (quality, −id) compares
     * lexicographically, so the tie-break is total and deterministic — with
     * NO window: map-side combinable, a pathologically hot cluster costs
     * one combiner slot per task, never a per-key sort.
+    *
+    * The quality score compares on the Det 1e-6 integer grid
+    * ([[graft.util.Det]] — `floor(q·1e6 + 0.5)` as a long), NOT by a bare
+    * long cast: a fractional model score (P37's
+    * [[graft.pipeline.TextPipeline.classifierScore]] sigmoid lives in
+    * [0,1]) would otherwise truncate to 0 corpus-wide and the policy
+    * silently degenerate to min-id. Two docs within 1e-6 of each other tie
+    * on the grid and fall to the id tie-break — the same determinism
+    * contract as every Det aggregate. Domain: |quality| < 2^63/1e6 ≈
+    * 9.2e12 per row (a length, a count, or any bounded score is far
+    * inside). `keep_quality` is emitted back on the original scale
+    * (grid/1e6, DOUBLE) — exact for integer-valued qualities.
     */
   def keepBest(clusters: DataFrame, docs: DataFrame, qualityCol: Column,
                idCol: String = "doc_id"): DataFrame = {
     val q = docs.select(col(idCol).cast("long").as("v"),
-      qualityCol.cast("long").as("quality"))
+      floor(qualityCol.cast("double") * lit(1e6) + lit(0.5)).cast("long")
+        .as("quality"))
     clusters.join(q, "v")
       .groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"),
         max(struct(col("quality"), (-col("v")).as("negid"))).as("best"))
       .select(col("cluster_rep"), (-col("best.negid")).as("keep_id"),
-        col("best.quality").as("keep_quality"), col("n_docs"))
+        (col("best.quality").cast("double") / lit(1e6)).as("keep_quality"),
+        col("n_docs"))
   }
 
   /** Per-document duplicated-substring profile — the ExactSubstr signal of

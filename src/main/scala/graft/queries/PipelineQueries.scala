@@ -1486,7 +1486,7 @@ object PipelineQueries {
        |               ORDER BY quality DESC, v ASC) AS rn,
        |             count(*) OVER (PARTITION BY lbl) AS n_docs
        |      FROM j)
-       |SELECT lbl AS cluster_rep, v AS keep_id, quality AS keep_quality,
+       |SELECT lbl AS cluster_rep, v AS keep_id, quality::DOUBLE AS keep_quality,
        |       n_docs::BIGINT AS n_docs
        |FROM r WHERE rn = 1 ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
     val d = docs(s, dir)
@@ -2751,15 +2751,24 @@ object PipelineQueries {
     * breaks the match. `sepSql` is the DuckDB separator expression
     * (`chr(10)||chr(10)` or `chr(10)`); `sepLen` its char length.
     */
-  private def pageUnitsSql(sepSql: String): String =
-    s"""pg AS (
-       |  SELECT doc_id // 4 AS page_id, doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id // 4 - 1 AS page_id, doc_id, text FROM documents
-       |  WHERE doc_id >= 4),
-       |pages AS (
-       |  SELECT page_id, string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS text
-       |  FROM pg GROUP BY page_id),
+  /** The overlapping-page corpus as SQL — the default substrate of the
+    * paragraph-family oracles. Swappable ([[fullPipelineModelQuality]]
+    * feeds raw documents instead: the page fixture has no ≥0.7 near-dup
+    * cluster, so a keep-best policy query over it would never fire).
+    */
+  private val overlappingPagesSql: String =
+    """pg AS (
+      |  SELECT doc_id // 4 AS page_id, doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id // 4 - 1 AS page_id, doc_id, text FROM documents
+      |  WHERE doc_id >= 4),
+      |pages AS (
+      |  SELECT page_id, string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS text
+      |  FROM pg GROUP BY page_id)""".stripMargin
+
+  private def pageUnitsSql(sepSql: String,
+      pagesSql: String = overlappingPagesSql): String =
+    s"""$pagesSql,
        |up AS (SELECT page_id, string_split(text, $sepSql) AS pieces FROM pages),
        |upos AS (SELECT page_id, pieces, unnest(range(1, len(pieces) + 1)) AS i
        |         FROM up),
@@ -3104,70 +3113,76 @@ object PipelineQueries {
     * boundary bug in ANY stage — or a wrongly-dropped / wrongly-kept
     * document — breaks the composed hashes.
     */
-  val fullPipelineQ: Q = {
-    val minLen = 20
-    Q.sql(
-      "p_full_pipeline",
-      s"""WITH ${pageUnitsSql("chr(10)||chr(10)")},
-         |cutset AS (SELECT page_id, idx FROM rk WHERE nocc >= 2 AND rn > 1),
-         |keptu AS (SELECT u.page_id, u.idx, u.piece FROM units u
-         |          LEFT JOIN cutset c ON c.page_id = u.page_id AND c.idx = u.idx
-         |          WHERE c.idx IS NULL),
-         |cleaned AS (SELECT page_id,
-         |              string_agg(piece, chr(10)||chr(10) ORDER BY idx) AS text
-         |            FROM keptu GROUP BY page_id),
-         |crep AS (
-         |  SELECT min(page_id) AS page_id, arg_min(text, page_id) AS text
-         |  FROM (SELECT page_id, text,
-         |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-         |        FROM cleaned)
-         |  GROUP BY norm),
-         |nddocs AS (SELECT page_id AS doc_id, lower(text) AS t FROM crep
-         |           WHERE len(text) >= 5),
-         |ndpos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM nddocs),
-         |ndsh AS (SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS sh FROM ndpos),
-         |ndhb AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashPrime} AS hb FROM ndsh),
-         |ndmh AS (
-         |  SELECT doc_id, s.seed, min((hb * s.a + s.b) % ${Dedup.MinhashPrime}) AS minhash
-         |  FROM ndhb, (VALUES ${Dedup.minhashSeeds(18).zipWithIndex
-          .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
-          .mkString(", ")}) s(seed, a, b)
-         |  GROUP BY doc_id, s.seed),
-         |ndbands AS (
-         |  SELECT doc_id, (seed // 6)::INT AS band,
-         |         ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15))::BIGINT AS bh
-         |  FROM ndmh GROUP BY doc_id, seed // 6),
-         |ndcand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM ndbands a JOIN ndbands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |ndsz AS (SELECT doc_id, count(*) AS sz FROM ndsh GROUP BY doc_id),
-         |ndint AS (
-         |  SELECT c.d1, c.d2, count(*) AS nab
-         |  FROM ndcand c JOIN ndsh a ON a.doc_id = c.d1 JOIN ndsh b ON b.doc_id = c.d2 AND b.sh = a.sh
-         |  GROUP BY c.d1, c.d2),
-         |ndpairs AS (
-         |  SELECT d1, d2 FROM ndint
-         |  JOIN ndsz s1 ON s1.doc_id = d1 JOIN ndsz s2 ON s2.doc_id = d2
-         |  WHERE nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE >= 0.7),
-         |e AS (SELECT d1 AS a, d2 AS b FROM ndpairs UNION SELECT d2, d1 FROM ndpairs),
-         |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),
-         |l1 AS (SELECT v, min(lbl) AS lbl FROM (
-         |         SELECT v, lbl FROM l0
-         |         UNION ALL SELECT e.b, l0.lbl FROM e JOIN l0 ON l0.v = e.a) GROUP BY v),
-         |l2 AS (SELECT v, min(lbl) AS lbl FROM (
-         |         SELECT v, lbl FROM l1
-         |         UNION ALL SELECT e.b, l1.lbl FROM e JOIN l1 ON l1.v = e.a) GROUP BY v),
-         |l3 AS (SELECT v, min(lbl) AS lbl FROM (
-         |         SELECT v, lbl FROM l2
-         |         UNION ALL SELECT e.b, l2.lbl FROM e JOIN l2 ON l2.v = e.a) GROUP BY v),
-         |kq AS (SELECT l3.v, l3.lbl, len(c.text) AS quality
-         |       FROM l3 JOIN crep c ON c.page_id = l3.v),
-         |kr AS (SELECT v, row_number() OVER (PARTITION BY lbl
-         |         ORDER BY quality DESC, v ASC) AS rn FROM kq),
+  /** The P60 family's shared DuckDB chain, parameterized by the keep-best
+    * QUALITY derivation: `kqSql` is one or more CTEs ending in
+    * `kq(v, lbl, quality)`, so the length policy and the P37 model-score
+    * policy verify against ONE literal-substrate oracle. The heavy
+    * reused CTEs (crep, ndsh, ndbands, ndpairs, the CC rounds, t, cut)
+    * are AS MATERIALIZED — DuckDB otherwise re-inlines every reference
+    * and the sf0.1 leg of the engine-vs-DuckDB comparison OOMs at
+    * ~100 GiB (BENCHCMP r14 `duck_errors`).
+    */
+  private def fullPipelineOracleSql(minLen: Int, kqSql: String,
+      pagesSql: String = overlappingPagesSql): String =
+    s"""WITH ${pageUnitsSql("chr(10)||chr(10)", pagesSql)},
+       |cutset AS (SELECT page_id, idx FROM rk WHERE nocc >= 2 AND rn > 1),
+       |keptu AS (SELECT u.page_id, u.idx, u.piece FROM units u
+       |          LEFT JOIN cutset c ON c.page_id = u.page_id AND c.idx = u.idx
+       |          WHERE c.idx IS NULL),
+       |cleaned AS (SELECT page_id,
+       |              string_agg(piece, chr(10)||chr(10) ORDER BY idx) AS text
+       |            FROM keptu GROUP BY page_id),
+       |crep AS MATERIALIZED (
+       |  SELECT min(page_id) AS page_id, arg_min(text, page_id) AS text
+       |  FROM (SELECT page_id, text,
+       |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |        FROM cleaned)
+       |  GROUP BY norm),
+       |nddocs AS (SELECT page_id AS doc_id, lower(text) AS t FROM crep
+       |           WHERE len(text) >= 5),
+       |ndpos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM nddocs),
+       |ndsh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(t, i::INT, 5) AS sh FROM ndpos),
+       |ndhb AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashPrime} AS hb FROM ndsh),
+       |ndmh AS (
+       |  SELECT doc_id, s.seed, min((hb * s.a + s.b) % ${Dedup.MinhashPrime}) AS minhash
+       |  FROM ndhb, (VALUES ${Dedup.minhashSeeds(18).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")}) s(seed, a, b)
+       |  GROUP BY doc_id, s.seed),
+       |ndbands AS MATERIALIZED (
+       |  SELECT doc_id, (seed // 6)::INT AS band,
+       |         ('0x' || substr(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15))::BIGINT AS bh
+       |  FROM ndmh GROUP BY doc_id, seed // 6),
+       |ndcand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM ndbands a JOIN ndbands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |ndsz AS (SELECT doc_id, count(*) AS sz FROM ndsh GROUP BY doc_id),
+       |ndint AS (
+       |  SELECT c.d1, c.d2, count(*) AS nab
+       |  FROM ndcand c JOIN ndsh a ON a.doc_id = c.d1 JOIN ndsh b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY c.d1, c.d2),
+       |ndpairs AS MATERIALIZED (
+       |  SELECT d1, d2 FROM ndint
+       |  JOIN ndsz s1 ON s1.doc_id = d1 JOIN ndsz s2 ON s2.doc_id = d2
+       |  WHERE nab::DOUBLE/(s1.sz + s2.sz - nab)::DOUBLE >= 0.7),
+       |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM ndpairs UNION SELECT d2, d1 FROM ndpairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM e),
+       |l1 AS MATERIALIZED (SELECT v, min(lbl) AS lbl FROM (
+       |         SELECT v, lbl FROM l0
+       |         UNION ALL SELECT e.b, l0.lbl FROM e JOIN l0 ON l0.v = e.a) GROUP BY v),
+       |l2 AS MATERIALIZED (SELECT v, min(lbl) AS lbl FROM (
+       |         SELECT v, lbl FROM l1
+       |         UNION ALL SELECT e.b, l1.lbl FROM e JOIN l1 ON l1.v = e.a) GROUP BY v),
+       |l3 AS MATERIALIZED (SELECT v, min(lbl) AS lbl FROM (
+       |         SELECT v, lbl FROM l2
+       |         UNION ALL SELECT e.b, l2.lbl FROM e JOIN l2 ON l2.v = e.a) GROUP BY v),
+       |$kqSql,
+       |kr AS (SELECT v, row_number() OVER (PARTITION BY lbl
+       |         ORDER BY quality DESC, v ASC) AS rn FROM kq),
          |losers AS (SELECT v FROM kr WHERE rn > 1),
          |surv AS (SELECT page_id, text FROM crep
          |         WHERE page_id NOT IN (SELECT v FROM losers)),
-         |t AS (SELECT page_id,
+         |t AS MATERIALIZED (SELECT page_id,
          |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
          |      FROM surv),
          |gr AS (
@@ -3189,7 +3204,7 @@ object PipelineQueries {
          |          OVER (PARTITION BY page_id ORDER BY st, en
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
          |      FROM m),
-         |cut AS (SELECT page_id, isl, min(st) AS st, max(en) AS en
+         |cut AS MATERIALIZED (SELECT page_id, isl, min(st) AS st, max(en) AS en
          |        FROM s2 GROUP BY page_id, isl),
          |nt AS (SELECT page_id, len(toks) AS n FROM t),
          |ct AS (SELECT page_id, sum(en - st + 1) AS cut_tokens FROM cut
@@ -3222,15 +3237,73 @@ object PipelineQueries {
          |FROM pieces p
          |JOIN t ON t.page_id = p.page_id
          |LEFT JOIN ct ON ct.page_id = p.page_id
-         |ORDER BY p.page_id, piece_idx""".stripMargin) { (s, dir) =>
-      graft.pipeline.CleanPipeline.fullCleanCorpus(
-          pages(s, dir, "\n\n").select(col("page_id").as("doc_id"), col("text")),
-          minLen = minLen)
-        .select(col("doc_id").as("page_id"), col("piece_idx"), col("st"),
-          col("en"), col("n_tokens"), col("cut_tokens"),
-          md5(col("text")).as("text_hash"))
-        .orderBy("page_id", "piece_idx")
-    }
+         |ORDER BY p.page_id, piece_idx""".stripMargin
+
+  /** The P60 family's shared Spark side: the composed chain over the
+    * overlapping-page fixture with the caller's keep-best policy, emitted
+    * in the bench/oracle shape (sorted, md5 text hashes).
+    */
+  private def fullPipelineSpark(minLen: Int,
+      quality: org.apache.spark.sql.Column,
+      input: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+        (s, dir) => pages(s, dir, "\n\n")
+          .select(col("page_id").as("doc_id"), col("text")))(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.pipeline.CleanPipeline.fullCleanCorpus(
+        input(s, dir), minLen = minLen, quality = quality)
+      .select(col("doc_id").as("page_id"), col("piece_idx"), col("st"),
+        col("en"), col("n_tokens"), col("cut_tokens"),
+        md5(col("text")).as("text_hash"))
+      .orderBy("page_id", "piece_idx")
+
+  val fullPipelineQ: Q = Q.sql(
+    "p_full_pipeline",
+    fullPipelineOracleSql(20,
+      """kq AS (SELECT l3.v, l3.lbl, len(c.text) AS quality
+        |       FROM l3 JOIN crep c ON c.page_id = l3.v)""".stripMargin))(
+    fullPipelineSpark(20, length(col("text"))))
+
+  /** P60 with the MODEL-SCORE keep-best policy — the engine's two halves
+    * composed: a fixed logistic β of the P37 shape
+    * ([[graft.pipeline.TextPipeline.classifierScore]] — the slot the
+    * binomial SLOPE fit emits, see `ModelQualityE2ESpec`) scores each
+    * CLEANED rep, and [[graft.pipeline.Dedup.keepBest]] picks cluster
+    * representatives by that score on the Det 1e-6 grid. The scores are
+    * fractional (z ≈ ±1 here), so this query is green ONLY because
+    * keep-best grids rather than truncates — the retired `cast("long")`
+    * would zero every score and silently degenerate to min-id (the flip
+    * is pinned in `CleanPipelineSpec`). The oracle re-derives the same z
+    * from the literal crep text (the left-associated linear predictor is
+    * exact double arithmetic — same contract as `p_model_quality_filter`)
+    * and ranks by the same grid value.
+    */
+  val fullPipelineModelQuality: Q = {
+    // token coefficient NEGATIVE on purpose: a model that mildly prefers
+    // concise docs disagrees with the length policy on real clusters, so
+    // at sf0.01 this query's survivors genuinely differ from a
+    // length-policy run — the policy parameter is exercised, not echoed.
+    // Input is the RAW documents table (not the page fixture): the pages
+    // carry no ≥0.7 near-dup cluster, so keep-best would never fire there.
+    val beta = Array(0.0, -0.001, 6.0, -12.0, -0.05)
+    val zSql = "0.0 + (-0.001)*nt + 6.0*(ns/greatest(nt,1.0)) + " +
+      "(-12.0)*(np/greatest(nc,1.0)) + (-0.05)*(nc/greatest(nt,1.0))"
+    val kq =
+      s"""kf AS (SELECT l3.v, l3.lbl,
+         |         len(regexp_extract_all(lower(c.text), '[a-z0-9]+'))::DOUBLE AS nt,
+         |         length(c.text)::DOUBLE AS nc,
+         |         len(regexp_extract_all(lower(c.text), '${TextPipeline.stopwordPattern}'))::DOUBLE AS ns,
+         |         len(regexp_extract_all(c.text, '[.,;:!?]'))::DOUBLE AS np
+         |       FROM l3 JOIN crep c ON c.page_id = l3.v),
+         |kq AS (SELECT v, lbl,
+         |         CAST(floor(($zSql)*1e6 + 0.5) AS BIGINT) AS quality
+         |       FROM kf)""".stripMargin
+    Q.sql(
+      "p_full_pipeline_model_quality",
+      fullPipelineOracleSql(20, kq,
+        pagesSql = "pages AS (SELECT doc_id AS page_id, text FROM documents)"))(
+      fullPipelineSpark(20,
+        graft.pipeline.TextPipeline.classifierScore(col("text"), beta),
+        input = (s, dir) => docsSpread(s, dir).select("doc_id", "text")))
   }
 
   /** INCREMENTAL full cleanup chain (P61, the daily-crawl twin of P60
@@ -3442,5 +3515,5 @@ object PipelineQueries {
     bigramLmQuality, weightedSampleQ,
     paragraphDedupQ, lineDedupQ, paragraphDedupBytes,
     incrementalParagraphDedup, cleanPipelineQ, incrementalCleanPipeline,
-    fullPipelineQ, incrementalFullPipeline)
+    fullPipelineQ, fullPipelineModelQuality, incrementalFullPipeline)
 }

@@ -207,6 +207,34 @@ class CleanPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(longest == Set(2L) && shortest == Set(1L))
   }
 
+  test("fractional model-score quality (P37 -> P60): the Det grid flips the winner the long cast would zero") {
+    val ss = spark; import ss.implicits._
+    val base = longRun('q')
+    // doc 2 near-dups doc 1 (tiny tail) and carries a few stopwords, so a
+    // stopword-ratio model scores it STRICTLY higher — but both scores are
+    // fractional in (0, 1): z1 = 0.0, z2 = 8*(4/204) ~ 0.157
+    val docs = Seq(
+      (1L, base),
+      (2L, s"$base the and of is")).toDF("doc_id", "text")
+    val beta = Array(0.0, 0.0, 8.0, 0.0, 0.0) // z = 8 * stopword_ratio
+    val score = TextPipeline.classifierScore(col("text"), beta)
+    val zs = docs.select(col("doc_id"), score.as("z")).as[(Long, Double)]
+      .collect().toMap
+    assert(zs(1L) == 0.0 && zs(2L) > 0.0 && zs(2L) < 1.0,
+      s"fixture must produce fractional scores, got $zs")
+    val kept = CleanPipeline.fullCleanCorpus(docs, minLen = 20, quality = score)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(2L),
+      "the Det-grid keep-best must honor the fractional model score")
+    // the retired semantics, reproduced explicitly: a long cast zeroes
+    // both scores and the tie falls to min id — the OPPOSITE winner
+    val truncated = CleanPipeline.fullCleanCorpus(docs, minLen = 20,
+        quality = score.cast("long"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(truncated == Set(1L),
+      "the long-cast policy must pick min id — the seam the grid closes")
+  }
+
   test("incremental full chain == batch (first-ingested policy) over the union, across a fold") {
     val ss = spark; import ss.implicits._
     val base1 = longRun('a'); val base2 = longRun('b')

@@ -1399,10 +1399,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Dedup.keepBest(clusters, docs, col("q"))
       .collect().map(r => r.getAs[Long]("cluster_rep") -> r).toMap
     assert(out(1L).getAs[Long]("keep_id") == 2L)      // quality tie → min id
-    assert(out(1L).getAs[Long]("keep_quality") == 20L)
+    assert(out(1L).getAs[Double]("keep_quality") == 20.0)
     assert(out(1L).getAs[Long]("n_docs") == 3L)
     assert(out(5L).getAs[Long]("keep_id") == 5L)
     assert(out(5L).getAs[Long]("n_docs") == 2L)
+  }
+
+  test("keepBest: FRACTIONAL quality orders on the Det grid — the long cast would zero it") {
+    val sp = spark; import sp.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("v", "lbl")
+    // classifier-score shape: probabilities in [0,1]. Under the retired
+    // cast("long") both would truncate to 0 and the min-id doc 1 would
+    // win; on the Det grid doc 2's 0.7 beats doc 1's 0.3.
+    val docs = Seq((1L, 0.3), (2L, 0.7)).toDF("doc_id", "q")
+    assert(docs.select(col("q").cast("long")).as[Long].collect().toSet ==
+      Set(0L), "fixture must expose the truncation hazard")
+    val out = Dedup.keepBest(clusters, docs, col("q")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keep_id") == 2L,
+      "fractional quality must pick the higher score, not min id")
+    assert(out.head.getAs[Double]("keep_quality") == 0.7)
+    // sub-grid differences (< 1e-6) tie and fall to the id tie-break
+    val docs2 = Seq((1L, 0.5000000) , (2L, 0.5000004)).toDF("doc_id", "q")
+    val out2 = Dedup.keepBest(clusters, docs2, col("q")).collect()
+    assert(out2.head.getAs[Long]("keep_id") == 1L,
+      "sub-1e-6 quality gaps must tie deterministically to the smaller id")
   }
 
   test("bigramLmProfile: exact bit-length surprisal vs hand computation; short docs zeroed") {

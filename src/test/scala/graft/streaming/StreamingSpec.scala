@@ -493,14 +493,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 21L).forall(!_._7.contains("r1 r2 r3")),
       "doc 21 must lose the corpus-survivor run at stage 3")
     val finalIdx = h.currentIndex()
-    // the folded gram half equals a fresh build over corpus+stream
-    // SURVIVORS' cleaned text (the batch chain's stage-3 substrate)
+    assert(finalIdx.maxDocId == 21L, s"watermark: ${finalIdx.maxDocId}")
     val unionSurv = graft.pipeline.CleanPipeline.fullCleanCorpus(
       corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text")),
       quality = org.apache.spark.sql.functions.lit(0L))
       .select("doc_id").distinct()
-    assert(finalIdx.maxDocId == 21L, s"watermark: ${finalIdx.maxDocId}")
     assert(unionSurv.count() == 4L) // 0, 1, 11, 21 — batch agrees (no bridge)
+    // the folded halves must EQUAL a fresh batch build over the union —
+    // gram-for-gram and fp-for-fp, not just by count: a fold that grew the
+    // wrong substrate (raw text instead of survivors' cleaned text, say)
+    // would pass any count check and silently skew every later probe
+    val freshFull = graft.pipeline.CleanPipeline.buildFullCleanIndex(
+      corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text")))
+    def setEqual(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(setEqual(finalIdx.substr.grams, freshFull.substr.grams),
+      "folded substring-gram half diverges from a fresh build over the union")
+    assert(finalIdx.substr.maxDocId == freshFull.substr.maxDocId,
+      "substring-half watermark diverges from the fresh build")
+    assert(setEqual(finalIdx.corpusFps, freshFull.corpusFps),
+      "folded exact-fingerprint set diverges from a fresh build over the union")
+    freshFull.unpersist()
     finalIdx.unpersist(); idxB.unpersist(); idxA.unpersist(); idx0.unpersist()
   }
 

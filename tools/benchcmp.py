@@ -67,6 +67,14 @@ def main():
     stat0 = cpu_stat()
     t_start = time.time()
     con = duckdb.connect()
+    # cap + spill: without these DuckDB grows unbounded and the
+    # p_full_pipeline oracle OOMs at ~100 GiB at sf0.1 (r14 duck_errors) —
+    # with a limit it spills MATERIALIZED CTEs to temp instead. 48 GiB
+    # mirrors a generous single-node allotment; Spark's bench side runs in
+    # a 32 GiB-heap JVM, so this does not tilt the comparison toward Spark.
+    tmp = "/tmp/duckdb_benchcmp_spill"
+    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

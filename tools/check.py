@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [artifact.json]
 
 Reads <out>/oracle_sql.json, runs each SQL in DuckDB against views over the
 sf parquet tables, and compares against the Spark-written parquet in
@@ -10,6 +10,16 @@ equality (exact for ints/strings, bit-exact-first then 1e-9-relative for
 floats). Ordered match is required — matching the driver's hash gate; the
 fully-sorted retry is DIAGNOSTIC ONLY (it annotates ordering-only diffs in
 the failure message, it does not turn them into passes).
+
+With a third argument, additionally writes a per-query JSON artifact in
+the driver's CORRECTNESS_r{N}.json schema (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err) — the engine-side twin of the
+driver's round artifact. Round 14 shipped with an EMPTY driver artifact
+(`{}`; see VERDICT r14 finding 1), so the repo carries its own signal:
+`CORRECTNESS_LOCAL.json` at HEAD, pinned to the live registry by
+`CorrectnessLocalSpec`. `hash_match` here means bit-exact ordered value
+equality — a tolerance-only float match reports hash_match=False, exactly
+as the driver's value hash would.
 """
 import json
 import math
@@ -71,26 +81,39 @@ def frames_equal(sdf: pd.DataFrame, odf: pd.DataFrame):
     return True, n_tol, "ok"
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, artifact: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None, "oracle_rows": None,
+               "err": None}
+        report[name] = rec
         try:
             odf = canon(con.sql(sql).df())
+            rec["oracle_rows"] = len(odf)
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            rec["err"] = f"oracle SQL error: {e}"
+            print(f"FAIL {name}: {rec['err']}")
             n_fail += 1
             continue
         try:
             sdf = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            rec["spark_rows"] = len(sdf)
         except Exception as e:
-            print(f"FAIL {name}: spark output missing/unreadable: {e}")
+            rec["err"] = f"spark output missing/unreadable: {e}"
+            print(f"FAIL {name}: {rec['err']}")
             n_fail += 1
             continue
+        rec["schema_match"] = list(sdf.columns) == list(odf.columns)
+        rec["rows_match"] = len(sdf) == len(odf)
         ok, n_tol, msg = frames_equal(sdf, odf)
+        # the driver hashes values — a tolerance-only float match fails it
+        rec["hash_match"] = bool(ok and n_tol == 0)
         if not ok:
             # retry fully sorted, in case row order is the only difference
             try:
@@ -102,18 +125,23 @@ def main(out_dir: str, sf_dir: str) -> int:
             if ok2:
                 msg += " [MATCHES after row sort — ordering-only diff]"
         if ok:
-            # the driver hashes values — a tolerance-only float match WILL
-            # fail its gate even though it passes here; make it loud
             tol = f"  [WARN {n_tol} float cells match by tolerance only — driver hash would FAIL]" if n_tol else ""
             print(f"PASS {name} ({len(sdf)} rows){tol}")
             n_pass += 1
         else:
+            rec["err"] = msg
             print(f"FAIL {name}: {msg}")
             n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed, "
           f"{len(oracle)} with oracle")
+    if artifact:
+        with open(artifact, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {artifact}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
