@@ -474,17 +474,25 @@ object CleanPipeline {
     */
   private[graft] def updateFullCleanIndexWith(index: FullCleanIndex,
       incoming: DataFrame, probe: FullCleanProbe,
-      idCol: String, textCol: String): FullCleanIndex =
+      idCol: String, textCol: String): FullCleanIndex = {
+    // the fp SET folds by ANTI-JOIN APPEND, not union-distinct: distinct
+    // over (corpus ∪ increment) re-shuffles and re-aggregates the whole
+    // index-sized set on EVERY daily fold, while the append side is
+    // increment-sized — the corpus set streams through the join probe
+    // unchanged (and on a lake the bucketed-by-fp layout makes that probe
+    // bucket-local). Set semantics are identical: the increment's distinct
+    // fps minus those already present, appended. FOLDPROBE.json carries
+    // the measured decade rows for this shape.
+    val incFps = probe.cleanedInc
+      .select(TextPipeline.fingerprint(col(textCol)).as("fp"))
+      .distinct()
     FullCleanIndex(
       ParagraphDedup.updateParagraphIndex(index.para, incoming, idCol, textCol),
       Dedup.updateNearDupIndex(index.nearDup, probe.cleanedInc),
       Dedup.updateExactSubstrIndex(index.substr, probe.survivors),
-      // the fp SET folds by union-distinct (the doc store keeps one rep
-      // per fp, so its fp set only ever grows by the increment's fps)
       index.corpusFps
-        .unionByName(probe.cleanedInc
-          .select(TextPipeline.fingerprint(col("text")).as("fp")))
-        .distinct()
+        .unionByName(incFps.join(index.corpusFps, Seq("fp"), "left_anti"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       index.joiner, index.threshold)
+  }
 }

@@ -1,0 +1,148 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Decade-scale probe of the index FOLD bill — the half of the
+  * daily-crawl steady state PARAPROBE/INCPROBE never measured (they time
+  * probes; deployment pays probe + fold per day). For a FIXED-ROW-COUNT
+  * increment (so the fold cost is read against INDEX size, not increment
+  * size), times per decade corpus:
+  *
+  *   - `build_sec`          — buildFullCleanIndex over the corpus slice +
+  *                            materialization (context, paid once)
+  *   - `para_fold_sec`      — updateParagraphIndex: index ∪ increment-agg
+  *                            re-aggregate (index-sized exchange)
+  *   - `substr_fold_sec`    — updateExactSubstrIndex: same shape over the
+  *                            survivor gram index
+  *   - `fullclean_fold_sec` — updateFullCleanIndex end-to-end (all three
+  *                            halves + the fp set), probe derived once
+  *   - `fp_union_distinct_sec` / `fp_anti_append_sec` — A/B of the fp-set
+  *                            fold shapes: the retired union-distinct
+  *                            (re-aggregates the whole corpus-sized set)
+  *                            vs the shipped anti-join append (increment
+  *                            fps minus present, appended — the corpus
+  *                            side streams through the join unchanged)
+  *
+  * Each timed leg materializes the folded frame(s) with count() and
+  * unpersists everything it created before the next rep (min over reps).
+  * One JSON row per invocation; the committed FOLDPROBE.json merges the
+  * decade rows with exponents (the BENCH_SCALE_FULLPIPE protocol).
+  *
+  * Usage: runMain graft.tools.FoldProbe <sfDir> [outPath] [reps] [incRows]
+  */
+object FoldProbe {
+
+  private def cpuStat(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        Some((f.sum, if (f.length > 7) f(7) else 0L))
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outPath = args.lift(1).getOrElse("FOLDPROBE_ROW.json")
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val incRows = args.lift(3).map(_.toInt).getOrElse(10000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val b = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .appName("graft-fold-probe")
+    graft.util.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stat0 = cpuStat()
+
+    val P = graft.pipeline.CleanPipeline
+    val docs = graft.util.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // FIXED-SIZE increment: the top `incRows` ids (monotone above the
+    // corpus slice, as the watermark contract requires); everything below
+    // is the corpus the index is built over
+    val cut = docs.select(col("doc_id"))
+      .orderBy(col("doc_id").desc).limit(incRows)
+      .agg(min(col("doc_id"))).head.getLong(0)
+    val corpus = docs.filter(col("doc_id") < cut)
+    val inc = docs.filter(col("doc_id") >= cut).localCheckpoint()
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // time one leg, unpersisting every RDD the leg itself persisted
+    // (folded halves persist internally), so reps are independent and the
+    // warm INDEX is the only carried state — the deployment steady state
+    def isolated(f: => Unit): Double = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val t = timed(f)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
+      t
+    }
+    def minOf(f: => Unit): Double = (0 until reps).map(_ => isolated(f)).min
+
+    var idx: P.FullCleanIndex = null
+    val buildSec = timed {
+      idx = P.buildFullCleanIndex(corpus)
+      idx.para.units.count(); idx.nearDup.docStore.count()
+      idx.nearDup.bands.count(); idx.substr.grams.count()
+      idx.corpusFps.count()
+    }
+    val idxSizes = Map(
+      "para_units" -> idx.para.units.count(),
+      "neardup_bands" -> idx.nearDup.bands.count(),
+      "substr_grams" -> idx.substr.grams.count(),
+      "corpus_fps" -> idx.corpusFps.count())
+
+    // derive the probe once (fold input) — NOT part of any fold leg
+    val probe = P.fullCleanProbe(inc, idx, "doc_id", "text")
+    probe.cleanedInc.count(); probe.survivors.count()
+
+    val PD = graft.pipeline.ParagraphDedup
+    val D = graft.pipeline.Dedup
+    val paraFold = minOf {
+      PD.updateParagraphIndex(idx.para, inc).units.count()
+    }
+    val substrFold = minOf {
+      D.updateExactSubstrIndex(idx.substr, probe.survivors).grams.count()
+    }
+    val fullFold = minOf {
+      val f = P.updateFullCleanIndexWith(idx, inc, probe, "doc_id", "text")
+      f.para.units.count(); f.nearDup.docStore.count()
+      f.nearDup.bands.count(); f.substr.grams.count(); f.corpusFps.count()
+    }
+    // fp-set fold A/B on identical inputs
+    val incFpsAll = probe.cleanedInc
+      .select(graft.pipeline.TextPipeline.fingerprint(col("text")).as("fp"))
+    val fpUnionDistinct = minOf {
+      idx.corpusFps.unionByName(incFpsAll).distinct().count()
+    }
+    val fpAntiAppend = minOf {
+      idx.corpusFps.unionByName(
+        incFpsAll.distinct()
+          .join(idx.corpusFps, Seq("fp"), "left_anti")).count()
+    }
+    idx.unpersist()
+
+    val steal = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
+      yield math.round(10000.0 * (s1 - s0) / (t1 - t0)) / 100.0)
+    val sizesJson = idxSizes.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"fold_probe","sf":"$sfDir","shuffle_partitions":$parts,""" +
+        s""""reps":$reps,"inc_rows":$incRows,"build_sec":$buildSec,""" +
+        s""""index_sizes":$sizesJson,"para_fold_sec":$paraFold,""" +
+        s""""substr_fold_sec":$substrFold,"fullclean_fold_sec":$fullFold,""" +
+        s""""fp_union_distinct_sec":$fpUnionDistinct,""" +
+        s""""fp_anti_append_sec":$fpAntiAppend,""" +
+        s""""steal_pct":${steal.map(_.toString).getOrElse("null")}}"""
+    println(json)
+    Files.writeString(Paths.get(outPath), json + "\n")
+    spark.stop()
+  }
+}

@@ -552,5 +552,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "incremental full-chain emission must fold row-locally")
     assert(!pi.contains("NestedLoop") && !pi.contains("Cartesian"),
       "incremental full-chain joins must be keyed")
+    // the model-quality policy variant must not change the plan class:
+    // classifierScore is row-local arithmetic fused into the keep-best
+    // input scan, and the Det-grid quality stays inside the struct-max
+    // aggregate — same no-window, keyed-joins-only shape
+    val pm = planOf("p_full_pipeline_model_quality")
+    assert(!pm.contains("Window"),
+      "model-quality full chain must not introduce a window")
+    assert(!pm.contains("NestedLoop") && !pm.contains("Cartesian"),
+      "model-quality full-chain joins must be keyed")
   }
 }
