@@ -1557,13 +1557,222 @@ object Dedup {
     finally idx.unpersist()
   }
 
+  /** LSM-style SEGMENTED [[ExactSubstrIndex]] — the fold-side upgrade
+    * path the FOLDPROBE decade rows motivated: [[updateExactSubstrIndex]]
+    * re-aggregates index ∪ increment on EVERY fold (O(index) — 11.9 s
+    * against the ×1000 gram index for a 1000-row increment, d3 0.87,
+    * approaching linear in index size), because a monolithic store must
+    * absorb the increment's rows in place. The segmented store makes the
+    * recurring fold O(increment): each fold appends ONE immutable
+    * increment-sized segment (the increment's own per-gram `(nocc,
+    * keeper)` aggregate) and probes merge on read — correct because
+    * `(sum nocc, min keeper)` is a commutative monoid over any partition
+    * of the corpus into segments — while a threshold compaction (total
+    * delta rows > `compactFraction` × base rows) re-aggregates everything
+    * back into one base. The classic LSM bill: O(increment) per fold plus
+    * an O(index) compaction amortized over `compactFraction × |index| /
+    * |increment|` folds; the probe pays a read tax of one extra
+    * increment-keyed join per open delta segment (quantified as the
+    * probe A/B legs in FOLDPROBE.json).
+    *
+    * On a lake this is an append-only layout: the daily fold writes one
+    * new bucketed segment dir plus a tiny meta file
+    * ([[foldSegmentedExactSubstrIndexOnDisk]]) instead of rewriting the
+    * corpus-sized gram table, and compaction is a periodic rewrite to a
+    * fresh table path with an atomic pointer swap (here: a fresh dir).
+    *
+    * OWNERSHIP differs from the monolithic index on purpose: folds SHARE
+    * the base and prior delta frames with the input handle (append-only),
+    * so never unpersist a superseded handle after a fold — retire state
+    * through the newest handle's [[SegmentedExactSubstrIndex.unpersist]].
+    * Compaction retires the delta frames it consumed itself, after
+    * materializing the merged base.
+    */
+  final case class SegmentedExactSubstrIndex(
+      base: DataFrame, baseRows: Long,
+      deltas: Seq[DataFrame], deltaRows: Seq[Long],
+      minLen: Int, maxDocId: Long = IdContract.Unwatermarked,
+      compactFraction: Double = 0.25) {
+    def segments: Seq[DataFrame] = base +: deltas
+    def unpersist(): Unit = segments.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Build the base segment over the corpus (one corpus-sized aggregate,
+    * exactly [[buildExactSubstrIndex]]'s) with no open deltas.
+    */
+  def buildSegmentedExactSubstrIndex(corpus: DataFrame, minLen: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      compactFraction: Double = 0.25): SegmentedExactSubstrIndex =
+    segmentedFrom(buildExactSubstrIndex(corpus, minLen, idCol, textCol),
+      compactFraction)
+
+  /** Adopt an existing monolithic index as the base segment (counts it —
+    * one job over the persisted aggregate — to seed the compaction
+    * threshold). The input's grams frame is SHARED, not copied, and
+    * OWNERSHIP TRANSFERS to the segmented chain: a later compaction will
+    * retire it, so stop unpersisting through the monolithic handle.
+    */
+  def segmentedFrom(index: ExactSubstrIndex,
+      compactFraction: Double = 0.25): SegmentedExactSubstrIndex =
+    SegmentedExactSubstrIndex(index.grams, index.grams.count(),
+      Seq.empty, Seq.empty, index.minLen, index.maxDocId, compactFraction)
+
+  /** Fold an increment in O(increment): one map-side-combinable aggregate
+    * over the increment's grams, persisted and MATERIALIZED here (the
+    * fold pays its own bill at fold time, not at the next probe), then
+    * appended as an immutable delta segment. Compacts iff the open deltas
+    * now exceed `compactFraction` × base rows. Monotone-id watermark
+    * enforced exactly as the monolithic fold ([[IdContract]]).
+    */
+  def updateSegmentedExactSubstrIndex(index: SegmentedExactSubstrIndex,
+      incoming: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): SegmentedExactSubstrIndex = {
+    val wm = IdContract.requireAboveAndAdvance(incoming, idCol,
+      index.maxDocId, "updateSegmentedExactSubstrIndex")
+    val delta = exactGramAgg(incoming, index.minLen, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = delta.count()
+    val next = index.copy(deltas = index.deltas :+ delta,
+      deltaRows = index.deltaRows :+ n, maxDocId = wm)
+    if (next.deltaRows.sum <= index.compactFraction * index.baseRows) next
+    else compactSegmentedExactSubstrIndex(next)
+  }
+
+  /** Re-aggregate every segment into one fresh base — the amortized
+    * O(index) half of the LSM bill, the same exchange
+    * [[updateExactSubstrIndex]] pays on EVERY fold. Materializes the
+    * merged base, then retires EVERY input segment frame (base included —
+    * the chain owns its state; see [[segmentedFrom]] on adoption), so a
+    * fold chain never leaks a superseded base.
+    */
+  def compactSegmentedExactSubstrIndex(
+      index: SegmentedExactSubstrIndex): SegmentedExactSubstrIndex =
+    if (index.deltas.isEmpty) index
+    else {
+      val merged = index.segments.reduce(_ unionByName _)
+        .groupBy("g1", "g2")
+        .agg(sum(col("nocc")).as("nocc"), min(col("keeper")).as("keeper"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = merged.count()
+      index.segments.foreach(_.unpersist(blocking = false))
+      SegmentedExactSubstrIndex(merged, n, Seq.empty, Seq.empty,
+        index.minLen, index.maxDocId, index.compactFraction)
+    }
+
+  /** INCREMENTAL exact duplicated-substring removal against a SEGMENTED
+    * index — the same batch-equality contract, emit schema and increment-
+    * sized probe shape as [[incrementalRemoveDupSpansExact]]; only the
+    * index side differs (per-segment joins + an increment-sized monoid
+    * merge, see [[incrementalExactSubstrFramesOver]]).
+    */
+  def incrementalRemoveDupSpansExactSegmented(incoming: DataFrame,
+      index: SegmentedExactSubstrIndex, idCol: String = "doc_id",
+      textCol: String = "text", keepFirst: Boolean = true,
+      emitOriginal: Boolean = false): DataFrame = {
+    IdContract.requireAbove(incoming, idCol, index.maxDocId,
+      "incrementalRemoveDupSpansExactSegmented")
+    val f = incrementalExactSubstrFramesOver(incoming, index.segments,
+      index.minLen, idCol, textCol, keepFirst)
+    val cuts = // eager: affected docs only; finally: no substrate leak on failure
+      try f.cuts.localCheckpoint()
+      finally f.base.unpersist(blocking = false)
+    if (emitOriginal) emitPiecesOriginal(incoming, cuts, idCol, textCol)
+    else emitPieces(incoming, cuts, idCol, textCol)
+  }
+
+  /** Persist a segmented index as an APPEND-ONLY layout: `seg-00000/`
+    * (base) … `seg-0000k/` (deltas), each clustered by `(g1, g2)` into
+    * `nBuckets` files, plus `meta/` pinning `min_len`, the [[IdContract]]
+    * watermark, `compact_fraction` and per-segment row counts. The daily
+    * disk fold ([[foldSegmentedExactSubstrIndexOnDisk]]) then touches
+    * only increment-sized bytes: one new segment dir + the tiny meta.
+    */
+  def writeSegmentedExactSubstrIndex(index: SegmentedExactSubstrIndex,
+      dir: String, nBuckets: Int = 64): Unit = {
+    index.segments.zipWithIndex.foreach { case (s, i) =>
+      s.repartition(nBuckets, col("g1"), col("g2"))
+        .write.mode("overwrite").parquet(f"$dir/seg-$i%05d")
+    }
+    writeSegmentedMeta(index.base.sparkSession, dir, index.minLen,
+      index.maxDocId, index.compactFraction,
+      index.baseRows +: index.deltaRows)
+  }
+
+  private def writeSegmentedMeta(spark: SparkSession, dir: String,
+      minLen: Int, maxDocId: Long, compactFraction: Double,
+      segRows: Seq[Long]): Unit = {
+    import spark.implicits._
+    Seq((minLen, maxDocId, compactFraction, segRows))
+      .toDF("min_len", "max_doc_id", "compact_fraction", "seg_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a disk-persisted segmented index; each segment persists
+    * lazily, so the first probe pays the parquet scans (and one exchange
+    * per segment to refill the in-memory co-partitioning).
+    */
+  def readSegmentedExactSubstrIndex(spark: SparkSession,
+      dir: String): SegmentedExactSubstrIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    val segRows = meta.getAs[scala.collection.Seq[Long]]("seg_rows").toSeq
+    val segs = segRows.indices.map(i =>
+      spark.read.parquet(f"$dir/seg-$i%05d")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    SegmentedExactSubstrIndex(segs.head, segRows.head,
+      segs.tail, segRows.tail, meta.getAs[Int]("min_len"),
+      meta.getAs[Long]("max_doc_id"),
+      meta.getAs[Double]("compact_fraction"))
+  }
+
+  /** The DAILY DISK FOLD: append one increment to a disk-resident
+    * segmented index by writing ONE new increment-sized segment dir and
+    * rewriting the tiny meta — the corpus-sized segment files are never
+    * touched. Watermark-enforced from the on-disk meta. Does NOT compact:
+    * on a lake, compaction is a separate periodic job — read the index,
+    * [[compactSegmentedExactSubstrIndex]], write to a FRESH path, swap
+    * the table pointer atomically — because rewriting a live dir in
+    * place would race its readers.
+    */
+  def foldSegmentedExactSubstrIndexOnDisk(spark: SparkSession, dir: String,
+      incoming: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nBuckets: Int = 8): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    val segRows = meta.getAs[scala.collection.Seq[Long]]("seg_rows").toSeq
+    val minLen = meta.getAs[Int]("min_len")
+    val wm = IdContract.requireAboveAndAdvance(incoming, idCol,
+      meta.getAs[Long]("max_doc_id"), "foldSegmentedExactSubstrIndexOnDisk")
+    val segDir = f"$dir/seg-${segRows.size}%05d"
+    exactGramAgg(incoming, minLen, idCol, textCol)
+      .repartition(nBuckets, col("g1"), col("g2"))
+      .write.mode("errorifexists").parquet(segDir)
+    val n = spark.read.parquet(segDir).count()
+    writeSegmentedMeta(spark, dir, minLen, wm,
+      meta.getAs[Double]("compact_fraction"), segRows :+ n)
+  }
+
   /** The lazy internals of [[incrementalRemoveDupSpansExact]], exposed for
     * plan-quality tests (same contract as [[exactSubstrFrames]]).
     */
   private[graft] def incrementalExactSubstrFrames(incoming: DataFrame,
       index: ExactSubstrIndex, idCol: String, textCol: String,
+      keepFirst: Boolean): RemoveSpanFrames =
+    incrementalExactSubstrFramesOver(incoming, Seq(index.grams),
+      index.minLen, idCol, textCol, keepFirst)
+
+  /** [[incrementalExactSubstrFrames]] generalized over a SEGMENTED gram
+    * store ([[SegmentedExactSubstrIndex]]). With ONE segment the plan is
+    * the monolithic probe unchanged — a single left join against the
+    * persisted aggregate, reusing its `(g1, g2)` hash partitioning. With
+    * k segments the index side becomes k inner joins of the increment's
+    * gram set against each segment — each reusing that segment's
+    * partitioning (or broadcasting the small increment side under AQE),
+    * so no segment is ever re-shuffled — combined by an INCREMENT-sized
+    * re-aggregate, correct because `(sum nocc, min keeper)` is a
+    * commutative monoid over any partition of the corpus into segments.
+    */
+  private[graft] def incrementalExactSubstrFramesOver(incoming: DataFrame,
+      segments: Seq[DataFrame], minLen: Int, idCol: String, textCol: String,
       keepFirst: Boolean): RemoveSpanFrames = {
-    val minLen = index.minLen
     val base = incoming
       .select(col(idCol).as("doc_id"), TextPipeline.tokens(col(textCol)).as("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1581,10 +1790,21 @@ object Dedup {
       .groupBy("g1", "g2")
       .agg(count(lit(1)).as("inc_nocc"),
         min(struct(col("doc_id"), col("i"))).as("inc_keeper"))
+    val idxGrams =
+      if (segments.lengthCompare(1) == 0)
+        segments.head.select(col("g1"), col("g2"),
+          col("nocc").as("idx_nocc"), col("keeper").as("idx_keeper"))
+      else
+        segments.map(seg =>
+            incAgg.select(col("g1"), col("g2"))
+              .join(seg.select(col("g1"), col("g2"), col("nocc"), col("keeper")),
+                Seq("g1", "g2")))
+          .reduce(_ unionByName _)
+          .groupBy("g1", "g2")
+          .agg(sum(col("nocc")).as("idx_nocc"),
+            min(col("keeper")).as("idx_keeper"))
     val dupSet = incAgg
-      .join(index.grams.select(col("g1"), col("g2"),
-        col("nocc").as("idx_nocc"), col("keeper").as("idx_keeper")),
-        Seq("g1", "g2"), "left")
+      .join(idxGrams, Seq("g1", "g2"), "left")
       .select(col("g1"), col("g2"),
         (col("inc_nocc") + coalesce(col("idx_nocc"), lit(0L))).as("nocc"),
         when(col("idx_keeper").isNull, col("inc_keeper"))

@@ -1987,57 +1987,65 @@ object PipelineQueries {
     * incremental answer. Substrate-adversarial as in the batch check:
     * DuckDB groups literal gram strings, Spark rolls 128-bit polynomials.
     */
+  /** The batch exact-removal WITH chain over ALL documents, emitting only
+    * docs matching `finalPred` — shared by both incremental substring
+    * oracles (monolithic and SEGMENTED index), which differ only in which
+    * doc slice plays the increment.
+    */
+  private def incrSubstrOracleSql(minLen: Int, finalPred: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, i, array_to_string(toks[i:i+${minLen - 1}], ' ') AS g
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${minLen - 2})) AS i) s),
+       |rk AS (SELECT doc_id, i,
+       |         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+       |         count(*) OVER (PARTITION BY g) AS nocc
+       |       FROM gr),
+       |iv AS (SELECT doc_id, i AS st, i + ${minLen - 1} AS en
+       |       FROM rk WHERE nocc >= 2 AND rn > 1),
+       |m AS (SELECT doc_id, st, en,
+       |        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |      FROM iv),
+       |s AS (SELECT doc_id, st, en,
+       |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+       |                 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY st, en
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |      FROM m),
+       |cut AS (SELECT doc_id, isl, min(st) AS st, max(en) AS en
+       |        FROM s GROUP BY doc_id, isl),
+       |nt AS (SELECT doc_id, len(toks) AS n FROM t),
+       |b AS (SELECT doc_id, st, en,
+       |        lag(en) OVER (PARTITION BY doc_id ORDER BY st) AS prev_en
+       |      FROM cut),
+       |gaps AS (
+       |  SELECT doc_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
+       |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
+       |  UNION ALL
+       |  SELECT tl.doc_id, tl.pst, nt.n AS pen
+       |  FROM (SELECT doc_id, max(en) + 1 AS pst FROM cut GROUP BY doc_id) tl
+       |  JOIN nt ON nt.doc_id = tl.doc_id WHERE nt.n >= tl.pst),
+       |pieces AS (SELECT doc_id,
+       |             row_number() OVER (PARTITION BY doc_id ORDER BY pst) - 1
+       |               AS piece_idx,
+       |             pst, pen
+       |           FROM gaps)
+       |SELECT p.doc_id, p.piece_idx::BIGINT AS piece_idx,
+       |       (p.pst - 1)::BIGINT AS st, (p.pen - 1)::BIGINT AS en,
+       |       (p.pen - p.pst + 1)::BIGINT AS n_tokens,
+       |       md5(array_to_string(t.toks[p.pst:p.pen], ' ')) AS text_hash
+       |FROM pieces p JOIN t ON t.doc_id = p.doc_id
+       |WHERE $finalPred
+       |ORDER BY p.doc_id, p.piece_idx""".stripMargin
+
   val incrementalSubstrRemoval: Q = {
     val minLen = 20
     Q.sql(
       "p_incremental_substr_removal",
-      s"""WITH t AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-         |  FROM documents),
-         |gr AS (
-         |  SELECT doc_id, i, array_to_string(toks[i:i+${minLen - 1}], ' ') AS g
-         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${minLen - 2})) AS i) s),
-         |rk AS (SELECT doc_id, i,
-         |         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
-         |         count(*) OVER (PARTITION BY g) AS nocc
-         |       FROM gr),
-         |iv AS (SELECT doc_id, i AS st, i + ${minLen - 1} AS en
-         |       FROM rk WHERE nocc >= 2 AND rn > 1),
-         |m AS (SELECT doc_id, st, en,
-         |        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-         |      FROM iv),
-         |s AS (SELECT doc_id, st, en,
-         |        sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
-         |                 THEN 1 ELSE 0 END)
-         |          OVER (PARTITION BY doc_id ORDER BY st, en
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-         |      FROM m),
-         |cut AS (SELECT doc_id, isl, min(st) AS st, max(en) AS en
-         |        FROM s GROUP BY doc_id, isl),
-         |nt AS (SELECT doc_id, len(toks) AS n FROM t),
-         |b AS (SELECT doc_id, st, en,
-         |        lag(en) OVER (PARTITION BY doc_id ORDER BY st) AS prev_en
-         |      FROM cut),
-         |gaps AS (
-         |  SELECT doc_id, coalesce(prev_en + 1, 1) AS pst, st - 1 AS pen
-         |  FROM b WHERE st - 1 >= coalesce(prev_en + 1, 1)
-         |  UNION ALL
-         |  SELECT tl.doc_id, tl.pst, nt.n AS pen
-         |  FROM (SELECT doc_id, max(en) + 1 AS pst FROM cut GROUP BY doc_id) tl
-         |  JOIN nt ON nt.doc_id = tl.doc_id WHERE nt.n >= tl.pst),
-         |pieces AS (SELECT doc_id,
-         |             row_number() OVER (PARTITION BY doc_id ORDER BY pst) - 1
-         |               AS piece_idx,
-         |             pst, pen
-         |           FROM gaps)
-         |SELECT p.doc_id, p.piece_idx::BIGINT AS piece_idx,
-         |       (p.pst - 1)::BIGINT AS st, (p.pen - 1)::BIGINT AS en,
-         |       (p.pen - p.pst + 1)::BIGINT AS n_tokens,
-         |       md5(array_to_string(t.toks[p.pst:p.pen], ' ')) AS text_hash
-         |FROM pieces p JOIN t ON t.doc_id = p.doc_id
-         |WHERE p.doc_id % 2 = 1
-         |ORDER BY p.doc_id, p.piece_idx""".stripMargin) { (s, dir) =>
+      incrSubstrOracleSql(minLen, "p.doc_id % 2 = 1")) { (s, dir) =>
       val d = docsSpread(s, dir)
       Dedup.incrementalRemoveDupSpansExact(
           d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
@@ -2048,6 +2056,43 @@ object PipelineQueries {
         .orderBy("doc_id", "piece_idx")
     }
   }
+
+  /** INCREMENTAL exact substring removal against the LSM-SEGMENTED gram
+    * index (P62) — the O(increment)-fold deployment shape: doc-id
+    * QUARTILES play four crawl days (base build over q1, two watermarked
+    * `updateSegmentedExactSubstrIndex` folds for q2/q3 — at sf0.01 each
+    * delta is corpus-sized, so the second fold crosses the default
+    * compaction threshold and the oracle gate exercises append, the
+    * probe-side monoid merge AND compaction in one query), then q4 is
+    * probed. The oracle is the BATCH removal over the union restricted to
+    * q4 — pinning that merge-on-read over segments recovers exactly the
+    * monolithic occurrence counts and first-occurrence keepers.
+    */
+  val incrementalSubstrRemovalSegmented: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_incremental_substr_removal_segmented",
+      incrSubstrOracleSql(minLen,
+        "p.doc_id > (SELECT 3 * max(doc_id) // 4 FROM documents)")) { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val mx = d.agg(max(col("doc_id"))).head.getLong(0)
+      val (c1, c2, c3) = (mx / 4, mx / 2, 3 * mx / 4)
+      val idx = Dedup.updateSegmentedExactSubstrIndex(
+        Dedup.updateSegmentedExactSubstrIndex(
+          Dedup.buildSegmentedExactSubstrIndex(
+            d.filter(col("doc_id") <= c1), minLen),
+          d.filter(col("doc_id") > c1 && col("doc_id") <= c2)),
+        d.filter(col("doc_id") > c2 && col("doc_id") <= c3))
+      try Dedup.incrementalRemoveDupSpansExactSegmented(
+          d.filter(col("doc_id") > c3), idx)
+        .filter(col("cut_tokens") > 0)
+        .select(col("doc_id"), col("piece_idx"), col("st"), col("en"),
+          col("n_tokens"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id", "piece_idx")
+      finally idx.unpersist()
+    }
+  }
+
 
   /** Count-Min sketch build + point queries: d×w bucket counters over the
     * corpus token stream (the partition-independent mergeable sketch —
@@ -3511,7 +3556,7 @@ object PipelineQueries {
     dupClusters, dupKeepBest, rateSample, rateUpsampleQ, corpusFreqQuality,
     lengthBatching, dupGramProfileQ, dupSpans, dupSpansMulti, dupSpanRemoval,
     exactSubstrRemoval, exactSubstrRemovalBytes, substrRemovalFixedpoint,
-    incrementalSubstrRemoval, packSpanMasks,
+    incrementalSubstrRemoval, incrementalSubstrRemovalSegmented, packSpanMasks,
     bigramLmQuality, weightedSampleQ,
     paragraphDedupQ, lineDedupQ, paragraphDedupBytes,
     incrementalParagraphDedup, cleanPipelineQ, incrementalCleanPipeline,

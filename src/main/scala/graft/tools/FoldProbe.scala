@@ -24,6 +24,14 @@ import java.nio.file.{Files, Paths}
   *                            vs the shipped anti-join append (increment
   *                            fps minus present, appended — the corpus
   *                            side streams through the join unchanged)
+  *   - `substr_seg_fold_sec` — the LSM-SEGMENTED gram fold (P62): the
+  *                            same survivors appended as ONE immutable
+  *                            increment-sized segment, vs
+  *                            `substr_fold_sec`'s monolithic re-aggregate
+  *   - `substr_probe_mono_sec` / `substr_probe_seg_sec` — the segmented
+  *                            store's probe READ TAX: the same increment
+  *                            probed against identical index content held
+  *                            monolithic vs as base + 3 open segments
   *
   * Each timed leg materializes the folded frame(s) with count() and
   * unpersists everything it created before the next rep (min over reps).
@@ -127,6 +135,45 @@ object FoldProbe {
         incFpsAll.distinct()
           .join(idx.corpusFps, Seq("fp"), "left_anti")).count()
     }
+
+    // LSM-SEGMENTED substr fold A/B (P62): the same survivors folded as
+    // ONE append segment — O(increment) — vs substr_fold_sec's monolithic
+    // O(index) re-aggregate above. compactFraction=MaxValue isolates the
+    // append; compaction is the amortized half and costs exactly one
+    // monolithic fold.
+    val segBase = D.segmentedFrom(idx.substr, Double.MaxValue)
+    val substrSegFold = minOf {
+      D.updateSegmentedExactSubstrIndex(segBase, probe.survivors)
+    }
+    // probe READ-TAX A/B: identical logical index content — the lower
+    // half of the increment folded in — held monolithic vs as base + 3
+    // open delta segments; the upper half (ids above, watermark-monotone)
+    // is probed against each
+    val pcut = inc.select(col("doc_id")).orderBy(col("doc_id").desc)
+      .limit(math.max(1, incRows / 2)).agg(min(col("doc_id"))).head.getLong(0)
+    val incFold = inc.filter(col("doc_id") < pcut).localCheckpoint()
+    val incProbe = inc.filter(col("doc_id") >= pcut).localCheckpoint()
+    val foldIds = incFold.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val (t1, t2) = (foldIds(foldIds.length / 3), foldIds(2 * foldIds.length / 3))
+    val monoIdx = D.updateExactSubstrIndex(idx.substr, incFold)
+    monoIdx.grams.count()
+    val segIdx = Seq(
+        incFold.filter(col("doc_id") < t1),
+        incFold.filter(col("doc_id") >= t1 && col("doc_id") < t2),
+        incFold.filter(col("doc_id") >= t2))
+      .foldLeft(D.segmentedFrom(idx.substr, Double.MaxValue))(
+        (i, d) => D.updateSegmentedExactSubstrIndex(i, d))
+    val substrProbeMono = minOf {
+      D.incrementalRemoveDupSpansExact(incProbe, monoIdx)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val substrProbeSeg = minOf {
+      D.incrementalRemoveDupSpansExactSegmented(incProbe, segIdx)
+        .write.format("noop").mode("overwrite").save()
+    }
+    monoIdx.unpersist()
+    segIdx.deltas.foreach(_.unpersist(blocking = false))
     idx.unpersist()
 
     val steal = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
@@ -140,6 +187,9 @@ object FoldProbe {
         s""""substr_fold_sec":$substrFold,"fullclean_fold_sec":$fullFold,""" +
         s""""fp_union_distinct_sec":$fpUnionDistinct,""" +
         s""""fp_anti_append_sec":$fpAntiAppend,""" +
+        s""""substr_seg_fold_sec":$substrSegFold,""" +
+        s""""substr_probe_mono_sec":$substrProbeMono,""" +
+        s""""substr_probe_seg_sec":$substrProbeSeg,""" +
         s""""steal_pct":${steal.map(_.toString).getOrElse("null")}}"""
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")

@@ -1206,6 +1206,92 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     idxLoaded.unpersist()
   }
 
+  test("segmented exact-substr index: append folds equal monolithic and batch; compaction collapses; disk fold appends one segment") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(97)
+    val minLen = 3
+    val corpus = (0L until 50L).map { id =>
+      val len = rnd.nextInt(28)
+      (id, (0 until len).map(_ => "w" + rnd.nextInt(5)).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    def slice(lo: Long, hi: Long) =
+      df.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    val days = (0 to 4).map(k => slice(k * 10L, k * 10L + 10L))
+    val probeDay = days(4)
+    def shape(d: DataFrame) = d.orderBy("doc_id", "piece_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"),
+        r.getAs[Long]("cut_tokens"), r.getAs[String]("text"))).toSeq
+    def gramSet(grams: DataFrame) = grams.collect()
+      .map(r => (r.getAs[Long]("g1"), r.getAs[Long]("g2"),
+        r.getAs[Long]("nocc"),
+        (r.getStruct(3).getLong(0), r.getStruct(3).getLong(1)))).toSet
+    val batch = shape(Dedup.removeDupSpansExact(df, minLen)
+      .filter(col("doc_id") >= 40L))
+    assert(batch.nonEmpty, "degenerate fixture: probe day cut nothing")
+
+    // leg 1: three append folds, never compacting — probe over 4 open
+    // segments must equal the monolithic incremental AND the batch run
+    val segOpen = Seq(days(1), days(2), days(3)).foldLeft(
+      Dedup.buildSegmentedExactSubstrIndex(days(0), minLen,
+        compactFraction = Double.MaxValue))(
+      Dedup.updateSegmentedExactSubstrIndex(_, _))
+    assert(segOpen.deltas.size == 3 && segOpen.maxDocId == 39L,
+      s"expected 3 open deltas at wm 39, got ${segOpen.deltas.size} @ ${segOpen.maxDocId}")
+    val segProbe = shape(
+      Dedup.incrementalRemoveDupSpansExactSegmented(probeDay, segOpen))
+    assert(segProbe == batch, "segmented probe (4 segments) diverged from batch")
+    val mono = Seq(days(1), days(2), days(3)).foldLeft(
+      Dedup.buildExactSubstrIndex(days(0), minLen))(
+      Dedup.updateExactSubstrIndex(_, _))
+    assert(shape(Dedup.incrementalRemoveDupSpansExact(probeDay, mono))
+      == segProbe, "segmented and monolithic probes diverged")
+
+    // leg 2: compactFraction = 0 forces compaction on every fold — the
+    // final state is ONE base equal to a fresh monolithic build, gram for
+    // gram, and the probe is unchanged
+    val segCompacted = Seq(days(1), days(2), days(3)).foldLeft(
+      Dedup.buildSegmentedExactSubstrIndex(days(0), minLen,
+        compactFraction = 0.0))(Dedup.updateSegmentedExactSubstrIndex(_, _))
+    assert(segCompacted.deltas.isEmpty, "compaction left open deltas")
+    val fresh = Dedup.buildExactSubstrIndex(
+      days.take(4).reduce(_ unionByName _), minLen)
+    assert(gramSet(segCompacted.base) == gramSet(fresh.grams),
+      "compacted base diverged from a fresh monolithic build")
+    assert(shape(Dedup.incrementalRemoveDupSpansExactSegmented(
+      probeDay, segCompacted)) == batch, "post-compaction probe diverged")
+
+    // leg 3: disk round-trip with an APPEND-ONLY on-disk fold — write 2
+    // segments, fold day 3 touching only one new segment dir + meta,
+    // reload (3 segments, advanced watermark), fold day 4 in memory on
+    // the reloaded handle, probe
+    val twoSeg = Dedup.updateSegmentedExactSubstrIndex(
+      Dedup.buildSegmentedExactSubstrIndex(days(0), minLen,
+        compactFraction = Double.MaxValue), days(1))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_seg_substr_idx").toString
+    Dedup.writeSegmentedExactSubstrIndex(twoSeg, tmp, nBuckets = 4)
+    Dedup.foldSegmentedExactSubstrIndexOnDisk(spark, tmp, days(2))
+    val loaded = Dedup.readSegmentedExactSubstrIndex(spark, tmp)
+    assert(loaded.segments.size == 3 && loaded.maxDocId == 29L &&
+      loaded.minLen == minLen,
+      s"reloaded index: ${loaded.segments.size} segments @ ${loaded.maxDocId}")
+    val loadedFolded = Dedup.updateSegmentedExactSubstrIndex(loaded, days(3))
+    assert(shape(Dedup.incrementalRemoveDupSpansExactSegmented(
+      probeDay, loadedFolded)) == batch,
+      "probe via disk-folded + reloaded index diverged from batch")
+    // watermark: an already-indexed id must fail loudly, in memory and on disk
+    intercept[IllegalArgumentException] {
+      Dedup.updateSegmentedExactSubstrIndex(loadedFolded, days(1))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.foldSegmentedExactSubstrIndexOnDisk(spark, tmp, days(1))
+    }
+    segOpen.unpersist(); mono.unpersist(); segCompacted.unpersist()
+    fresh.unpersist(); loadedFolded.unpersist()
+  }
+
   test("incrementalNearDup: planted cross-side pair found; within-batch pairs suppressed") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
