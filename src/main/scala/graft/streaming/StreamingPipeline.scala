@@ -64,6 +64,16 @@ final case class StreamingRemoval(
     query: org.apache.spark.sql.streaming.StreamingQuery,
     currentIndex: () => graft.pipeline.Dedup.ExactSubstrIndex)
 
+/** [[StreamingRemoval]]'s twin over the LSM-SEGMENTED index
+  * ([[StreamingPipeline.removeDupSpansExactStreamSegmented]]): same
+  * `currentIndex()` contract, but the state is
+  * [[graft.pipeline.Dedup.SegmentedExactSubstrIndex]] — what deployment
+  * persists via [[graft.pipeline.Dedup.writeSegmentedExactSubstrIndex]].
+  */
+final case class StreamingRemovalSegmented(
+    query: org.apache.spark.sql.streaming.StreamingQuery,
+    currentIndex: () => graft.pipeline.Dedup.SegmentedExactSubstrIndex)
+
 /** A running streaming near-dup query plus the live handle to its
   * forward-folding LSH index ([[StreamingPipeline.incrementalNearDupStream]]):
   * `currentIndex()` always returns the corpus ∪ processed-batches state —
@@ -321,6 +331,41 @@ object StreamingPipeline {
       }
       .start()
     StreamingRemoval(q, () => idx)
+  }
+
+  /** [[removeDupSpansExactStream]] over the LSM-SEGMENTED index (P62) —
+    * the layout built for exactly this loop: the monolithic stream pays
+    * an O(index) re-aggregate-and-materialize EVERY micro-batch (the
+    * fold IS the trigger cadence), while the segmented fold appends one
+    * batch-sized segment — O(batch) per trigger — and compacts only when
+    * the open deltas cross the index's threshold. No per-batch
+    * retire-and-swap dance either: folds share frames append-only
+    * (see [[graft.pipeline.Dedup.SegmentedExactSubstrIndex]] ownership),
+    * and compaction retires what it consumed itself. Same at-least-once
+    * epoch guard and batch-equality contract as the monolithic form;
+    * pinned in StreamingSpec against one batch run over the union.
+    */
+  def removeDupSpansExactStreamSegmented(docs: DataFrame,
+      initial: graft.pipeline.Dedup.SegmentedExactSubstrIndex,
+      sink: (DataFrame, Long) => Unit,
+      emitOriginal: Boolean = false): StreamingRemovalSegmented = {
+    @volatile var idx = initial
+    var lastFolded = Long.MinValue
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExactSegmented(
+          batch, idx, emitOriginal = emitOriginal), epoch)
+        if (epoch > lastFolded) {
+          // O(batch): materializes only the new delta (inside update);
+          // superseded handles share every frame with the new one, so
+          // there is nothing to retire here
+          idx = graft.pipeline.Dedup.updateSegmentedExactSubstrIndex(idx, batch)
+          lastFolded = epoch
+        }
+      }
+      .start()
+    StreamingRemovalSegmented(q, () => idx)
   }
 
   /** Streaming incremental NEAR-DUP detection (P46's stream form) — the

@@ -388,6 +388,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"docs 10 (vs corpus) and 20 (vs batch-1 fold) must be cut: $cutDocs")
   }
 
+  test("streaming segmented substr removal: batch-equal pieces, one delta per batch, compaction equals a fresh union build") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val minLen = 3
+    val corpus = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "x x a b c d e y y"),  // repeats corpus run "a b c d e" -> cut vs base
+      (11L, "p q r s t u v"))      // unique now; batch 2 repeats its prefix
+    val batch2 = Seq(
+      (20L, "m m p q r s t n n"),  // cut ONLY because batch 1's delta segment
+                                   // carried doc 11's grams into this probe
+      (21L, "w1 w2 w3"))           // unique
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cut_tokens"), r.getAs[String]("text"))).toSeq
+    val idx0 = graft.pipeline.Dedup.buildSegmentedExactSubstrIndex(
+      corpus, minLen, compactFraction = Double.MaxValue)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val h = StreamingPipeline.removeDupSpansExactStreamSegmented(
+      input.toDF().toDF("doc_id", "text"), idx0,
+      (pieces, _) => got.synchronized { got ++= shape(pieces.collect()) })
+    try {
+      input.addData(batch1: _*); h.query.processAllAvailable()
+      input.addData(batch2: _*); h.query.processAllAvailable()
+    } finally h.query.stop()
+    val finalIdx = h.currentIndex()
+    // the O(batch) fold left exactly one immutable delta per micro-batch
+    assert(finalIdx.deltas.size == 2 && finalIdx.maxDocId == 21L,
+      s"expected base + 2 deltas @ wm 21, got ${finalIdx.deltas.size} " +
+        s"@ ${finalIdx.maxDocId}")
+    // ids are monotone across corpus -> b1 -> b2, so the stream's pieces
+    // must be bit-equal to ONE batch run over everything, per batch doc
+    val expected = shape(graft.pipeline.Dedup.removeDupSpansExact(
+        corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text")), minLen)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 10L)
+      .orderBy("doc_id", "piece_idx").collect())
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected,
+      "streamed pieces diverge from the batch run over the union")
+    val cutDocs = got.filter(_._6 > 0).map(_._1).toSet
+    assert(cutDocs == Set(10L, 20L),
+      s"docs 10 (vs base) and 20 (vs batch-1 delta) must be cut: $cutDocs")
+    // compacting the surviving handle recovers the monolithic state — the
+    // periodic deployment job — gram for gram vs a fresh union build
+    val compacted = graft.pipeline.Dedup
+      .compactSegmentedExactSubstrIndex(finalIdx)
+    val fresh = graft.pipeline.Dedup.buildExactSubstrIndex(
+      corpus.unionByName((batch1 ++ batch2).toDF("doc_id", "text")), minLen)
+    def gramSet(grams: org.apache.spark.sql.DataFrame) = grams.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("nocc"),
+        (r.getStruct(3).getLong(0), r.getStruct(3).getLong(1)))).toSet
+    assert(gramSet(compacted.base) == gramSet(fresh.grams),
+      "compacted post-stream index must equal a fresh build over the union")
+    compacted.unpersist(); fresh.unpersist()
+  }
+
   test("streaming paragraph dedup: batch-equal kept units, fold equals a fresh union build") {
     val sp = spark
     import sp.implicits._
