@@ -67,13 +67,16 @@ def main():
     stat0 = cpu_stat()
     t_start = time.time()
     con = duckdb.connect()
-    # cap + spill: without these DuckDB grows unbounded and the
-    # p_full_pipeline oracle OOMs at ~100 GiB at sf0.1 (r14 duck_errors) —
-    # with a limit it spills MATERIALIZED CTEs to temp instead. 48 GiB
-    # mirrors a generous single-node allotment; Spark's bench side runs in
-    # a 32 GiB-heap JVM, so this does not tilt the comparison toward Spark.
+    # cap + spill: without these DuckDB grows unbounded and an oracle that
+    # crosses physical RAM dies with an OOM error instead of spilling (the
+    # r14 p_full_pipeline hole). The cap matches DuckDB's own default on
+    # this 128 GiB box (80% of RAM) so no query slows down relative to an
+    # uncapped run — a 48 GiB trial run pushed the two CC oracles into
+    # disk-spill territory (32 s -> ~575 s each), distorting the headline
+    # ratio in Spark's favor; the spill dir is the safety net that turns
+    # any future RAM-crossing oracle into a slow row instead of a hole.
     tmp = "/tmp/duckdb_benchcmp_spill"
-    con.execute("SET memory_limit='48GB'")
+    con.execute("SET memory_limit='100GB'")
     con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(
