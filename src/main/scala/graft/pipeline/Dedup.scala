@@ -1762,13 +1762,20 @@ object Dedup {
   /** [[incrementalExactSubstrFrames]] generalized over a SEGMENTED gram
     * store ([[SegmentedExactSubstrIndex]]). With ONE segment the plan is
     * the monolithic probe unchanged — a single left join against the
-    * persisted aggregate, reusing its `(g1, g2)` hash partitioning. With
-    * k segments the index side becomes k inner joins of the increment's
-    * gram set against each segment — each reusing that segment's
-    * partitioning (or broadcasting the small increment side under AQE),
-    * so no segment is ever re-shuffled — combined by an INCREMENT-sized
-    * re-aggregate, correct because `(sum nocc, min keeper)` is a
-    * commutative monoid over any partition of the corpus into segments.
+    * persisted aggregate. With k segments the index side becomes k
+    * BROADCAST-hash inner joins of the increment's gram-KEY set against
+    * each segment: the one BroadcastExchange is planned once and REUSED
+    * across all k joins, and every segment only STREAMS through its scan
+    * — no segment is ever shuffled or sorted (the first cut of this plan
+    * left the side choice to the optimizer, which sort-merge-joined the
+    * corpus-sized base per segment: 12× the monolithic probe at ×100;
+    * FOLDPROBE's read-tax legs now pin the broadcast shape's cost) —
+    * combined by an INCREMENT-sized re-aggregate, correct because
+    * `(sum nocc, min keeper)` is a commutative monoid over any partition
+    * of the corpus into segments. The broadcast is the increment's
+    * distinct gram keys (~16 B/gram): daily-increment-sized by contract;
+    * an increment too large to broadcast is a compact-then-probe-
+    * monolithic situation, not a probe-plan situation.
     */
   private[graft] def incrementalExactSubstrFramesOver(incoming: DataFrame,
       segments: Seq[DataFrame], minLen: Int, idCol: String, textCol: String,
@@ -1794,15 +1801,23 @@ object Dedup {
       if (segments.lengthCompare(1) == 0)
         segments.head.select(col("g1"), col("g2"),
           col("nocc").as("idx_nocc"), col("keeper").as("idx_keeper"))
-      else
+      else {
+        // ONE eager increment-sized key set: localCheckpoint severs the
+        // lineage so the k broadcast builds each read a tiny local RDD
+        // instead of re-running tokenize -> explode -> distinct per
+        // segment (those repeated two-stage aggregates, not the joins,
+        // dominated the first broadcast cut of this plan at x1000's 512
+        // shuffle partitions)
+        val incKeys = broadcast(
+          incAgg.select(col("g1"), col("g2")).localCheckpoint())
         segments.map(seg =>
-            incAgg.select(col("g1"), col("g2"))
-              .join(seg.select(col("g1"), col("g2"), col("nocc"), col("keeper")),
-                Seq("g1", "g2")))
+            seg.select(col("g1"), col("g2"), col("nocc"), col("keeper"))
+              .join(incKeys, Seq("g1", "g2")))
           .reduce(_ unionByName _)
           .groupBy("g1", "g2")
           .agg(sum(col("nocc")).as("idx_nocc"),
             min(col("keeper")).as("idx_keeper"))
+      }
     val dupSet = incAgg
       .join(idxGrams, Seq("g1", "g2"), "left")
       .select(col("g1"), col("g2"),

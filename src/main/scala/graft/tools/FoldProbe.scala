@@ -148,7 +148,17 @@ object FoldProbe {
     // probe READ-TAX A/B: identical logical index content — the lower
     // half of the increment folded in — held monolithic vs as base + 3
     // open delta segments; the upper half (ids above, watermark-monotone)
-    // is probed against each
+    // is probed against each. RESIDENCY DISCIPLINE: eviction is one-way
+    // (evicted blocks never re-promote), and the fullclean fold leg above
+    // materialized a second full index set — at ×1000 that pushes most of
+    // the shared gram store to disk, so probing through it bills the
+    // DISFAVORED side ~10 GB of disk reads while the other side streams
+    // its freshly-built in-memory store (the first two cuts of this leg
+    // read 16× and 18× "read tax" that was residency, not plan). Both
+    // sides therefore run against a FRESH memory-resident copy of the
+    // base, each materialized after everything unneeded is retired.
+    idx.para.unpersist(); idx.nearDup.unpersist()
+    idx.corpusFps.unpersist(blocking = false)
     val pcut = inc.select(col("doc_id")).orderBy(col("doc_id").desc)
       .limit(math.max(1, incRows / 2)).agg(min(col("doc_id"))).head.getLong(0)
     val incFold = inc.filter(col("doc_id") < pcut).localCheckpoint()
@@ -156,25 +166,31 @@ object FoldProbe {
     val foldIds = incFold.select("doc_id").orderBy("doc_id")
       .collect().map(_.getLong(0))
     val (t1, t2) = (foldIds(foldIds.length / 3), foldIds(2 * foldIds.length / 3))
-    val monoIdx = D.updateExactSubstrIndex(idx.substr, incFold)
-    monoIdx.grams.count()
+    val freshBase = idx.substr.grams.where(lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    freshBase.count()
+    val baseIdx = D.ExactSubstrIndex(freshBase, idx.substr.minLen,
+      idx.substr.maxDocId)
+    idx.substr.unpersist()
     val segIdx = Seq(
         incFold.filter(col("doc_id") < t1),
         incFold.filter(col("doc_id") >= t1 && col("doc_id") < t2),
         incFold.filter(col("doc_id") >= t2))
-      .foldLeft(D.segmentedFrom(idx.substr, Double.MaxValue))(
+      .foldLeft(D.segmentedFrom(baseIdx, Double.MaxValue))(
         (i, d) => D.updateSegmentedExactSubstrIndex(i, d))
-    val substrProbeMono = minOf {
-      D.incrementalRemoveDupSpansExact(incProbe, monoIdx)
-        .write.format("noop").mode("overwrite").save()
-    }
     val substrProbeSeg = minOf {
       D.incrementalRemoveDupSpansExactSegmented(incProbe, segIdx)
         .write.format("noop").mode("overwrite").save()
     }
-    monoIdx.unpersist()
     segIdx.deltas.foreach(_.unpersist(blocking = false))
-    idx.unpersist()
+    val monoIdx = D.updateExactSubstrIndex(baseIdx, incFold)
+    monoIdx.grams.count()
+    val substrProbeMono = minOf {
+      D.incrementalRemoveDupSpansExact(incProbe, monoIdx)
+        .write.format("noop").mode("overwrite").save()
+    }
+    monoIdx.unpersist()
+    freshBase.unpersist(blocking = false)
 
     val steal = (for ((t0, s0) <- stat0; (t1, s1) <- cpuStat() if t1 > t0)
       yield math.round(10000.0 * (s1 - s0) / (t1 - t0)) / 100.0)

@@ -496,6 +496,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("partial_sum"),
         "the cross-segment (sum nocc, min keeper) monoid merge must " +
           "map-side combine — it is increment-keyed, never index-sized")
+      // the read-tax discipline: segments STREAM through broadcast joins
+      // of the increment's gram keys — an optimizer-chosen sort-merge here
+      // sorts the corpus-sized base per probe (12x at x100, FOLDPROBE).
+      // The one admissible SortMergeJoin is the OUTER inc-vs-merged join:
+      // both of its sides are increment-keyed.
+      assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+        s"every segment join must broadcast the increment key set:\n$p")
+      assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+        s"only the increment-sized outer merge may sort-merge:\n$p")
     } finally { f.base.unpersist(blocking = true); idx.unpersist() }
     val pq = planOf("p_incremental_substr_removal_segmented")
     assert(!pq.contains("Window"), "piece cutting must be row-local, not a window")
