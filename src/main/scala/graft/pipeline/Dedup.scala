@@ -1762,20 +1762,20 @@ object Dedup {
   /** [[incrementalExactSubstrFrames]] generalized over a SEGMENTED gram
     * store ([[SegmentedExactSubstrIndex]]). With ONE segment the plan is
     * the monolithic probe unchanged — a single left join against the
-    * persisted aggregate. With k segments the index side becomes k
-    * BROADCAST-hash inner joins of the increment's gram-KEY set against
-    * each segment: the one BroadcastExchange is planned once and REUSED
-    * across all k joins, and every segment only STREAMS through its scan
-    * — no segment is ever shuffled or sorted (the first cut of this plan
-    * left the side choice to the optimizer, which sort-merge-joined the
-    * corpus-sized base per segment: 12× the monolithic probe at ×100;
-    * FOLDPROBE's read-tax legs now pin the broadcast shape's cost) —
-    * combined by an INCREMENT-sized re-aggregate, correct because
-    * `(sum nocc, min keeper)` is a commutative monoid over any partition
-    * of the corpus into segments. The broadcast is the increment's
-    * distinct gram keys (~16 B/gram): daily-increment-sized by contract;
-    * an increment too large to broadcast is a compact-then-probe-
-    * monolithic situation, not a probe-plan situation.
+    * persisted aggregate. With k segments the probe is k CHAINED left
+    * joins — the monolithic probe's exact join shape, once per segment:
+    * the increment-sized accumulator is the shuffled-hash BUILD side
+    * (hinted; AQE converts the same way for the monolithic probe) and
+    * each segment only STREAMS through its cached scan, never shuffled or
+    * sorted. The cross-segment `(sum nocc, min keeper)` monoid then folds
+    * ROW-LOCALLY over the joined columns (`+`/`least`, null-skipping) —
+    * no union, no re-aggregate: two earlier cuts of this plan paid an
+    * index-sized bill here (an optimizer-chosen sort-merge that sorted
+    * the base per segment, then a union + re-aggregate whose fused
+    * non-codegen stage de-vectorized the 170M-row segment scans to ~15 s
+    * where the monolithic probe streams the same store in ~1 s); the
+    * chained shape is pinned in PlanQualitySpec and priced by
+    * FOLDPROBE's read-tax legs.
     */
   private[graft] def incrementalExactSubstrFramesOver(incoming: DataFrame,
       segments: Seq[DataFrame], minLen: Int, idCol: String, textCol: String,
@@ -1797,35 +1797,39 @@ object Dedup {
       .groupBy("g1", "g2")
       .agg(count(lit(1)).as("inc_nocc"),
         min(struct(col("doc_id"), col("i"))).as("inc_keeper"))
-    val idxGrams =
+    val dupSet =
       if (segments.lengthCompare(1) == 0)
-        segments.head.select(col("g1"), col("g2"),
-          col("nocc").as("idx_nocc"), col("keeper").as("idx_keeper"))
+        incAgg
+          .join(segments.head.select(col("g1"), col("g2"),
+            col("nocc").as("idx_nocc"), col("keeper").as("idx_keeper")),
+            Seq("g1", "g2"), "left")
+          .select(col("g1"), col("g2"),
+            (col("inc_nocc") + coalesce(col("idx_nocc"), lit(0L))).as("nocc"),
+            when(col("idx_keeper").isNull, col("inc_keeper"))
+              .otherwise(least(col("idx_keeper"), col("inc_keeper"))).as("keeper"))
+          .filter(col("nocc") >= 2)
+          .select("g1", "g2", "keeper")
       else {
-        // ONE eager increment-sized key set: localCheckpoint severs the
-        // lineage so the k broadcast builds each read a tiny local RDD
-        // instead of re-running tokenize -> explode -> distinct per
-        // segment (those repeated two-stage aggregates, not the joins,
-        // dominated the first broadcast cut of this plan at x1000's 512
-        // shuffle partitions)
-        val incKeys = broadcast(
-          incAgg.select(col("g1"), col("g2")).localCheckpoint())
-        segments.map(seg =>
-            seg.select(col("g1"), col("g2"), col("nocc"), col("keeper"))
-              .join(incKeys, Seq("g1", "g2")))
-          .reduce(_ unionByName _)
-          .groupBy("g1", "g2")
-          .agg(sum(col("nocc")).as("idx_nocc"),
-            min(col("keeper")).as("idx_keeper"))
+        val chained = segments.zipWithIndex.foldLeft(incAgg) {
+          case (acc, (seg, i)) =>
+            acc.hint("shuffle_hash")
+              .join(seg.select(col("g1"), col("g2"),
+                col("nocc").as(s"idx_nocc_$i"),
+                col("keeper").as(s"idx_keeper_$i")), Seq("g1", "g2"), "left")
+        }
+        val nocc = segments.indices
+          .map(i => coalesce(col(s"idx_nocc_$i"), lit(0L)))
+          .foldLeft(col("inc_nocc"))(_ + _)
+        // least() skips nulls, and min-of-struct IS lexicographic least,
+        // so the keeper monoid folds row-locally across segments
+        val keeper = least(
+          (segments.indices.map(i => col(s"idx_keeper_$i")) :+
+            col("inc_keeper")): _*)
+        chained
+          .select(col("g1"), col("g2"), nocc.as("nocc"), keeper.as("keeper"))
+          .filter(col("nocc") >= 2)
+          .select("g1", "g2", "keeper")
       }
-    val dupSet = incAgg
-      .join(idxGrams, Seq("g1", "g2"), "left")
-      .select(col("g1"), col("g2"),
-        (col("inc_nocc") + coalesce(col("idx_nocc"), lit(0L))).as("nocc"),
-        when(col("idx_keeper").isNull, col("inc_keeper"))
-          .otherwise(least(col("idx_keeper"), col("inc_keeper"))).as("keeper"))
-      .filter(col("nocc") >= 2)
-      .select("g1", "g2", "keeper")
     val joined = grams.join(dupSet, Seq("g1", "g2"))
     val cutWins =
       if (keepFirst) joined.filter(struct(col("doc_id"), col("i")) =!= col("keeper"))

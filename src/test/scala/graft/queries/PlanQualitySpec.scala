@@ -493,18 +493,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         "every segment probe must be an equi-join on the gram hash")
       assert(p.contains("partial_count") || p.contains("partial_min"),
         "increment per-gram aggregate must map-side combine")
-      assert(p.contains("partial_sum"),
-        "the cross-segment (sum nocc, min keeper) monoid merge must " +
-          "map-side combine — it is increment-keyed, never index-sized")
-      // the read-tax discipline: segments STREAM through broadcast joins
-      // of the increment's gram keys — an optimizer-chosen sort-merge here
-      // sorts the corpus-sized base per probe (12x at x100, FOLDPROBE).
-      // The one admissible SortMergeJoin is the OUTER inc-vs-merged join:
-      // both of its sides are increment-keyed.
-      assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
-        s"every segment join must broadcast the increment key set:\n$p")
-      assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
-        s"only the increment-sized outer merge may sort-merge:\n$p")
+      // the read-tax discipline: k CHAINED left joins (the monolithic
+      // probe's shape, once per segment — the increment side builds, the
+      // segment streams) with the cross-segment monoid folded ROW-LOCALLY
+      // — no Union and no extra aggregate on the index path (a union +
+      // re-aggregate cut of this plan de-vectorized the segment scans to
+      // ~15x the monolithic probe at x1000; FOLDPROBE prices the shape)
+      assert(!p.contains("Union"),
+        s"segment merge must be chained joins + row-local monoid, not a union:\n$p")
+      assert(p.linesIterator.count(_.contains("ShuffledHashJoin")) >= 2,
+        s"segment joins must build on the increment side (shuffled-hash):\n$p")
     } finally { f.base.unpersist(blocking = true); idx.unpersist() }
     val pq = planOf("p_incremental_substr_removal_segmented")
     assert(!pq.contains("Window"), "piece cutting must be row-local, not a window")
