@@ -204,6 +204,30 @@ object CleanPipeline {
       Dedup.exactSubstrIndexAt(cleaned, minLen, para.maxDocId), joiner)
   }
 
+  /** Persist a composed [[CleanIndex]] — both halves' bucketed layouts
+    * plus a meta table pinning the joiner, mirroring
+    * [[writeFullCleanIndex]] for the two-stage chain.
+    */
+  def writeCleanIndex(index: CleanIndex, dir: String,
+      nBuckets: Int = 64): Unit = {
+    ParagraphDedup.writeParagraphIndex(index.para, s"$dir/para", nBuckets)
+    Dedup.writeExactSubstrIndex(index.substr, s"$dir/substr", nBuckets)
+    val spark = index.para.units.sparkSession
+    import spark.implicits._
+    Seq(index.joiner).toDF("joiner")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a disk-persisted [[writeCleanIndex]] layout; each half caches
+    * clustered on its probe key (see the halves' own readers).
+    */
+  def readCleanIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): CleanIndex =
+    CleanIndex(
+      ParagraphDedup.readParagraphIndex(spark, s"$dir/para"),
+      Dedup.readExactSubstrIndex(spark, s"$dir/substr"),
+      spark.read.parquet(s"$dir/meta").head.getAs[String]("joiner"))
+
   /** INCREMENTAL composed cleanup — the daily-crawl twin of
     * [[cleanCorpus]]: the increment is paragraph-deduped against the unit
     * index (exactly batch-equal, P57), re-joined canonically, and
@@ -382,7 +406,10 @@ object CleanPipeline {
       ParagraphDedup.readParagraphIndex(spark, s"$dir/para"),
       Dedup.readNearDupIndex(spark, s"$dir/neardup"),
       Dedup.readExactSubstrIndex(spark, s"$dir/substr"),
+      // clustered on fp before caching so each increment's anti-join
+      // streams the corpus fp set instead of re-exchanging it per probe
       spark.read.parquet(s"$dir/fps")
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       meta.getAs[String]("joiner"), meta.getAs[Double]("threshold"))
   }

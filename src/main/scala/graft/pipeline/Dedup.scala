@@ -429,9 +429,14 @@ object Dedup {
   def readNearDupIndex(spark: SparkSession, dir: String): NearDupIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head
     NearDupIndex(
+      // docStore joins are candidate-driven (small side broadcasts), so
+      // the store caches as scanned; the bands table is probed on
+      // (band, bh) every increment — cluster it into the cache once
       spark.read.parquet(s"$dir/doc_store")
         .persist(StorageLevel.MEMORY_AND_DISK),
       spark.read.parquet(s"$dir/bands")
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("band"), col("bh"))
         .persist(StorageLevel.MEMORY_AND_DISK),
       meta.getAs[Int]("k"), meta.getAs[Int]("n_hashes"),
       meta.getAs[Int]("rows_per_band"),
@@ -1490,7 +1495,16 @@ object Dedup {
   def readExactSubstrIndex(spark: SparkSession, dir: String): ExactSubstrIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head
     ExactSubstrIndex(
-      spark.read.parquet(s"$dir/grams").persist(StorageLevel.MEMORY_AND_DISK),
+      // repartition on the probe key BEFORE caching: a raw parquet scan
+      // caches with unknown partitioning, so every probe join would
+      // re-exchange the corpus-sized gram table — clustering into the
+      // cache makes the exchange a one-time warm-up cost and every probe
+      // streams the cached store (the partitioning fold-built indexes
+      // already have)
+      spark.read.parquet(s"$dir/grams")
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("g1"), col("g2"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
       meta.getAs[Int]("min_len"),
       if (meta.schema.fieldNames.contains("max_doc_id"))
         meta.getAs[Long]("max_doc_id")
@@ -1707,16 +1721,71 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** ATOMIC meta swap: the new meta is written COMPLETE to `.meta.tmp`
+    * first (parquet commit = `_SUCCESS` marker), then swapped in with
+    * delete + rename. A crash anywhere leaves a state
+    * [[recoverSegmentedDir]] rolls forward or back deterministically, so
+    * a failed fold is always retryable — the append-only framing the
+    * layout promises ([[foldSegmentedExactSubstrIndexOnDisk]]).
+    */
+  private def swapSegmentedMeta(spark: SparkSession, dir: String,
+      minLen: Int, maxDocId: Long, compactFraction: Double,
+      segRows: Seq[Long]): Unit = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.meta.tmp")
+    Seq((minLen, maxDocId, compactFraction, segRows))
+      .toDF("min_len", "max_doc_id", "compact_fraction", "seg_rows")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    fs.delete(meta, true)
+    require(fs.rename(tmp, meta), s"meta swap rename failed under $dir")
+  }
+
+  private def fsOf(spark: SparkSession,
+      dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Roll a crashed disk fold forward or back. The fold protocol writes
+    * (1) the new segment to a temp dir, (2) renames it to `seg-K`,
+    * (3) writes the new meta COMPLETE to `.meta.tmp`, (4) deletes `meta`
+    * and renames the tmp in. Invariant: a COMMITTED `.meta.tmp` (its
+    * `_SUCCESS` marker exists) always describes an already-renamed
+    * `seg-K`, so recovery finishes the swap; an uncommitted tmp is a
+    * mid-write crash and is discarded (its fold never advanced the
+    * watermark — the caller's retry redoes it from scratch). Called by
+    * every disk-fold and read entry, so no manual cleanup is ever needed.
+    */
+  private[graft] def recoverSegmentedDir(spark: SparkSession,
+      dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.meta.tmp")
+    if (fs.exists(tmp)) {
+      val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        fs.delete(meta, true)
+        require(fs.rename(tmp, meta), s"meta recovery rename failed under $dir")
+      } else fs.delete(tmp, true)
+    }
+  }
+
   /** Reload a disk-persisted segmented index; each segment persists
-    * lazily, so the first probe pays the parquet scans (and one exchange
-    * per segment to refill the in-memory co-partitioning).
+    * lazily, CLUSTERED on the probe key (one exchange per segment, paid
+    * once at first materialization to refill the in-memory
+    * co-partitioning) — caching the raw scans instead would leave the
+    * cached segments unpartitioned and EVERY probe would re-exchange the
+    * corpus-sized base.
     */
   def readSegmentedExactSubstrIndex(spark: SparkSession,
       dir: String): SegmentedExactSubstrIndex = {
+    recoverSegmentedDir(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").head
     val segRows = meta.getAs[scala.collection.Seq[Long]]("seg_rows").toSeq
     val segs = segRows.indices.map(i =>
       spark.read.parquet(f"$dir/seg-$i%05d")
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("g1"), col("g2"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     SegmentedExactSubstrIndex(segs.head, segRows.head,
       segs.tail, segRows.tail, meta.getAs[Int]("min_len"),
@@ -1732,21 +1801,35 @@ object Dedup {
     * [[compactSegmentedExactSubstrIndex]], write to a FRESH path, swap
     * the table pointer atomically — because rewriting a live dir in
     * place would race its readers.
+    *
+    * CRASH-RETRYABLE: the segment is staged to a temp dir and RENAMED
+    * into `seg-K` (an orphan `seg-K` from an earlier crashed fold — a
+    * dir meta does not list — is deleted first, never trusted: the crash
+    * may have interrupted its write), and the meta update is a committed-
+    * tmp + swap ([[swapSegmentedMeta]] / [[recoverSegmentedDir]]). Any
+    * crash leaves the dir either wholly pre-fold (retry redoes the fold)
+    * or wholly post-fold (retry fails LOUDLY on the advanced watermark —
+    * the fold already happened), never wedged.
     */
   def foldSegmentedExactSubstrIndexOnDisk(spark: SparkSession, dir: String,
       incoming: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", nBuckets: Int = 8): Unit = {
+    recoverSegmentedDir(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").head
     val segRows = meta.getAs[scala.collection.Seq[Long]]("seg_rows").toSeq
     val minLen = meta.getAs[Int]("min_len")
     val wm = IdContract.requireAboveAndAdvance(incoming, idCol,
       meta.getAs[Long]("max_doc_id"), "foldSegmentedExactSubstrIndexOnDisk")
-    val segDir = f"$dir/seg-${segRows.size}%05d"
+    val fs = fsOf(spark, dir)
+    val segTmp = new org.apache.hadoop.fs.Path(s"$dir/.seg.tmp")
     exactGramAgg(incoming, minLen, idCol, textCol)
       .repartition(nBuckets, col("g1"), col("g2"))
-      .write.mode("errorifexists").parquet(segDir)
-    val n = spark.read.parquet(segDir).count()
-    writeSegmentedMeta(spark, dir, minLen, wm,
+      .write.mode("overwrite").parquet(segTmp.toString)
+    val segDir = new org.apache.hadoop.fs.Path(f"$dir/seg-${segRows.size}%05d")
+    fs.delete(segDir, true) // orphan of a crashed fold: unlisted in meta
+    require(fs.rename(segTmp, segDir), s"segment rename failed under $dir")
+    val n = spark.read.parquet(segDir.toString).count()
+    swapSegmentedMeta(spark, dir, minLen, wm,
       meta.getAs[Double]("compact_fraction"), segRows :+ n)
   }
 

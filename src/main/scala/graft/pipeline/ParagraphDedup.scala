@@ -352,7 +352,12 @@ object ParagraphDedup {
       dir: String): ParagraphIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head
     ParagraphIndex(
-      spark.read.parquet(s"$dir/units").persist(StorageLevel.MEMORY_AND_DISK),
+      // cluster on the probe key before caching: a raw-scan cache has
+      // unknown partitioning and every increment probe would re-exchange
+      // the corpus-sized unit table (one-time warm-up exchange instead)
+      spark.read.parquet(s"$dir/units")
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
       meta.getAs[String]("sep_regex"),
       if (meta.schema.fieldNames.contains("max_doc_id"))
         meta.getAs[Long]("max_doc_id")

@@ -28,6 +28,67 @@ object PipelineQueries {
   private def docsSpread(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.spread(docs(s, dir))
 
+  /** Newest class-file mtime of the pipeline code the prebuilt indexes
+    * derive from. [[ensurePrebuilt]] rebuilds any cached index older than
+    * this stamp, so a code change can never silently serve a stale
+    * on-disk index to the correctness gate (the failure mode of keying
+    * the cache on corpus identity alone). Falls back to "always rebuild"
+    * when the classpath shape is unreadable.
+    */
+  private lazy val pipelineClassStamp: Long = {
+    val roots = Seq(Dedup.getClass, CleanPipeline.getClass,
+      ParagraphDedup.getClass, TextPipeline.getClass,
+      classOf[graft.functions.RollingGramHashes])
+    val stamps = roots.flatMap { c =>
+      try {
+        val res = "/" + c.getName.replace('.', '/') + ".class"
+        Option(c.getResource(res)).map { u =>
+          val conn = u.openConnection()
+          conn.setUseCaches(false)
+          conn.getLastModified
+        }
+      } catch { case _: Throwable => None }
+    }
+    if (stamps.isEmpty || stamps.contains(0L)) Long.MaxValue
+    else stamps.max
+  }
+
+  /** Build-once substrate for the `*_probe_only` deployment-shape rows:
+    * returns a per-(corpus, code-stamp) directory under the JVM temp
+    * root, running `build` only when it is absent or STALE (missing
+    * `_GRAFT_READY` marker, marker older than [[pipelineClassStamp]], or
+    * marker naming a different corpus — an md5-prefix collision guard).
+    * The flagship incremental rows rebuild their corpus index INSIDE the
+    * timed query (the honest oracle shape, but a cost deployment pays
+    * once then amortizes over every daily increment); their probe-only
+    * twins read the index prebuilt here, so Bench's min-of-N prices
+    * exactly the recurring daily cost: read-index + probe. Correctness is
+    * unchanged — the twin runs the same probe and carries the same
+    * oracle; Verify's single pass simply pays the build inside its run.
+    * A crashed build leaves no marker and is rebuilt from scratch; runs
+    * are sequential per harness (Verify, Bench and its child JVMs), so no
+    * cross-process locking is needed.
+    */
+  private def ensurePrebuilt(s: org.apache.spark.sql.SparkSession,
+      sfDir: String, tag: String)(build: String => Unit): String = {
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_prebuilt"),
+      s"${tag}_$hash")
+    val ready = new java.io.File(dir, "_GRAFT_READY")
+    val fresh = ready.exists() && ready.lastModified() >= pipelineClassStamp &&
+      scala.util.Try(java.nio.file.Files.readString(ready.toPath).trim)
+        .toOption.contains(sfDir)
+    if (!fresh) {
+      val p = new org.apache.hadoop.fs.Path(dir.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      build(dir.toString)
+      java.nio.file.Files.writeString(ready.toPath, sfDir)
+    }
+    dir.toString
+  }
+
   /** Text statistics per language: counts are exact integers. */
   val textProfile: Q = Q.sql(
     "p_text_profile",
@@ -2060,13 +2121,18 @@ object PipelineQueries {
   /** INCREMENTAL exact substring removal against the LSM-SEGMENTED gram
     * index (P62) — the O(increment)-fold deployment shape: doc-id
     * QUARTILES play four crawl days (base build over q1, two watermarked
-    * `updateSegmentedExactSubstrIndex` folds for q2/q3 — at sf0.01 each
-    * delta is corpus-sized, so the second fold crosses the default
-    * compaction threshold and the oracle gate exercises append, the
-    * probe-side monoid merge AND compaction in one query), then q4 is
-    * probed. The oracle is the BATCH removal over the union restricted to
-    * q4 — pinning that merge-on-read over segments recovers exactly the
-    * monolithic occurrence counts and first-occurrence keepers.
+    * `updateSegmentedExactSubstrIndex` folds for q2/q3), then q4 is
+    * probed. `compactFraction = 0.7` is tuned so the LSM lifecycle's
+    * BOTH halves run under the oracle: corpus-sized quartile deltas put
+    * fold #1 at delta/base ≈ 1 > 0.7 (compacts — base becomes q1 ∪ q2)
+    * and fold #2 at ≈ 0.5 ≤ 0.7 (stays OPEN), so the probe runs the
+    * multi-segment chained-join monoid merge, not the single-segment
+    * fast path (the default 0.25 compacted both folds and the merge path
+    * was only spec-covered). The require pins that tuning against corpus
+    * drift — loud, not silently weaker. The oracle is the BATCH removal
+    * over the union restricted to q4 — pinning that merge-on-read over
+    * segments recovers exactly the monolithic occurrence counts and
+    * first-occurrence keepers.
     */
   val incrementalSubstrRemovalSegmented: Q = {
     val minLen = 20
@@ -2080,9 +2146,14 @@ object PipelineQueries {
       val idx = Dedup.updateSegmentedExactSubstrIndex(
         Dedup.updateSegmentedExactSubstrIndex(
           Dedup.buildSegmentedExactSubstrIndex(
-            d.filter(col("doc_id") <= c1), minLen),
+            d.filter(col("doc_id") <= c1), minLen, compactFraction = 0.7),
           d.filter(col("doc_id") > c1 && col("doc_id") <= c2)),
         d.filter(col("doc_id") > c2 && col("doc_id") <= c3))
+      require(idx.deltas.size == 1,
+        s"oracle gate expects fold #1 to compact and fold #2 to stay open " +
+          s"(got ${idx.deltas.size} open deltas) — retune compactFraction " +
+          "so the probe exercises BOTH compaction and the multi-segment " +
+          "monoid merge")
       try Dedup.incrementalRemoveDupSpansExactSegmented(
           d.filter(col("doc_id") > c3), idx)
         .filter(col("cut_tokens") > 0)

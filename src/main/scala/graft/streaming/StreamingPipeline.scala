@@ -310,18 +310,21 @@ object StreamingPipeline {
     @volatile var idx = initial
     // foreachBatch is AT-LEAST-ONCE: an epoch can re-run after a failure,
     // and the fold is not idempotent (a double fold double-counts every
-    // gram of the batch, silently corrupting keeper/count state). Guard
-    // same-process retries by epoch; a restart from checkpoint must pair
-    // a re-read index with the offsets it was folded to (write the index
-    // per epoch, or accept re-cleaning the replayed batch against the
-    // already-folded state — pieces stay valid, counts inflate).
+    // gram of the batch, silently corrupting keeper/count state). A
+    // replayed epoch (epoch <= lastFolded) is skipped WHOLE — probe
+    // included: the batch's pieces were already emitted by the completed
+    // attempt, and re-probing against the already-folded state would
+    // both inflate counts AND fail the probe's own watermark check
+    // (replayed ids sit at or below the advanced maxDocId). A restart
+    // from checkpoint must still pair a re-read index with the offsets
+    // it was folded to (write the index per epoch).
     var lastFolded = Long.MinValue
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExact(batch, idx,
-          emitOriginal = emitOriginal), epoch)
         if (epoch > lastFolded) {
+          sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExact(batch, idx,
+            emitOriginal = emitOriginal), epoch)
           val next = graft.pipeline.Dedup.updateExactSubstrIndex(idx, batch)
           next.grams.count() // materialize before retiring the superseded index
           if (idx ne initial) idx.unpersist()
@@ -353,10 +356,13 @@ object StreamingPipeline {
     var lastFolded = Long.MinValue
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
+      // same at-least-once rule as the monolithic twin: a replayed epoch
+      // skips WHOLE (probe included) — its pieces were already emitted,
+      // and the probe's watermark check would reject the replayed ids
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExactSegmented(
-          batch, idx, emitOriginal = emitOriginal), epoch)
         if (epoch > lastFolded) {
+          sink(graft.pipeline.Dedup.incrementalRemoveDupSpansExactSegmented(
+            batch, idx, emitOriginal = emitOriginal), epoch)
           // O(batch): materializes only the new delta (inside update);
           // superseded handles share every frame with the new one, so
           // there is nothing to retire here

@@ -165,6 +165,12 @@ object FoldProbe {
     val incProbe = inc.filter(col("doc_id") >= pcut).localCheckpoint()
     val foldIds = incFold.select("doc_id").orderBy("doc_id")
       .collect().map(_.getLong(0))
+    // loud precondition instead of an AIOOBE after the expensive build:
+    // the tercile split needs a non-degenerate fold half (incRows == 1,
+    // or an id distribution that empties incFold, used to crash here)
+    require(foldIds.length >= 3,
+      s"read-tax legs need >= 3 fold-half ids, got ${foldIds.length} " +
+        s"(incRows=$incRows too small or degenerate doc_id distribution)")
     val (t1, t2) = (foldIds(foldIds.length / 3), foldIds(2 * foldIds.length / 3))
     val freshBase = idx.substr.grams.where(lit(true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1292,6 +1292,73 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     fresh.unpersist(); loadedFolded.unpersist()
   }
 
+  test("segmented disk fold is crash-retryable: orphan segment dirs and half-swapped meta recover") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(131)
+    val minLen = 3
+    val df = (0L until 30L).map { id =>
+      (id, (0 until rnd.nextInt(25)).map(_ => "c" + rnd.nextInt(4)).mkString(" "))
+    }.toDF("doc_id", "text")
+    def slice(lo: Long, hi: Long) =
+      df.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    val fsPath = new org.apache.hadoop.fs.Path("/")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segCount(dir: String): Int =
+      Dedup.readSegmentedExactSubstrIndex(spark, dir).segments.size
+
+    // baseline: base over days 0-9, one clean disk fold of 10-19
+    val base = Dedup.buildSegmentedExactSubstrIndex(slice(0, 10), minLen,
+      compactFraction = Double.MaxValue)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_seg_recover").toString
+    Dedup.writeSegmentedExactSubstrIndex(base, tmp, nBuckets = 2)
+    Dedup.foldSegmentedExactSubstrIndexOnDisk(spark, tmp, slice(10, 20))
+
+    // crash shape 1: segment renamed into place but meta never swapped
+    // (an orphan dir meta does not list) — the pre-fix mode("errorifexists")
+    // wedged every retry here. A retry of the SAME increment must succeed
+    // and the orphan's content must be the retry's, not the crash's.
+    val orphan = new org.apache.hadoop.fs.Path(s"$tmp/seg-00002")
+    fs.mkdirs(orphan)
+    require(fs.exists(orphan))
+    Dedup.foldSegmentedExactSubstrIndexOnDisk(spark, tmp, slice(20, 25))
+    assert(segCount(tmp) == 3, "retry over an orphan segment dir failed")
+
+    // crash shape 2: an UNCOMMITTED .meta.tmp (no _SUCCESS — crash mid
+    // meta write) is discarded; the dir stays at its pre-fold state
+    val metaTmp = new org.apache.hadoop.fs.Path(s"$tmp/.meta.tmp")
+    fs.mkdirs(metaTmp)
+    assert(segCount(tmp) == 3, "uncommitted meta tmp must be rolled back")
+    assert(!fs.exists(metaTmp), "recovery must delete the uncommitted tmp")
+
+    // crash shape 3: a COMMITTED .meta.tmp (crash between meta delete and
+    // rename) rolls FORWARD: the fold had fully happened, so recovery
+    // installs the new meta and a retry of the same increment fails
+    // LOUDLY on the advanced watermark instead of double-folding
+    Dedup.foldSegmentedExactSubstrIndexOnDisk(spark, tmp, slice(25, 28))
+    val meta = new org.apache.hadoop.fs.Path(s"$tmp/meta")
+    require(fs.rename(meta, metaTmp)) // committed tmp (carries _SUCCESS)
+    assert(segCount(tmp) == 4, "committed meta tmp must roll forward")
+    intercept[IllegalArgumentException] {
+      Dedup.foldSegmentedExactSubstrIndexOnDisk(spark, tmp, slice(25, 28))
+    }
+
+    // the recovered index still answers correctly: probe day 28-29
+    // against the disk state == the batch run over everything folded
+    val loaded = Dedup.readSegmentedExactSubstrIndex(spark, tmp)
+    def shape(d: DataFrame) = d.orderBy("doc_id", "piece_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("piece_idx"),
+        r.getAs[Long]("st"), r.getAs[Long]("en"), r.getAs[String]("text")))
+      .toSeq
+    val got = shape(
+      Dedup.incrementalRemoveDupSpansExactSegmented(slice(28, 30), loaded))
+    val want = shape(Dedup.removeDupSpansExact(
+      df.filter(col("doc_id") < 28).unionByName(slice(28, 30)), minLen)
+      .filter(col("doc_id") >= 28))
+    assert(got == want, "post-recovery probe diverged from batch")
+    base.unpersist(); loaded.unpersist()
+  }
+
   test("incrementalNearDup: planted cross-side pair found; within-batch pairs suppressed") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"

@@ -510,6 +510,72 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the cuts join must be keyed on doc_id")
   }
 
+  test("segmented probe read tax: shuffles do not scale with segment count (32 and 512 partitions)") {
+    // The doc contract says segments are "never shuffled or sorted": each
+    // chained join must STREAM the index-sized segment through its cached
+    // partitioning (built by exactGramAgg's groupBy under the same
+    // session). The earlier pin only asserted join TYPE — nothing forbade
+    // an Exchange re-shuffling the corpus-sized base per probe, which is
+    // exactly what appears if the cached partitioning stops matching the
+    // join requirement (VERDICT r15 #3). Pin the claim directly: the probe
+    // plan's shuffle-exchange COUNT with base + 2 delta segments equals
+    // the single-segment probe's — extra segments add joins, never
+    // exchanges — under BOTH a small and a large partition config.
+    import org.apache.spark.sql.functions.{col, max}
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // STRUCTURAL count, not string-count: the cached segments' rendered
+    // InMemoryRelation bodies embed their own FOLD-time build exchanges
+    // (paid once, at fold — not at probe), which a line grep would charge
+    // to the probe. In the physical tree an InMemoryTableScan is a LEAF,
+    // so collect() sees exactly the exchanges this probe executes. AQE is
+    // disabled for the probed frames only so executedPlan is a plain
+    // walkable tree (AdaptiveSparkPlanExec is itself a leaf node).
+    def nShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      }.size
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    try for (parts <- Seq("32", "512")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val seg = graft.pipeline.Dedup.updateSegmentedExactSubstrIndex(
+        graft.pipeline.Dedup.updateSegmentedExactSubstrIndex(
+          graft.pipeline.Dedup.buildSegmentedExactSubstrIndex(
+            docs.filter(col("doc_id") <= mx / 4), minLen = 20,
+            compactFraction = Double.MaxValue),
+          docs.filter(col("doc_id") > mx / 4 && col("doc_id") <= mx / 2)),
+        docs.filter(col("doc_id") > mx / 2 && col("doc_id") <= 3 * mx / 4))
+      val mono = graft.pipeline.Dedup.buildSegmentedExactSubstrIndex(
+        docs.filter(col("doc_id") <= 3 * mx / 4), minLen = 20,
+        compactFraction = Double.MaxValue)
+      val probe = docs.filter(col("doc_id") > 3 * mx / 4)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val fSeg = graft.pipeline.Dedup.incrementalExactSubstrFramesOver(
+        probe, seg.segments, 20, "doc_id", "text", keepFirst = true)
+      val fMono = graft.pipeline.Dedup.incrementalExactSubstrFramesOver(
+        probe, mono.segments, 20, "doc_id", "text", keepFirst = true)
+      try {
+        val (pSeg, pMono) = (
+          fSeg.cuts.queryExecution.executedPlan,
+          fMono.cuts.queryExecution.executedPlan)
+        assert(nShuffles(pSeg) == nShuffles(pMono),
+          s"at $parts shuffle partitions the 3-segment probe plans " +
+            s"${nShuffles(pSeg)} exchanges vs ${nShuffles(pMono)} " +
+            s"single-segment — a segment side is being re-shuffled:\n$pSeg")
+      } finally {
+        fSeg.base.unpersist(blocking = true)
+        fMono.base.unpersist(blocking = true)
+        seg.unpersist(); mono.unpersist()
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+  }
+
   test("span masks: fan-out-free — the gram substrate appears once, nothing persisted") {
     // round-10 adjudication (SPANMASK_AB.json): packing consumes a cheap
     // tokenize scan, the expensive gram explode/distinct/semi-join chain

@@ -25,6 +25,7 @@ Writes BENCHCMP.json (steal sampled around the DuckDB leg; the Spark
 leg's steal rides in from the bench artifact) and prints the table.
 """
 import json
+import os
 import sys
 import time
 
@@ -76,7 +77,17 @@ def main():
     # ratio in Spark's favor; the spill dir is the safety net that turns
     # any future RAM-crossing oracle into a slow row instead of a hole.
     tmp = "/tmp/duckdb_benchcmp_spill"
-    con.execute("SET memory_limit='100GB'")
+    # derive the cap from detected RAM (DuckDB's own default policy, 80%)
+    # rather than hard-coding this box's 100 GB: on a smaller machine a
+    # hard-coded cap above physical RAM never triggers spilling — the
+    # exact OOM hole the setting exists to close.
+    try:
+        mem_gb = max(
+            1, int(0.8 * os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                   / 2**30))
+    except (ValueError, OSError, AttributeError):
+        mem_gb = 100  # sysconf unavailable: fall back to the dev-box cap
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
     con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(
