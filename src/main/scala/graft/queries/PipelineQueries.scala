@@ -2118,6 +2118,44 @@ object PipelineQueries {
     }
   }
 
+  /** DEPLOYMENT-SHAPE twin of [[incrementalSubstrRemoval]] (P52): the
+    * corpus gram index is built and persisted ONCE per (corpus, code
+    * stamp) by [[ensurePrebuilt]]; the query body reads it back and
+    * probes — the recurring daily cost, with the one-off build amortized
+    * outside the repeated run exactly as a lake deployment amortizes it.
+    * Bench's min-of-N therefore prices read-index + probe (the first
+    * run pays the build and the min discards it), closing the gap where
+    * every flagship incremental row carried an in-query corpus rebuild
+    * no deployment repays. The split is MONOTONE (low ids indexed, high
+    * ids probed) unlike the sibling's odd/even — a PERSISTED index
+    * carries the watermark contract, and interleaved increment ids are
+    * exactly what it must loudly reject. Same oracle family, restricted
+    * to the high-id fifth.
+    */
+  val incrementalSubstrRemovalProbeOnly: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_incremental_substr_removal_probe_only",
+      incrSubstrOracleSql(minLen,
+        "p.doc_id > (SELECT 4 * max(doc_id) // 5 FROM documents)")) { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val k = d.agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
+      val idxDir = ensurePrebuilt(s, dir, "substr_low") { out =>
+        val idx = Dedup.buildExactSubstrIndex(
+          d.filter(col("doc_id") <= k), minLen)
+        try Dedup.writeExactSubstrIndex(idx, out) finally idx.unpersist()
+      }
+      val idx = Dedup.readExactSubstrIndex(s, idxDir)
+      try Dedup.incrementalRemoveDupSpansExact(
+          d.filter(col("doc_id") > k), idx)
+        .filter(col("cut_tokens") > 0)
+        .select(col("doc_id"), col("piece_idx"), col("st"), col("en"),
+          col("n_tokens"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id", "piece_idx")
+      finally idx.unpersist()
+    }
+  }
+
   /** INCREMENTAL exact substring removal against the LSM-SEGMENTED gram
     * index (P62) — the O(increment)-fold deployment shape: doc-id
     * QUARTILES play four crawl days (base build over q1, two watermarked
@@ -2154,6 +2192,46 @@ object PipelineQueries {
           s"(got ${idx.deltas.size} open deltas) — retune compactFraction " +
           "so the probe exercises BOTH compaction and the multi-segment " +
           "monoid merge")
+      try Dedup.incrementalRemoveDupSpansExactSegmented(
+          d.filter(col("doc_id") > c3), idx)
+        .filter(col("cut_tokens") > 0)
+        .select(col("doc_id"), col("piece_idx"), col("st"), col("en"),
+          col("n_tokens"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id", "piece_idx")
+      finally idx.unpersist()
+    }
+  }
+
+  /** DEPLOYMENT-SHAPE twin of [[incrementalSubstrRemovalSegmented]] —
+    * AND the P62 lake lifecycle end-to-end under the DuckDB oracle: the
+    * prebuilt substrate is the ON-DISK segmented store (base written
+    * once, q2/q3 appended via two `foldSegmentedExactSubstrIndexOnDisk`
+    * crash-retryable disk folds), and the timed body is
+    * read-segments + chained probe — the daily cost after a cold
+    * restart. Same oracle as the in-memory sibling: merge-on-read over
+    * disk segments must recover exactly the monolithic counts/keepers.
+    */
+  val incrementalSubstrRemovalSegmentedProbeOnly: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_incremental_substr_removal_segmented_probe_only",
+      incrSubstrOracleSql(minLen,
+        "p.doc_id > (SELECT 3 * max(doc_id) // 4 FROM documents)")) { (s, dir) =>
+      val d = docsSpread(s, dir)
+      val mx = d.agg(max(col("doc_id"))).head.getLong(0)
+      val (c1, c2, c3) = (mx / 4, mx / 2, 3 * mx / 4)
+      val idxDir = ensurePrebuilt(s, dir, "substr_seg_lsm") { out =>
+        val base = Dedup.buildSegmentedExactSubstrIndex(
+          d.filter(col("doc_id") <= c1), minLen,
+          compactFraction = Double.MaxValue)
+        try Dedup.writeSegmentedExactSubstrIndex(base, out)
+        finally base.unpersist()
+        Dedup.foldSegmentedExactSubstrIndexOnDisk(s, out,
+          d.filter(col("doc_id") > c1 && col("doc_id") <= c2))
+        Dedup.foldSegmentedExactSubstrIndexOnDisk(s, out,
+          d.filter(col("doc_id") > c2 && col("doc_id") <= c3))
+      }
+      val idx = Dedup.readSegmentedExactSubstrIndex(s, idxDir)
       try Dedup.incrementalRemoveDupSpansExactSegmented(
           d.filter(col("doc_id") > c3), idx)
         .filter(col("cut_tokens") > 0)
@@ -3211,6 +3289,37 @@ object PipelineQueries {
     }
   }
 
+  /** DEPLOYMENT-SHAPE twin of [[incrementalCleanPipeline]] (P59): the
+    * composed two-stage index is prebuilt to disk once per (corpus, code
+    * stamp) and the timed body is read-index + probe — see
+    * [[incrementalSubstrRemovalProbeOnly]] for the rationale. Same
+    * oracle; the probe must reconstruct identical union verdicts from
+    * the reloaded halves.
+    */
+  val incrementalCleanPipelineProbeOnly: Q =
+    Q.sql(
+      "p_incremental_clean_pipeline_probe_only",
+      incrementalCleanPipeline.oracle.get) { (s, dir) =>
+      val pg = pages(s, dir, "\n\n")
+        .select(col("page_id").as("doc_id"), col("text"))
+      val k = pg.agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
+      val idxDir = ensurePrebuilt(s, dir, "cleanidx") { out =>
+        val idx = graft.pipeline.CleanPipeline.buildCleanIndex(
+          pg.filter(col("doc_id") <= k))
+        try graft.pipeline.CleanPipeline.writeCleanIndex(idx, out)
+        finally idx.unpersist()
+      }
+      val idx = graft.pipeline.CleanPipeline.readCleanIndex(s, idxDir)
+      try
+        graft.pipeline.CleanPipeline.incrementalCleanCorpus(
+            pg.filter(col("doc_id") > k), idx)
+          .select(col("doc_id").as("page_id"), col("piece_idx"), col("st"),
+            col("en"), col("n_tokens"), col("cut_tokens"),
+            md5(col("text")).as("text_hash"))
+          .orderBy("page_id", "piece_idx")
+      finally idx.unpersist()
+    }
+
   /** The FULL production cleanup chain (P60): paragraph dedup → canonical
     * re-join → document-level near-dup (exact-rep collapse, MinHash LSH
     * pairs, connected-component clusters, keep-best by cleaned-text
@@ -3611,6 +3720,41 @@ object PipelineQueries {
     }
   }
 
+  /** DEPLOYMENT-SHAPE twin of [[incrementalFullPipeline]] (P61, the
+    * flagship incremental row): the FULL three-half index (paragraph
+    * units, near-dup store+bands, survivor grams, corpus fps) is
+    * prebuilt to disk once per (corpus, code stamp); the timed body is
+    * read-index + full probe. This is the row the r15 verdict asked for:
+    * the sibling's bench number carries an in-query three-half rebuild
+    * deployment pays once then amortizes over every daily increment —
+    * this row prices what a crawl day actually costs. Same oracle.
+    */
+  val incrementalFullPipelineProbeOnly: Q = {
+    val minLen = 20
+    Q.sql(
+      "p_incremental_full_pipeline_probe_only",
+      incrementalFullPipeline.oracle.get) { (s, dir) =>
+      val pg = pages(s, dir, "\n\n")
+        .select(col("page_id").as("doc_id"), col("text"))
+      val k = pg.agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
+      val idxDir = ensurePrebuilt(s, dir, "fullcleanidx") { out =>
+        val idx = graft.pipeline.CleanPipeline.buildFullCleanIndex(
+          pg.filter(col("doc_id") <= k), minLen = minLen)
+        try graft.pipeline.CleanPipeline.writeFullCleanIndex(idx, out)
+        finally idx.unpersist()
+      }
+      val idx = graft.pipeline.CleanPipeline.readFullCleanIndex(s, idxDir)
+      try
+        graft.pipeline.CleanPipeline.incrementalFullClean(
+            pg.filter(col("doc_id") > k), idx)
+          .select(col("doc_id").as("page_id"), col("piece_idx"), col("st"),
+            col("en"), col("n_tokens"), col("cut_tokens"),
+            md5(col("text")).as("text_hash"))
+          .orderBy("page_id", "piece_idx")
+      finally idx.unpersist()
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     asofJoin, asofJoinBucketed, rangeJoin, tfidfTopK,
     textProfile, langIdProfile, vocabTopK, bigramTopK, exactDedup,
@@ -3628,8 +3772,11 @@ object PipelineQueries {
     lengthBatching, dupGramProfileQ, dupSpans, dupSpansMulti, dupSpanRemoval,
     exactSubstrRemoval, exactSubstrRemovalBytes, substrRemovalFixedpoint,
     incrementalSubstrRemoval, incrementalSubstrRemovalSegmented, packSpanMasks,
+    incrementalSubstrRemovalProbeOnly, incrementalSubstrRemovalSegmentedProbeOnly,
     bigramLmQuality, weightedSampleQ,
     paragraphDedupQ, lineDedupQ, paragraphDedupBytes,
     incrementalParagraphDedup, cleanPipelineQ, incrementalCleanPipeline,
-    fullPipelineQ, fullPipelineModelQuality, incrementalFullPipeline)
+    incrementalCleanPipelineProbeOnly,
+    fullPipelineQ, fullPipelineModelQuality, incrementalFullPipeline,
+    incrementalFullPipelineProbeOnly)
 }

@@ -32,6 +32,13 @@ import java.nio.file.{Files, Paths}
   *                            store's probe READ TAX: the same increment
   *                            probed against identical index content held
   *                            monolithic vs as base + 3 open segments
+  *                            (chained shuffled-hash probe — the shipped
+  *                            shape)
+  *   - `substr_seg_disk_fold_sec` / `substr_probe_seg_cold_sec` — the
+  *                            ON-DISK lifecycle: one crash-retryable
+  *                            disk fold (segment dir + atomic meta swap)
+  *                            and the cold-restart probe that re-reads
+  *                            segments from parquet per rep
   *
   * Each timed leg materializes the folded frame(s) with count() and
   * unpersists everything it created before the next rep (min over reps).
@@ -188,6 +195,38 @@ object FoldProbe {
       D.incrementalRemoveDupSpansExactSegmented(incProbe, segIdx)
         .write.format("noop").mode("overwrite").save()
     }
+
+    // DISK lifecycle legs (the P62 lake story): the store is written once
+    // OUTSIDE timing (base + first two tercile deltas; corpus-sized, the
+    // once-per-corpus cost), then
+    //   substr_seg_disk_fold_sec  — ONE crash-retryable on-disk fold
+    //     appending the third tercile: new segment dir + atomic meta swap
+    //     (single in-JVM draw: the fold advances the on-disk watermark,
+    //     so a second in-JVM rep would be rejected; min across the
+    //     protocol's fresh JVMs instead)
+    //   substr_probe_seg_cold_sec — the COLD-RESTART probe: each rep
+    //     re-reads the segments from disk (fresh handles; isolated()
+    //     drops the caches after), so the leg prices parquet scan +
+    //     cluster-into-cache + chained probe — what the first increment
+    //     after a restart actually costs
+    val diskDir = Files.createTempDirectory("foldprobe_segdisk").toString
+    D.writeSegmentedExactSubstrIndex(
+      D.SegmentedExactSubstrIndex(segIdx.base, segIdx.baseRows,
+        segIdx.deltas.take(2), segIdx.deltaRows.take(2), segIdx.minLen,
+        t2 - 1, segIdx.compactFraction),
+      diskDir)
+    val substrSegDiskFold = isolated {
+      D.foldSegmentedExactSubstrIndexOnDisk(spark, diskDir,
+        incFold.filter(col("doc_id") >= t2))
+    }
+    val substrProbeSegCold = minOf {
+      val h = D.readSegmentedExactSubstrIndex(spark, diskDir)
+      D.incrementalRemoveDupSpansExactSegmented(incProbe, h)
+        .write.format("noop").mode("overwrite").save()
+    }
+    new org.apache.hadoop.fs.Path(diskDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(diskDir), true)
     segIdx.deltas.foreach(_.unpersist(blocking = false))
     val monoIdx = D.updateExactSubstrIndex(baseIdx, incFold)
     monoIdx.grams.count()
@@ -210,8 +249,10 @@ object FoldProbe {
         s""""fp_union_distinct_sec":$fpUnionDistinct,""" +
         s""""fp_anti_append_sec":$fpAntiAppend,""" +
         s""""substr_seg_fold_sec":$substrSegFold,""" +
+        s""""substr_seg_disk_fold_sec":$substrSegDiskFold,""" +
         s""""substr_probe_mono_sec":$substrProbeMono,""" +
         s""""substr_probe_seg_sec":$substrProbeSeg,""" +
+        s""""substr_probe_seg_cold_sec":$substrProbeSegCold,""" +
         s""""steal_pct":${steal.map(_.toString).getOrElse("null")}}"""
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")
