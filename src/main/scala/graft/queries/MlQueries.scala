@@ -99,6 +99,131 @@ object MlQueries {
       .orderBy("feature")
   }
 
+  /** F6+F7: the AUTO-σ grid itself, DuckDB-oracled (round-15 verdict's
+    * "next" item 8) — σ_max and the geometric grid are closed-form, so the
+    * one remaining free-floating input of every auto-σ path fit gets a
+    * bit-exact cross-engine row, shrinking the rows-only set to the
+    * genuinely iterative fits.
+    *
+    * Both engines compute the SAME IEEE-double arithmetic over Det-exact
+    * moments, so agreement is structural:
+    *  - per-feature |∇f(0)|_j = |Σxy − n·x̄·ȳ| / ‖x − x̄‖₂ (the
+    *    [[lambdaMaxGaussian]] value — gaussian λmax over l2-standardized X,
+    *    reference src/standardize.h + regularizationPath.h:64),
+    *  - the gaussian-corrected BH λ sequence (regularizationPath.h:35-46):
+    *    the qnorm bases are data-independent LITERALS (p = 3, q = 0.1 since
+    *    n ≫ p) shared verbatim by both sides, and the MC-free correction
+    *    `λ_i·sqrt(1 + Σλ²/max(1, n−i−1))` + first-argmin clamp is spelled
+    *    out operation-for-operation for nLambda = 3,
+    *  - σ_max = max_k (Σ_{i≤k} |∇|_(i) / Σ_{i≤k} λ_i) with explicit
+    *    left-to-right prefix sums (no window running sums — a segment-tree
+    *    window could re-associate the doubles),
+    *  - grid step i = σ_max · ratio^(i/(nSigma−1)): the data-independent
+    *    factor ratio^(i/4) is a shared literal, so each grid value is one
+    *    exact multiply — algebraically equal to the engine's
+    *    `exp(linspace(log σ_max, log(σ_max·ratio), n))`
+    *    (regularizationPath.h:67-71) without its cross-libm exp/log.
+    *
+    * The Spark side is additionally a CERTIFICATE of the live path driver:
+    * it runs a real auto-σ gaussian fit (nSigma = 5, default BH-gaussian
+    * λ, default lambdaMinRatio = 1e-4) and requires the engine's kept σ
+    * prefix and n-scaled λ to match the closed form at 1e-10 relative —
+    * the engine's own treeAggregate moments and libm exp/log land within
+    * ulps of the Det values, and a LambdaSequence / lambdaMaxVec / grid
+    * regression trips the require loudly before any row is emitted.
+    */
+  val sigmaGridGaussian: Q = {
+    val nSteps = 5
+    val ratio = 1e-4 // lambdaMinRatio default for n >= p
+    val q = 0.1 // 0.1·min(1, n/pFeat) with n ≫ pFeat = 3
+    val b = graft.slope.LambdaSequence.bh(features.length, q)
+    val rs = Array.tabulate(nSteps)(i =>
+      math.exp(math.log(ratio) * i / (nSteps - 1.0)))
+    val stepRows = rs.zipWithIndex
+      .map { case (r, i) => s"($i, ${r}::DOUBLE)" }.mkString(", ")
+    Q.sql(
+      "m_sigma_grid_gaussian",
+      s"""WITH f AS ($stackedSql),
+         |agg AS (
+         |  SELECT feature,
+         |         count(*) AS n,
+         |         ${Det.davgSql("x")} AS xm,
+         |         ${Det.davgSql("y")} AS ym,
+         |         ${Det.dsumSql("x*x")} AS sxx,
+         |         ${Det.dsumSql("x*y")} AS sxy
+         |  FROM f GROUP BY feature),
+         |g AS (SELECT feature, n,
+         |             abs((sxy - n*xm*ym)/sqrt(sxx - n*xm*xm)) AS grad
+         |      FROM agg),
+         |rk AS (SELECT grad, row_number() OVER (ORDER BY grad DESC, feature) AS r
+         |       FROM g),
+         |srt AS (SELECT max(CASE WHEN r = 1 THEN grad END) AS s1,
+         |               max(CASE WHEN r = 2 THEN grad END) AS s2,
+         |               max(CASE WHEN r = 3 THEN grad END) AS s3,
+         |               (SELECT max(n)::DOUBLE FROM agg) AS nd
+         |        FROM rk),
+         |lam0 AS (SELECT *,
+         |                ${b(0)}::DOUBLE AS l1,
+         |                ${b(1)}::DOUBLE * sqrt(1 + (${b(0)}::DOUBLE * ${b(0)}::DOUBLE) / greatest(1.0, nd - 2)) AS l2p
+         |         FROM srt),
+         |lam1 AS (SELECT *,
+         |                ${b(2)}::DOUBLE * sqrt(1 + (${b(0)}::DOUBLE * ${b(0)}::DOUBLE + l2p * l2p) / greatest(1.0, nd - 3)) AS l3p
+         |         FROM lam0),
+         |lam AS (SELECT *,
+         |               CASE WHEN l1 <= l2p AND l1 <= l3p THEN 0
+         |                    WHEN l2p <= l3p THEN 1 ELSE 2 END AS imin,
+         |               least(l1, l2p, l3p) AS mn
+         |        FROM lam1),
+         |lamc AS (SELECT s1, s2, s3,
+         |                CASE WHEN imin = 0 THEN mn ELSE l1 END AS l1c,
+         |                CASE WHEN imin <= 1 THEN mn ELSE l2p END AS l2c,
+         |                mn AS l3c
+         |         FROM lam),
+         |sm AS (SELECT greatest(s1 / l1c,
+         |                       (s1 + s2) / (l1c + l2c),
+         |                       ((s1 + s2) + s3) / ((l1c + l2c) + l3c)) AS sigmax
+         |       FROM lamc)
+         |SELECT v.step, sm.sigmax * v.r AS sigma
+         |FROM (VALUES $stepRows) v(step, r) CROSS JOIN sm
+         |ORDER BY v.step""".stripMargin) { (s, dir) =>
+      import scala.math.{abs => fabs, sqrt => fsqrt, max => fmax, min => fmin}
+      // Det-exact moments (3 rows) → the closed-form grid, with the same
+      // operation order as the SQL above so both engines emit the same bits
+      val m = featureMoments(s, dir)
+        .select("feature", "n", "xm", "ym", "sxx", "sxy").collect()
+      val grads = m.map { r =>
+        val (n, xm, ym, sxx, sxy) = (r.getLong(1).toDouble, r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        fabs((sxy - n * xm * ym) / fsqrt(sxx - n * xm * xm))
+      }.sorted(Ordering[Double].reverse)
+      val nd = m.head.getLong(1).toDouble
+      val l1 = b(0)
+      val l2p = b(1) * fsqrt(1 + (b(0) * b(0)) / fmax(1.0, nd - 2))
+      val l3p = b(2) * fsqrt(1 + (b(0) * b(0) + l2p * l2p) / fmax(1.0, nd - 3))
+      val mn = fmin(l1, fmin(l2p, l3p))
+      val imin = if (l1 <= l2p && l1 <= l3p) 0 else if (l2p <= l3p) 1 else 2
+      val (l1c, l2c, l3c) =
+        (if (imin == 0) mn else l1, if (imin <= 1) mn else l2p, mn)
+      val Array(s1, s2, s3) = grads
+      val sigmax = fmax(s1 / l1c,
+        fmax((s1 + s2) / (l1c + l2c), ((s1 + s2) + s3) / ((l1c + l2c) + l3c)))
+      val detSigma = rs.map(sigmax * _)
+      // live-engine certificate: a real auto-σ fit must land on this grid
+      val fit = SlopeEstimator.fit(li(s, dir), features, label,
+        SlopeConfig(nSigma = nSteps)).fit
+      require(fit.sigma.length >= 2, s"auto-σ fit kept ${fit.sigma.length} steps")
+      val lamEng = fit.lambda.map(_ * nd) // SlopeFit.lambda is /n (owl.cpp:380)
+      for (((e, d), i) <- lamEng.zip(Array(l1c, l2c, l3c)).zipWithIndex)
+        require(fabs(e - d) <= 1e-10 * d,
+          s"engine λ($i)·n = $e vs closed-form $d")
+      for (((e, d), i) <- fit.sigma.zip(detSigma).zipWithIndex)
+        require(fabs(e - d) <= 1e-10 * d,
+          s"engine σ($i) = $e vs closed-form grid $d")
+      val rows = detSigma.zipWithIndex.map { case (sg, i) => (i, sg) }
+      s.createDataFrame(rows.toSeq).toDF("step", "sigma").orderBy("step")
+    }
+  }
+
   /** M10: mse/mae of a FIXED coefficient vector (scoring a known model is
     * pure SQL; the β here is arbitrary but shared with the oracle).
     *
@@ -774,8 +899,8 @@ object MlQueries {
   val slopePathKktPoisson: Q = kktCertQuery("m_slope_path_kkt_poisson", "poisson")
 
   val queries: Seq[Q] = Seq(
-    standardizeStats, lambdaMaxGaussian, scoreFixedBeta, aucFixedScore,
-    aucWeighted, gradientUdaf, slopePathGaussian, slopePathBinomial,
+    standardizeStats, lambdaMaxGaussian, sigmaGridGaussian, scoreFixedBeta,
+    aucFixedScore, aucWeighted, gradientUdaf, slopePathGaussian, slopePathBinomial,
     slopePathMultinomial, slopePathPoisson, slopeSigma0Gaussian,
     slopePathLassoOrtho, slopePathLassoOrthoFista, interceptMleFamilies,
     cvFixedBeta, trainCv, trainCvKkt, slopePathKktGaussian, slopePathKktBinomial,
