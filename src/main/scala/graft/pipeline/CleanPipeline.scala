@@ -193,9 +193,12 @@ object CleanPipeline {
       sepRegex: String = ParagraphDedup.ParagraphSep,
       joiner: String = "\n\n", minLen: Int = 20,
       idCol: String = "doc_id", textCol: String = "text"): CleanIndex = {
-    val para = ParagraphDedup.buildParagraphIndex(corpus, sepRegex, idCol, textCol)
-    val cleaned = rejoinKept(
-      ParagraphDedup.dedupUnits(corpus, sepRegex, idCol, textCol), joiner)
+    // index + cleaned corpus from ONE unit substrate/aggregate (building
+    // them separately re-derived the corpus unit table and re-ran the
+    // same per-fp aggregate — a full corpus pass + exchange for nothing)
+    val (para, kept) = ParagraphDedup.buildParagraphIndexAndDedup(
+      corpus, sepRegex, idCol, textCol)
+    val cleaned = rejoinKept(kept, joiner)
     // the substring half inherits the paragraph half's watermark rather
     // than re-computing max(id) over `cleaned` — the cleaned corpus is a
     // derived chain, and an eager max over it would cost a full extra
@@ -348,9 +351,11 @@ object CleanPipeline {
       shingleK: Int = 5, nHashes: Int = 18, rowsPerBand: Int = 6,
       threshold: Double = 0.7,
       idCol: String = "doc_id", textCol: String = "text"): FullCleanIndex = {
-    val para = ParagraphDedup.buildParagraphIndex(corpus, sepRegex, idCol, textCol)
-    val cleaned = rejoinKept(
-      ParagraphDedup.dedupUnits(corpus, sepRegex, idCol, textCol), joiner)
+    // index + cleaned corpus from ONE unit substrate/aggregate (same
+    // derive-once rationale as buildCleanIndex)
+    val (para, kept) = ParagraphDedup.buildParagraphIndexAndDedup(
+      corpus, sepRegex, idCol, textCol)
+    val cleaned = rejoinKept(kept, joiner)
       .localCheckpoint()
     val nd = Dedup.buildNearDupIndex(cleaned, shingleK, nHashes, rowsPerBand)
     // corpus-internal resolution, min-id keepers: losers are exactly the
@@ -437,18 +442,13 @@ object CleanPipeline {
       .select(col("doc_id"), TextPipeline.fingerprint(col("text")).as("fp"))
       .join(index.corpusFps, Seq("fp"), "left_semi")
       .select(col("doc_id").cast("long").as("v"))
-    // cross-side near-dup contact against the frozen corpus index
-    val cross = Dedup.incrementalNearDupFromReps(incReps, index.nearDup,
+    // cross-side near-dup contact against the frozen corpus index AND
+    // increment-internal pairs, from ONE increment signature chain + one
+    // fused verify (the two separate entries re-ran the signature kernel
+    // and the verify aggregates twice over the same increment)
+    val pf = Dedup.incNearDupProbeFrames(incReps, index.nearDup,
       index.threshold)
-    // increment-internal pairs + min-label clusters
-    val f = Dedup.nearDupFramesFromReps(incReps, index.nearDup.k,
-      index.nearDup.nHashes, index.nearDup.rowsPerBand, index.threshold)
-    val internal =
-      try f.verified.localCheckpoint()
-      finally {
-        f.spread.unpersist(blocking = false)
-        f.candShingles.unpersist(blocking = false)
-      }
+    val (cross, internal) = (pf.cross, pf.internal)
     val clusters = Dedup.dupClusters(internal)
     // survival: a rep survives iff its internal cluster (singleton when
     // unpaired) has NO corpus contact and the rep is the cluster min —

@@ -510,6 +510,87 @@ object Dedup {
     }
   }
 
+  /** The two pair frames of a composed full-cleanup probe, from ONE
+    * increment signature chain ([[incNearDupProbeFrames]]): `cross` —
+    * verified (increment, corpus) pairs, [[incrementalNearDupFromReps]]'
+    * shape; `internal` — verified increment-internal pairs,
+    * [[nearDupFramesFromReps]]' `verified` shape. Both eager.
+    */
+  private[graft] case class IncNearDupProbe(cross: DataFrame, internal: DataFrame)
+
+  /** Cross-side AND increment-internal verified near-dup pairs from ONE
+    * increment signature chain and ONE fused exact-Jaccard verify — the
+    * composed full-cleanup probe ([[graft.pipeline.CleanPipeline]]
+    * `fullCleanProbe`) needs both, and calling
+    * [[incrementalNearDupFromReps]] + [[nearDupFramesFromReps]] separately
+    * re-spreads the increment reps and re-runs the whole `|text|·k`-md5
+    * signature kernel a second time, then verifies two overlapping
+    * candidate sets with two separate shingle tables and two
+    * size/intersection aggregates. Here:
+    *
+    *   - the increment is spread+persisted once and banded once (the band
+    *     table — nBands small rows per doc — is checkpointed and feeds
+    *     both the cross bucket join and the internal bucket aggregate);
+    *   - the candidate union is verified in one pass: one shingle table
+    *     over (increment candidate docs ∪ corpus candidate docs), one
+    *     per-doc size aggregate, one intersection aggregate. A tag column
+    *     rides through the pair aggregate — (d1, d2) pairs are disjoint
+    *     across the tag (cross d2 is corpus-side, internal d2
+    *     increment-side), so grouping by it changes no group.
+    *
+    * Value-identical to the two separate calls (pinned in PipelineSpec);
+    * REQUIRES disjoint doc ids across the two sides, as those do.
+    */
+  private[graft] def incNearDupProbeFrames(incReps: DataFrame,
+      index: NearDupIndex, threshold: Double): IncNearDupProbe = {
+    val k = index.k
+    val incSpread = incReps.repartition(
+      incReps.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val incBands = docBands(incSpread, k = k, nHashes = index.nHashes,
+      rowsPerBand = index.rowsPerBand).localCheckpoint()
+    val crossCand = incBands.select(col("doc_id").as("d1"), col("band"), col("bh"))
+      .join(index.bands.select(col("doc_id").as("d2"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("d1", "d2").distinct()
+    val intCand = candidatePairs(incBands)
+    val allCand = crossCand.withColumn("x", lit(true))
+      .unionByName(intCand.withColumn("x", lit(false)))
+    val incIds = intCand.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .unionByName(crossCand.select(col("d1").as("doc_id")))
+      .distinct()
+    val corpIds = crossCand.select(col("d2").as("doc_id")).distinct()
+    val candSh = shingles(incSpread.join(incIds, Seq("doc_id"), "left_semi"), k = k)
+      .unionByName(shingles(
+        index.docStore.join(corpIds, Seq("doc_id"), "left_semi"), k = k))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // jaccardVerify's candidate-driven shape with the tag carried through
+    val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = candSh.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val bSh = candSh.select(col("doc_id").as("db"), col("sh").as("shb"))
+    val verified = allCand
+      .join(a, col("d1") === col("da"))
+      .join(bSh, col("d2") === col("db") && col("sha") === col("shb"))
+      .groupBy("d1", "d2", "x").agg(count(lit(1)).as("nab"))
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("sz", "sz2"), "d2")
+      .select(col("d1"), col("d2"), col("x"),
+        (col("nab").cast("double") /
+          (col("sz1") + col("sz2") - col("nab")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val v =
+      try verified.localCheckpoint()
+      finally {
+        incSpread.unpersist(blocking = false)
+        candSh.unpersist(blocking = false)
+      }
+    IncNearDupProbe(
+      v.filter(col("x")).select("d1", "d2", "jaccard"),
+      v.filter(!col("x")).select("d1", "d2", "jaccard"))
+  }
+
   /** Duplicate-cluster resolution: connected components over verified
     * near-dup pairs — each doc ends up labeled with the smallest doc_id
     * reachable from it, so "keep one per cluster" is `label == doc_id`.

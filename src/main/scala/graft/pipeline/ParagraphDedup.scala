@@ -300,6 +300,47 @@ object ParagraphDedup {
       IdContract.maxId(corpus, idCol))
   }
 
+  /** [[buildParagraphIndex]] and [[dedupUnits]] over THE SAME corpus from
+    * ONE substrate — the entry the composed index builds
+    * ([[graft.pipeline.CleanPipeline.buildCleanIndex]] /
+    * `buildFullCleanIndex`) use. Calling the two public entries separately
+    * derives the corpus unit table twice and runs the per-fp aggregate
+    * twice (the index aggregate and the dup-set aggregate are the same
+    * `groupBy(fp).agg(count, min(keeper))` over the same units); here the
+    * unit table is derived and persisted once, the aggregate runs once and
+    * becomes BOTH the index and (its `nocc >= 2` slice) the dup set — one
+    * full unit split/normalize/md5 pass and one corpus-sized exchange
+    * saved per build, at every scale. The kept-unit emission is returned
+    * LAZY (same fresh-scan tail as [[dedupUnits]], so a 100 TB run streams
+    * it to its sink); the index is eagerly materialized (it must outlive
+    * the released substrate). Value-identical to the two separate entries
+    * (pinned in ParagraphDedupSpec).
+    */
+  private[graft] def buildParagraphIndexAndDedup(corpus: DataFrame,
+      sepRegex: String = ParagraphSep, idCol: String = "doc_id",
+      textCol: String = "text"): (ParagraphIndex, DataFrame) = {
+    require(sepRegex.nonEmpty, "separator regex must be non-empty")
+    val base = unitTable(corpus, sepRegex, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (index, dupSet, cuts) =
+      try {
+        val units = base.filter(!col("blank"))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("nocc"),
+            min(struct(col("doc_id"), col("idx"))).as("keeper"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize the index OFF the substrate before releasing it —
+        // a lazy persist would re-derive the unit table on first use
+        units.count()
+        val d = units.filter(col("nocc") >= 2).select("fp", "keeper")
+          .localCheckpoint()
+        val c = cutCounts(base, d).localCheckpoint()
+        (ParagraphIndex(units, sepRegex, IdContract.maxId(corpus, idCol)),
+          d, c)
+      } finally base.unpersist(blocking = false)
+    (index, emitKept(corpus, sepRegex, idCol, textCol, dupSet, cuts))
+  }
+
   /** Fold an increment into the index — occurrence counts ADD and keepers
     * MIN, because both are fingerprint-wise monoid aggregates of the
     * union corpus: `union → groupBy fp → (sum, min)` is one map-side-

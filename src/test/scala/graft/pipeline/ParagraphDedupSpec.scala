@@ -226,4 +226,30 @@ class ParagraphDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "reloaded index probes differently")
     Seq(idx, folded, direct, rd).foreach(_.unpersist())
   }
+
+  test("fused index+dedup build == the two separate entries (r16 derive-once)") {
+    // the composed builds' shared-substrate entry must be value-identical
+    // to buildParagraphIndex + dedupUnits on a corpus with within-doc
+    // repeats, cross-doc repeats, blanks, normalization variants and
+    // unit-free docs — the cases where dup-set/keeper/blank discipline
+    // could diverge if the index slice were not exactly the dup set
+    val corpus = docsDf(
+      0L -> "shared para\n\nunique a\n\nshared para",
+      1L -> "Shared  Para\n\nunique b",
+      2L -> "\n\n",
+      3L -> "",
+      4L -> "solo doc",
+      5L -> "unique a\n\n\n\nshared para")
+    val (ix, kept) = ParagraphDedup.buildParagraphIndexAndDedup(corpus)
+    val sep = ParagraphDedup.buildParagraphIndex(corpus)
+    try {
+      def unitsOf(i: ParagraphDedup.ParagraphIndex) =
+        i.units.collect().map(r => (r.getLong(0), r.getLong(1),
+          (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))).toSet
+      assert(unitsOf(ix) == unitsOf(sep), "index differs from separate build")
+      assert(ix.maxDocId == sep.maxDocId, "watermark differs")
+      assert(keptRows(kept) == keptRows(ParagraphDedup.dedupUnits(corpus)),
+        "kept-unit emission differs from separate dedupUnits")
+    } finally { ix.unpersist(); sep.unpersist() }
+  }
 }

@@ -1459,6 +1459,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally idx.unpersist()
   }
 
+  test("fused inc near-dup probe == the two separate entries (r16 derive-once)") {
+    val sp = spark; import sp.implicits._
+    // incNearDupProbeFrames (one signature chain + one fused verify) must
+    // be value-identical to incrementalNearDupFromReps (cross side) +
+    // nearDupFramesFromReps.verified (internal side) on a seeded mutation
+    // corpus that produces BOTH pair kinds, jaccard values included
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia")
+    val base = (0 until 10).map(_ =>
+      (0 until 20).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    // corpus ids 0..19 (2 per base), increment ids 100..119 (2 per base) —
+    // shared bases force cross pairs AND increment-internal pairs
+    val corpusDf = (0L until 20L).map { id =>
+      (id, base((id / 2).toInt) + " uid" + id) }.toDF("doc_id", "text")
+    val incDf = (0L until 20L).map { i =>
+      (100L + i, base((i / 2).toInt) + " uid" + (100 + i)) }
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildNearDupIndex(corpusDf)
+    try {
+      val incReps = Dedup.collapseReps(incDf).localCheckpoint()
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val fused = Dedup.incNearDupProbeFrames(incReps, idx, 0.5)
+      val sepCross = pairs(Dedup.incrementalNearDupFromReps(incReps, idx, 0.5))
+      val f = Dedup.nearDupFramesFromReps(incReps, idx.k, idx.nHashes,
+        idx.rowsPerBand, 0.5)
+      val sepInternal =
+        try pairs(f.verified)
+        finally {
+          f.spread.unpersist(blocking = true)
+          f.candShingles.unpersist(blocking = true)
+        }
+      val fc = pairs(fused.cross)
+      val fi = pairs(fused.internal)
+      assert(fc.keySet == sepCross.keySet,
+        s"cross pairs differ: only-fused=${fc.keySet -- sepCross.keySet} " +
+          s"only-separate=${sepCross.keySet -- fc.keySet}")
+      fc.foreach { case (k2, j) =>
+        assert(math.abs(j - sepCross(k2)) < 1e-12, s"cross jaccard at $k2") }
+      assert(fi.keySet == sepInternal.keySet,
+        s"internal pairs differ: only-fused=${fi.keySet -- sepInternal.keySet} " +
+          s"only-separate=${sepInternal.keySet -- fi.keySet}")
+      fi.foreach { case (k2, j) =>
+        assert(math.abs(j - sepInternal(k2)) < 1e-12, s"internal jaccard at $k2") }
+      assert(fc.nonEmpty && fi.nonEmpty,
+        "seeded corpus must produce both cross and internal pairs")
+    } finally idx.unpersist()
+  }
+
   test("dupSpanCols: EMPTY duplicated-gram set yields all-zero profiles, not a refusal") {
     val sp = spark; import sp.implicits._
     val docs = Seq((0L, "a b c d e"), (1L, "f g h i j k")).toDF("doc_id", "text")
